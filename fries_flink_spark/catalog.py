@@ -1,0 +1,108 @@
+"""Table catalog: load/register the benchmark tables.
+
+Mirrors the reference's catalog + filesystem connector surface
+(reference: flink-table/flink-table-runtime-blink/src/main/java/org/apache/flink/
+table/filesystem/FileSystemTableSource.java, factory discovery at
+flink-table/flink-table-common/src/main/java/org/apache/flink/table/factories/
+FactoryUtil.java:61) re-expressed as ``spark.read.parquet`` + temp views.
+
+Scale note: the loads stay fully declarative (``spark.read.parquet``), so column
+pruning / predicate pushdown / partition pruning all reach the scan. The only
+transformation applied eagerly is the events ``ts`` nanos→timestamp cast, which
+is a per-row projection (no shuffle) fused into the scan by Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_confs
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables: always broadcast-join candidates at any scale.
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one benchmark table as a DataFrame.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it as a
+    long (``spark.sql.legacy.parquet.nanosAsLong``) and we convert to a
+    microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies, keeping
+    the oracle comparison exact.
+    """
+    ensure_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every benchmark table as a temp view; returns the DataFrames."""
+    out = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+class TableEnvironment:
+    """Flink-``TableEnvironment``-like facade over a SparkSession.
+
+    Reference API surface: flink-table/flink-table-api-java/src/main/java/org/
+    apache/flink/table/api/TableEnvironment.java (sqlQuery/executeSql/
+    createTemporaryView/from). Spark-first: ``sql_query`` is ``spark.sql`` —
+    the whole parse→optimize→execute pipeline is Catalyst (SURVEY §3.1).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = ensure_confs(spark)
+
+    @classmethod
+    def create(cls, **kwargs) -> "TableEnvironment":
+        from .session import get_spark
+
+        return cls(get_spark(**kwargs))
+
+    def register_parquet(self, name: str, path: str) -> DataFrame:
+        df = self.spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_benchmark_tables(self, sf_dir: str) -> dict[str, DataFrame]:
+        return register_tables(self.spark, sf_dir)
+
+    def sql_query(self, sql: str) -> DataFrame:
+        return self.spark.sql(sql)
+
+    # Flink names executeSql for DDL+DML; for us it is the same entry point.
+    execute_sql = sql_query
+
+    def from_path(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def create_temporary_view(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+
+    def from_elements(self, rows, schema=None) -> DataFrame:
+        return self.spark.createDataFrame(rows, schema=schema)

@@ -1,0 +1,60 @@
+"""Query registry: the driver-facing inventory of implemented operators.
+
+Every operator family module registers named queries here via the ``@query``
+decorator. ``__spark_entry__.py`` exposes the registry through the driver
+contract (``queries()`` / ``oracle_sql()``).
+
+A registered query is a callable ``(spark, sf_dir) -> DataFrame`` plus an
+optional DuckDB-compatible ANSI-SQL oracle string. Column names must match
+between the Spark result and the oracle (the driver sorts columns by name
+before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+    def __call__(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        return self.fn(spark, sf_dir)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query under ``name`` with an optional DuckDB oracle SQL."""
+
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query-family module (side effect: fills REGISTRY)."""
+    from .queries import (  # noqa: F401
+        aggregates,
+        dedup_queries,
+        joins,
+        scalar_funcs,
+        setops,
+        similarity_queries,
+        sort_topn,
+        streaming_batch,
+        text_queries,
+        tpch,
+        windows_over,
+    )
+
+    return REGISTRY

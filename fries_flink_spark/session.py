@@ -1,0 +1,83 @@
+"""SparkSession construction tuned for the engine.
+
+The reference (Fries-Flink = Apache Flink 1.13 + the Fries controller) sets up a
+``StreamExecutionEnvironment`` / ``TableEnvironment``
+(reference: flink-table/flink-table-api-java/src/main/java/org/apache/flink/table/api/
+TableEnvironment.java); in Spark the analog is one well-configured SparkSession.
+
+Config choices and why (scale rationale — these matter at 100 TB, not just local):
+
+- ``spark.sql.adaptive.enabled`` + coalesce/skew-join: AQE re-plans at runtime
+  using real shuffle statistics (replaces Flink's static CBO stats provider,
+  reference: flink-end-to-end-tests/flink-tpcds-test/.../TpcdsStatsProvider.java).
+- ``spark.sql.shuffle.partitions``: sized to cores locally; on a real cluster AQE
+  coalescing makes a high initial value safe.
+- ``spark.sql.session.timeZone=UTC``: parquet / DuckDB oracle comparisons must be
+  timezone-stable.
+- ``spark.sql.legacy.parquet.nanosAsLong``: the events table carries
+  TIMESTAMP(NANOS) which Spark's reader otherwise rejects; the catalog converts
+  the long to a microsecond timestamp column (see catalog.load_table).
+- Arrow enabled: every Pandas-UDF operator (dedup, similarity, stateful
+  streaming) rides the Arrow batch path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Dynamic (runtime-settable) SQL confs that our operators rely on. Applied both
+# at build time and defensively to externally-provided sessions (the correctness
+# driver owns its own SparkSession).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "fries-flink-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Build (or get) the tuned local SparkSession."""
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cpus
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_confs(spark: SparkSession) -> SparkSession:
+    """Apply the dynamic confs our operators need to an existing session.
+
+    Safe to call repeatedly; used on driver-owned sessions before running
+    queries (e.g. the correctness harness builds its own SparkSession).
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — best effort
+    return spark
