@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Queries are forced with the noop sink (full computation, no driver transfer),
+after a warm-up pass of the session. Run: python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fries_flink_spark.registry import load_all
+from fries_flink_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: the operator families that dominate 100 TB pipelines —
+# scan→agg, multi-way joins, window aggs, top-n, sessionization, LSH dedup,
+# text metrics, vector search.
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
+    "join_inner",
+    "join_asof",
+    "agg_cube",
+    "over_running_sum",
+    "topn_per_group",
+    "win_tumble",
+    "win_session",
+    "win_hop",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "sim_topk_bruteforce",
+]
+
+
+def main() -> None:
+    registry = load_all()
+    spark = get_spark(app_name="fries-bench", cpus=CPUS, shuffle_partitions=CPUS)
+    # Warm the JVM + parquet footer caches with a trivial action.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.time()
+        df = spec.fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

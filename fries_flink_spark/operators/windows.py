@@ -1,0 +1,98 @@
+"""Time-window operators: TUMBLE / HOP / SESSION / CUMULATE (SURVEY §2.5).
+
+Reference: window TVFs TUMBLE/HOP/CUMULATE (FlinkSqlOperatorTable.java:1181-1183,
+sliced execution at .../window/slicing/SlicingWindowOperator.java:96), legacy
+group windows Tumble/Slide/Session (Tumble.java:43 etc.), session windows
+(EventTimeSessionWindows.java:46).
+
+Spark-first mapping:
+- TUMBLE/HOP → built-in ``F.window(ts, size[, slide])`` (streaming & batch).
+- SESSION    → built-in ``F.session_window(ts, gap)``.
+- CUMULATE   → no native analog: implemented as an explode over the step
+  multiples each row belongs to — row lands in windows [w_start, w_start+k*step)
+  for k = ceil((ts - w_start)/step) .. max_size/step. This replicates rows
+  ≤ (max_size/step)× like Flink's non-sliced fallback; at 100 TB the
+  aggregation should be pushed per-step first (partial agg per tumble(step),
+  then re-aggregated) — ``cumulate_agg`` below does exactly that two-level
+  plan so the explode happens on pre-aggregated slices, not raw rows (the
+  same trick as Flink's slice-sharing SlicingWindowOperator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumble(df: DataFrame, ts: str, size: str) -> DataFrame:
+    """Assign tumbling windows; adds window_start/window_end columns."""
+    w = F.window(F.col(ts), size)
+    return df.withColumn("window_start", w.start).withColumn("window_end", w.end)
+
+
+def hop(df: DataFrame, ts: str, size: str, slide: str) -> DataFrame:
+    """Assign hopping (sliding) windows; one output row per covering window."""
+    w = F.window(F.col(ts), size, slide)
+    return df.withColumn("window_start", w.start).withColumn("window_end", w.end)
+
+
+def session(df: DataFrame, ts: str, gap: str) -> Column:
+    """Session window column (merge rows separated by < gap)."""
+    return F.session_window(F.col(ts), gap)
+
+
+def cumulate_agg(
+    df: DataFrame,
+    ts: str,
+    max_size: str,
+    step: str,
+    group_cols: list[str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """CUMULATE window aggregation, two-level (slice-shared) plan.
+
+    Semantics (Flink CUMULATE TVF): windows [w, w+step), [w, w+2*step), …,
+    [w, w+max_size) for each max_size-aligned w; a row with timestamp t in
+    [w, w+max_size) belongs to every window whose end exceeds t.
+
+    Plan: (1) partial-aggregate rows into `step` tumbles — the slices;
+    (2) explode each slice to the cumulate windows it feeds (≤ max/step);
+    (3) final-aggregate slices per (window_start, window_end).
+    ``aggs`` maps output name → (aggregate Column over the ORIGINAL columns,
+    re-agg kind ∈ {"sum","min","max"}) — count partials re-aggregate via sum,
+    so pass "sum" for counts. Only decomposable aggregates qualify (same
+    restriction as Flink's sliced window path).
+    """
+    step_s = F.expr(f"INTERVAL {step}")
+    # slice = step-tumble window
+    sliced = (
+        df.groupBy(F.window(F.col(ts), step).alias("__slice"), *group_cols)
+        .agg(*[c.alias(n) for n, (c, _) in aggs.items()])
+    )
+    max_expr = F.unix_timestamp(F.expr(f"timestamp '1970-01-01' + INTERVAL {max_size}"))
+    step_expr = F.unix_timestamp(F.expr(f"timestamp '1970-01-01' + INTERVAL {step}"))
+    # window_start = floor(slice_start / max_size); slice feeds windows ending
+    # at slice_end, slice_end+step, ... up to window_start+max_size
+    sliced = sliced.withColumn(
+        "__w_start",
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.col("__slice.start")) / max_expr).cast("long")
+            * max_expr
+        ).cast("timestamp_ntz"),
+    )
+    sliced = sliced.withColumn(
+        "window_end",
+        F.explode(
+            F.sequence(
+                F.unix_timestamp(F.col("__slice.end")),
+                F.unix_timestamp(F.col("__w_start")) + max_expr,
+                step_expr,
+            )
+        ),
+    ).withColumn("window_end", F.timestamp_seconds(F.col("window_end")).cast("timestamp_ntz"))
+    refns = {"sum": F.sum, "min": F.min, "max": F.max}
+    re_aggs = [refns[kind](n).alias(n) for n, (_, kind) in aggs.items()]
+    return (
+        sliced.groupBy(F.col("__w_start").alias("window_start"), "window_end", *group_cols)
+        .agg(*re_aggs)
+    )

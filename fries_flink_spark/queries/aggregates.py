@@ -1,1 +1,287 @@
-"""Placeholder — filled in incrementally."""
+"""Aggregation queries (SURVEY §2.4): hash agg, distinct agg, grouping sets /
+cube / rollup, the full agg-function library, stats aggs, LISTAGG, pivot.
+
+Reference: BatchPhysicalHashAggregate.scala (hash agg), BytesHashMap.java:35
+(spillable map — Tungsten equivalent built-in), DecomposeGroupingSetsRule.scala:205
+(grouping sets → Expand), aggfunctions/ (Avg/Count/Sum/Min/Max/FirstValue/
+LastValue/ListAgg/Collect/SingleValue). Spark: groupBy().agg() → Tungsten
+partial+final hash aggregation; cube/rollup/GROUPING SETS produce the same
+Expand node Catalyst-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_tables
+from ..registry import query
+
+
+def _t(spark, sf_dir, *names):
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey)  AS n_supp,
+           count(DISTINCT l_partkey)  AS n_part,
+           sum(DISTINCT l_quantity)   AS sum_distinct_qty,
+           count(*)                   AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    """Distinct aggregates (reference FlinkAggregateExpandDistinctAggregatesRule;
+    Catalyst RewriteDistinctAggregates expands identically)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.sum_distinct(F.col("l_quantity")).alias("sum_distinct_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, sum(l_extendedprice) AS sum_price
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_extendedprice").alias("sum_price")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           stddev_samp(o_totalprice) AS std_samp,
+           stddev_pop(o_totalprice)  AS std_pop,
+           var_samp(o_totalprice)    AS v_samp,
+           var_pop(o_totalprice)     AS v_pop,
+           min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+           avg(o_totalprice) AS mean
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """STDDEV/VAR family (reference FlinkSqlOperatorTable re-exported Calcite
+    ops; SURVEY §2.4)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.stddev_samp("o_totalprice").alias("std_samp"),
+        F.stddev_pop("o_totalprice").alias("std_pop"),
+        F.var_samp("o_totalprice").alias("v_samp"),
+        F.var_pop("o_totalprice").alias("v_pop"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.avg("o_totalprice").alias("mean"),
+    )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT r_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def agg_listagg(spark, sf_dir):
+    """LISTAGG (reference aggfunctions/ListAggFunction) — Spark:
+    array_join(array_sort(collect_list())) for deterministic ordering."""
+    nation, region = _t(spark, sf_dir, "nation", "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT c_mktsegment,
+           list_aggr(list_sort(list(DISTINCT o_orderpriority)), 'string_agg', '|')
+             AS priorities
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect_set(spark, sf_dir):
+    """COLLECT (multiset) — reference aggfunctions/CollectAggFunction; Spark
+    collect_set, emitted as a sorted joined string for a stable oracle."""
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "|").alias(
+                "priorities"
+            )
+        )
+    )
+
+
+@query(
+    "agg_first_last",
+    oracle="""
+    SELECT user_id,
+           min_by(event_type, ts) AS first_type,
+           max_by(event_type, ts) AS last_type,
+           min_by(value, ts)      AS first_value_v,
+           max_by(value, ts)      AS last_value_v
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_first_last(spark, sf_dir):
+    """FIRST_VALUE/LAST_VALUE aggregates (reference aggfunctions/
+    FirstValueAggFunction) made deterministic as min_by/max_by on event time.
+
+    events.ts is unique per user in the fixture, so min_by/max_by are
+    deterministic here."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.min_by("value", "ts").alias("first_value_v"),
+        F.max_by("value", "ts").alias("last_value_v"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           min(value) AS mn, max(value) AS mx
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """Exact percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``).
+    Beyond-reference bonus: Flink 1.13 has no percentile built-in (SURVEY §2.4)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           sum(value) FILTER (WHERE event_type = 'purchase') AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_filtered(spark, sf_dir):
+    """FILTER-ed aggregates (Calcite AGG FILTER in the reference SQL surface)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(is_p, 1)).alias("n_purchase"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        F.sum(F.when(is_p, F.col("value"))).alias("purchase_value"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+@query("agg_approx_distinct")  # HLL sketch differs per engine → rows-only check
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct — beyond-reference bonus (absent from Flink 1.13
+    built-ins, SURVEY §2.4 note). Sketch-based, so no exact oracle."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT l_suppkey, sum(l_quantity) AS total_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 1000 AND count(*) > 20
+    """,
+)
+def agg_having(spark, sf_dir):
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("total_qty") > 1000) & (F.col("n") > 20))
+    )

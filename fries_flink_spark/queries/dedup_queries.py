@@ -1,1 +1,190 @@
-"""Placeholder — filled in incrementally."""
+"""Deduplication queries over documents (LLM-pipeline operators): exact,
+MinHash signatures, MinHash+LSH candidates, n-gram Jaccard, SimHash,
+embedding-cosine near-dup.
+
+Oracles reproduce the md5-based signatures bit-for-bit in DuckDB, so these are
+exact (not statistical) comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..dedup.minhash import (
+    N_PERMS,
+    char_shingles,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_table,
+    simhash16,
+)
+from ..registry import query
+
+# Shared DuckDB fragments (k=8 char shingles, 8 md5 "permutations")
+_SH = (
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-7, 1)),"
+    " i -> substr(text, i, 8)))"
+)
+_MH_COLS = ",\n           ".join(
+    f"list_min(list_transform(s, x -> substr(md5(x), {1 + 3 * j}, 8))) AS mh{j}"
+    for j in range(N_PERMS)
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@query(
+    "dedup_minhash_sig",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SH} AS s FROM documents)
+    SELECT doc_id,
+           {_MH_COLS}
+    FROM sh ORDER BY doc_id
+    """,
+)
+def dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures (k=8 char shingles, 8 perms) — bit-identical to the
+    DuckDB oracle because both sides minimize md5 hex strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_table(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SH} AS s FROM documents),
+    sig AS (
+      SELECT doc_id,
+           {_MH_COLS}
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               WHEN 0 THEN md5(mh0 || '|' || mh1)
+               WHEN 1 THEN md5(mh2 || '|' || mh3)
+               WHEN 2 THEN md5(mh4 || '|' || mh5)
+               ELSE        md5(mh6 || '|' || mh7)
+             END AS key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+    )
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+                             AND x.doc_id < y.doc_id
+    ORDER BY a, b
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs (4 bands × 2 rows). The banding join is the
+    100 TB path: shuffle on band keys, no cross product."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_table(docs, "text", "doc_id")
+    return lsh_candidate_pairs(sig, "doc_id").orderBy("a", "b")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SH} AS s FROM documents)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+    ORDER BY a, b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """8-gram Jaccard near-dup pairs (threshold 0.2). All-pairs here only for
+    oracle comparability; the production path is jaccard over LSH candidates
+    (dedup/minhash.jaccard_pairs(candidates=...))."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", k=8, threshold=0.2)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard")).orderBy(
+        "a", "b"
+    )
+
+
+_SIMHASH_BIT = (
+    "CASE WHEN list_sum(list_transform(h, x -> CASE WHEN "
+    "substr(x, {p}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 "
+    "THEN {v} ELSE 0 END"
+)
+_SIMHASH_SUM = " + ".join(
+    _SIMHASH_BIT.format(p=j + 1, v=1 << j) for j in range(16)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           w -> w <> ''),
+               w -> md5(w)) AS h
+      FROM documents
+    )
+    SELECT doc_id, {_SIMHASH_SUM} AS simhash
+    FROM toks ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per document (dedup/minhash.simhash16) — md5-nibble
+    votes, bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash")).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    ORDER BY a, b
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.4). Spark side computes the
+    dot/norms with JVM higher-order functions in double precision — matching
+    DuckDB's list_cosine_similarity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a = v.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    cos = (dot / (norm(F.col("ea")) * norm(F.col("eb")))).alias("__cos")
+    return (
+        pairs.select("a", "b", cos)
+        .filter(F.col("__cos") >= 0.4)
+        .select("a", "b", F.round("__cos", 4).alias("cos"))
+        .orderBy("a", "b")
+    )

@@ -1,1 +1,107 @@
-"""Placeholder — filled in incrementally."""
+"""Similarity-search queries over the embeddings table (LLM-pipeline ops).
+
+The query vector is embeddings[vec_id=0] — fetched inside the query builder so
+both engines use identical literals. Brute-force top-k is oracled exactly;
+the LSH and IVF variants are approximate by design, so they're registered as
+rows-only checks and pytest-verified for recall against brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from ..similarity.ann import cosine, cosine_topk, ivf_topk, lsh_bucket_topk, _as_double
+
+
+def _query_vec(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding, q.qv), 4) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 neighbors of vec_id 0 (brute force baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    out = cosine_topk(emb, "embedding", "vec_id", qv, k=10)
+    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
+@query(
+    "sim_range_search",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding, q.qv), 4) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0 AND list_cosine_similarity(e.embedding, q.qv) >= 0.15
+    ORDER BY e.vec_id
+    """,
+)
+def sim_range_search(spark, sf_dir):
+    """Range (threshold) similarity search: all vectors with cos >= 0.15."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    q = F.array(*[F.lit(x) for x in qv])
+    return (
+        emb.select(
+            "vec_id", cosine(_as_double(F.col("embedding")), q).alias("__cos")
+        )
+        .filter(F.col("__cos") >= 0.15)
+        .select("vec_id", F.round("__cos", 4).alias("cos"))
+        .orderBy("vec_id")
+    )
+
+
+@query("sim_topk_lsh")  # approximate → rows-only driver check; recall in pytest
+def sim_topk_lsh(spark, sf_dir):
+    """SRP-LSH bucketed approximate top-10 (similarity/ann.lsh_bucket_topk) —
+    the 100 TB path: bucket column doubles as a partition key."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    out = lsh_bucket_topk(emb, "embedding", "vec_id", qv, k=10)
+    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
+@query("sim_topk_ivf")  # approximate → rows-only driver check; recall in pytest
+def sim_topk_ivf(spark, sf_dir):
+    """IVF-style two-stage approximate top-10 (similarity/ann.ivf_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = ivf_topk(emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qv, k=10)
+    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(list_aggregate(embedding, 'sum')), 4) AS avg_component_sum
+    FROM embeddings GROUP BY label
+    """,
+)
+def sim_label_centroids(spark, sf_dir):
+    """Per-label aggregate over the vector column (array agg pushes through
+    the JVM higher-order sum — no Python)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp_sum = F.aggregate(
+        _as_double(F.col("embedding")), F.lit(0.0), lambda s, x: s + x
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(comp_sum), 4).alias("avg_component_sum"),
+    )
