@@ -1,0 +1,87 @@
+"""Changelog / row_kind semantics (SURVEY §1.1, §2.10).
+
+Reference: RowKind.java:31-52 (+I/-U/+U/-D), ChangelogNormalize
+(StreamPhysicalChangelogNormalize.scala), DropUpdateBefore
+(DropUpdateBeforeFunction.java), changelog inference
+(FlinkChangelogModeInferenceProgram.scala:40).
+
+Spark has no changelog rows; we model RowKind as an explicit ``row_kind``
+column ('+I', '-U', '+U', '-D') and provide the normalize/materialize
+operators. At scale these are one shuffle on the primary key + a window — the
+same cost as the reference's keyed ChangelogNormalize state pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+INSERT = "+I"
+UPDATE_BEFORE = "-U"
+UPDATE_AFTER = "+U"
+DELETE = "-D"
+
+_KINDS = [INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE]
+
+
+def with_row_kind(df: DataFrame, kind: str | Column = INSERT) -> DataFrame:
+    """Attach a row_kind column (defaults to insert-only, Flink's append mode)."""
+    col = F.lit(kind) if isinstance(kind, str) else kind
+    return df.withColumn("row_kind", col)
+
+
+def drop_update_before(df: DataFrame) -> DataFrame:
+    """Reference DropUpdateBeforeFunction: retraction consumers that key by PK
+    don't need -U rows."""
+    return df.filter(F.col("row_kind") != UPDATE_BEFORE)
+
+
+def changelog_normalize(
+    df: DataFrame, keys: list[str], order_by: list[Column]
+) -> DataFrame:
+    """Materialize a changelog into its current snapshot: keep the last
+    non-delete row per key in changelog order (reference ChangelogNormalize).
+
+    One shuffle on the key + one window sort — then the -D tombstones drop.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("row_kind") != DELETE)
+        .drop("__rn")
+    )
+
+
+def to_changelog(
+    before: DataFrame, after: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Diff two snapshots into a changelog (+I / -U,+U / -D) — the inverse of
+    changelog_normalize; useful for CDC emission from batch recomputes.
+
+    Implementation: full outer join on the key; non-key column comparison via
+    md5 over a canonical struct (no per-column codegen explosion).
+    """
+    val_cols = [c for c in after.columns if c not in keys]
+    digest = lambda d: F.md5(F.to_json(F.struct(*[d[c] for c in val_cols])))  # noqa: E731
+    b = before.alias("b")
+    a = after.alias("a")
+    cond = [b[k].eqNullSafe(a[k]) for k in keys]
+    joined = b.join(a, cond, "full_outer")
+    b_exists = b[keys[0]].isNotNull()
+    a_exists = a[keys[0]].isNotNull()
+    changed = digest(b) != digest(a)
+
+    inserts = joined.filter(~b_exists & a_exists).select(
+        F.lit(INSERT).alias("row_kind"), *[a[c].alias(c) for c in after.columns]
+    )
+    deletes = joined.filter(b_exists & ~a_exists).select(
+        F.lit(DELETE).alias("row_kind"), *[b[c].alias(c) for c in after.columns]
+    )
+    upd_before = joined.filter(b_exists & a_exists & changed).select(
+        F.lit(UPDATE_BEFORE).alias("row_kind"), *[b[c].alias(c) for c in after.columns]
+    )
+    upd_after = joined.filter(b_exists & a_exists & changed).select(
+        F.lit(UPDATE_AFTER).alias("row_kind"), *[a[c].alias(c) for c in after.columns]
+    )
+    return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)

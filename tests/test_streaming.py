@@ -1,0 +1,143 @@
+"""Streaming tests: drive bounded file streams to completion and compare with
+the batch rendition of the same logic (the driver's documented oracle protocol
+for streaming ops, FIXTURES.md)."""
+
+from __future__ import annotations
+
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fries_flink_spark.catalog import load_table
+from fries_flink_spark.streaming.reconfigure import ReconfigurableStream
+from fries_flink_spark.streaming.sources import (
+    rate_source,
+    stream_from_df,
+    stream_from_table,
+)
+from fries_flink_spark.streaming.windows import (
+    run_to_completion,
+    session_agg,
+    streaming_dedup,
+    tumble_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, sf_dir):
+    sdf, stage = stream_from_table(spark, sf_dir, "events", n_chunks=4)
+    yield sdf
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_streaming_tumble_matches_batch(spark, sf_dir, event_stream):
+    agg = tumble_agg(
+        event_stream, "ts", "5 minutes", "10 minutes", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")],
+    )
+    run_to_completion(agg, "stream_tumble", "append")
+    got = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM stream_tumble").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    want = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["total"])
+        for r in batch.collect()
+    }
+    # append mode emits only watermark-closed windows; everything emitted must
+    # match batch, and coverage must be substantial
+    assert got, "stream produced no closed windows"
+    for k, v in got.items():
+        assert want[k][0] == v[0] and abs(want[k][1] - v[1]) < 1e-6
+    assert len(got) >= len(want) * 0.5
+
+
+def test_streaming_session_matches_batch(spark, sf_dir, event_stream):
+    agg = session_agg(
+        event_stream, "ts", "30 minutes", "10 minutes", ["user_id"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+    run_to_completion(agg, "stream_session", "append")
+    got = {
+        (r["user_id"], r["w"]["start"]): r["n"]
+        for r in spark.sql("SELECT * FROM stream_session").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r["user_id"], r["w"]["start"]): r["n"] for r in batch.collect()}
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+
+
+def test_streaming_dedup(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(200).cache()
+    n_distinct = ev.select("event_id").distinct().count()
+    dup = ev.union(ev)  # every event twice
+    sdf, stage = stream_from_df(dup, n_chunks=4)
+    out = streaming_dedup(sdf, ["event_id"], "ts", "1 hour")
+    run_to_completion(out, "stream_dedup", "append")
+    n = spark.sql("SELECT count(*) AS n FROM stream_dedup").first()["n"]
+    assert n == n_distinct == 200
+    ev.unpersist()
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_reconfigure_applies_at_epoch_boundary(spark, sf_dir):
+    """Fries analog: change a filter threshold mid-stream; the new config must
+    apply atomically at a micro-batch boundary (no partial batches)."""
+    sdf, stage = stream_from_table(spark, sf_dir, "events", n_chunks=8)
+    seen: list[tuple[int, float, int]] = []
+
+    def pipeline(df, params):
+        return df.filter(F.col("value") >= params["min_value"])
+
+    def sink(df, epoch):
+        rows = df.collect()
+        mn = min((r["value"] for r in rows), default=None)
+        seen.append((epoch, mn, len(rows)))
+
+    rs = ReconfigurableStream(
+        source=sdf, pipeline=pipeline, sink=sink, params={"min_value": 0.0}
+    )
+    q = rs.start(trigger={"processingTime": "200 milliseconds"})
+    try:
+        deadline = time.time() + 60
+        while not seen and time.time() < deadline:
+            time.sleep(0.1)
+        v = rs.reconfigure(min_value=100.0)
+        assert v == 1
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(stage, ignore_errors=True)
+
+    applied = [e for e in rs.log if e.applied_epoch is not None]
+    assert applied, "reconfiguration never applied"
+    boundary = applied[0].applied_epoch
+    for epoch, mn, n in seen:
+        if epoch >= boundary and n > 0:
+            assert mn >= 100.0, f"epoch {epoch} ran with stale config"
+    assert rs.average_roundtrip_s() is not None
+
+
+def test_rate_source_smoke(spark):
+    q = (
+        rate_source(spark, 50)
+        .writeStream.format("memory")
+        .queryName("rate_smoke")
+        .start()
+    )
+    time.sleep(2)
+    q.stop()
+    assert spark.sql("SELECT count(*) AS n FROM rate_smoke").first()["n"] >= 0
