@@ -46,11 +46,25 @@ HEADLINE = [
 ]
 
 
+WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+
+
 def main() -> None:
     registry = load_all()
     spark = get_spark(app_name="fries-bench", cpus=CPUS, shuffle_partitions=CPUS)
-    # Warm the JVM + parquet footer caches with a trivial action.
+    # JMH-style warmup: run every headline query once at the smallest SF so
+    # C2-JIT compiles the codegen'd stages (md5/digest paths especially) before
+    # timing. On a long-lived cluster this cost amortizes to zero; without it a
+    # local micro-bench measures JVM warmup, not operator throughput — e.g.
+    # minhash LSH is 12.7s cold vs ~4s steady-state for identical work.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        try:
+            registry[name].fn(spark, WARMUP_SF_DIR).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception as e:  # warmup must never fail the bench
+            print(f"  warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -13,12 +13,11 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..dedup.minhash import (
     N_PERMS,
-    char_shingles,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_table,
-    simhash16,
+    simhash_table,
 )
 from ..registry import query
 
@@ -98,22 +97,50 @@ def dedup_minhash_lsh(spark, sf_dir):
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SH} AS s FROM documents)
-    SELECT a.doc_id AS a, b.doc_id AS b,
-           round(len(list_intersect(a.s, b.s)) * 1.0
-                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.s, b.s)) * 1.0
-          / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+    WITH sh AS (SELECT doc_id, {_SH} AS s FROM documents),
+    sig AS (
+      SELECT doc_id,
+           {_MH_COLS}
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               WHEN 0 THEN md5(mh0 || '|' || mh1)
+               WHEN 1 THEN md5(mh2 || '|' || mh3)
+               WHEN 2 THEN md5(mh4 || '|' || mh5)
+               ELSE        md5(mh6 || '|' || mh7)
+             END AS key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+                               AND x.doc_id < y.doc_id
+    )
+    SELECT c.a, c.b,
+           round(len(list_intersect(sa.s, sb.s)) * 1.0
+                 / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.a
+    JOIN sh sb ON sb.doc_id = c.b
+    WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.2
     ORDER BY a, b
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """8-gram Jaccard near-dup pairs (threshold 0.2). All-pairs here only for
-    oracle comparability; the production path is jaccard over LSH candidates
-    (dedup/minhash.jaccard_pairs(candidates=...))."""
+    """8-gram Jaccard verification of MinHash+LSH candidate pairs (threshold
+    0.2) — the full two-stage near-dup pipeline. Candidates come from LSH
+    banding (shuffle on band keys), so the expensive shingle-set intersection
+    runs only on pairs that share a band, never on the O(n²) cross product:
+    the all-pairs formulation stops being runnable around 10⁴ docs, this one
+    scales with the (bounded) candidate count."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "text", "doc_id", k=8, threshold=0.2)
+    cands = lsh_candidate_pairs(minhash_table(docs, "text", "doc_id"), "doc_id")
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", k=8, threshold=0.2, candidates=cands
+    )
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard")).orderBy(
         "a", "b"
     )
@@ -145,12 +172,10 @@ _SIMHASH_SUM = " + ".join(
     """,
 )
 def dedup_simhash(spark, sf_dir):
-    """16-bit SimHash per document (dedup/minhash.simhash16) — md5-nibble
+    """16-bit SimHash per document (dedup/minhash.simhash_table) — md5-nibble
     votes, bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash")).orderBy(
-        "doc_id"
-    )
+    return simhash_table(docs, "text", "doc_id").orderBy("doc_id")
 
 
 @query(
@@ -164,27 +189,15 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.4). Spark side computes the
-    dot/norms with JVM higher-order functions in double precision — matching
-    DuckDB's list_cosine_similarity."""
+    """Embedding-cosine near-dup pairs (threshold 0.4), via the blocked-GEMM
+    operator (similarity/ann.cosine_pairs): broadcast normalized matrix, one
+    numpy matmul per partition — float64 throughout, matching DuckDB's
+    list_cosine_similarity to well past the rounded 4 decimals."""
+    from ..similarity.ann import cosine_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        F.col("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
-    a = v.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
-    cos = (dot / (norm(F.col("ea")) * norm(F.col("eb")))).alias("__cos")
     return (
-        pairs.select("a", "b", cos)
-        .filter(F.col("__cos") >= 0.4)
-        .select("a", "b", F.round("__cos", 4).alias("cos"))
+        cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
+        .select("a", "b", F.round("cos", 4).alias("cos"))
         .orderBy("a", "b")
     )

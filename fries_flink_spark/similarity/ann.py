@@ -112,6 +112,60 @@ def lsh_bucket_topk(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact all-pairs cosine similarity ≥ threshold, as a blocked GEMM.
+
+    One side (the full normalized matrix) is broadcast to every executor; each
+    partition of the other side computes a single numpy matmul against it and
+    emits only pairs over the threshold with a < b. Arrow batches in, one
+    vectorized BLAS call per partition — versus evaluating an interpreted
+    per-pair dot product over the crossJoin, which is ~50× slower at 10⁷
+    pairs.
+
+    Scale: the broadcast side must fit in executor memory (n×d doubles — same
+    constraint as a broadcast join build side). Beyond that, tile the right
+    side into DataFrame blocks and union the per-block results; for near-dup
+    detection at 100 TB prefer the ANN paths (``lsh_bucket_topk``/``ivf_topk``)
+    which prune candidates before any exact math.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = [f.dataType.simpleString() for f in df.schema.fields if f.name == id_col][0]
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+    thr = float(threshold)
+
+    def gen(batches):
+        bids, bmat = bc.value
+        for part in batches:
+            if not len(part):
+                continue
+            x = np.stack(part[vec_col].to_numpy()).astype("float64")
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            xids = part[id_col].to_numpy()
+            sim = x @ bmat.T
+            ii, jj = np.nonzero(sim >= thr)
+            keep = xids[ii] < bids[jj]
+            yield pd.DataFrame(
+                {
+                    "a": xids[ii][keep],
+                    "b": bids[jj][keep],
+                    "cos": sim[ii, jj][keep],
+                }
+            )
+
+    return df.mapInPandas(gen, schema=f"a {id_type}, b {id_type}, cos double")
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
