@@ -1,0 +1,154 @@
+"""CEP / MATCH_RECOGNIZE queries over the events table.
+
+Reference: flink-libraries/flink-cep (Pattern.java, CepOperator.java) and SQL
+MATCH_RECOGNIZE (StreamExecMatch.java); test model MatchRecognizeITCase.scala.
+
+The oracles express the same pattern relationally (lead() for strict
+contiguity, first-following-event join for relaxed contiguity) — exactly how
+one would hand-lower simple MATCH_RECOGNIZE programs; the NFA operator covers
+the general case (quantifiers, alternation) the SQL can't.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.cep import Pattern, match_pattern
+from ..registry import query
+
+
+@query(
+    "cep_next",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, event_type, ts,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS n_type,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS n_id,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n_ts
+      FROM events)
+    SELECT user_id, event_id AS a_id, n_id AS b_id
+    FROM w
+    WHERE event_type = 'click' AND n_type = 'purchase'
+      AND n_ts <= ts + INTERVAL 30 MINUTE
+    ORDER BY user_id, a_id
+    """,
+)
+def cep_next(spark, sf_dir):
+    """Strict contiguity: click IMMEDIATELY followed by purchase within 30
+    minutes, per user (Flink Pattern.begin().next(); one NFA sweep per key)."""
+    events = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("a")
+        .where(lambda r: r["event_type"] == "click")
+        .next("b")
+        .where(lambda r: r["event_type"] == "purchase")
+        .within(timedelta(minutes=30))
+    )
+    out = match_pattern(
+        events,
+        pat,
+        key_cols=["user_id"],
+        time_col="ts",
+        select=lambda key, m: {
+            "user_id": key["user_id"],
+            "a_id": m["a"][0]["event_id"],
+            "b_id": m["b"][0]["event_id"],
+        },
+        output_schema="user_id long, a_id long, b_id long",
+        order_tiebreak=["event_id"],
+    )
+    return out.orderBy("user_id", "a_id")
+
+
+@query(
+    "cep_followed_by",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    j AS (
+      SELECT c.user_id, c.event_id AS a_id, p.event_id AS b_id,
+             row_number() OVER (PARTITION BY c.user_id, c.event_id
+                                ORDER BY p.ts, p.event_id) AS rn
+      FROM c JOIN p
+        ON p.user_id = c.user_id
+       AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+       AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    SELECT user_id, a_id, b_id FROM j WHERE rn = 1
+    ORDER BY user_id, a_id
+    """,
+)
+def cep_followed_by(spark, sf_dir):
+    """Relaxed contiguity: click followed (skipping other events) by the first
+    purchase within 30 minutes, per user (Flink Pattern.followedBy)."""
+    events = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("a")
+        .where(lambda r: r["event_type"] == "click")
+        .followed_by("b")
+        .where(lambda r: r["event_type"] == "purchase")
+        .within(timedelta(minutes=30))
+    )
+    out = match_pattern(
+        events,
+        pat,
+        key_cols=["user_id"],
+        time_col="ts",
+        select=lambda key, m: {
+            "user_id": key["user_id"],
+            "a_id": m["a"][0]["event_id"],
+            "b_id": m["b"][0]["event_id"],
+        },
+        output_schema="user_id long, a_id long, b_id long",
+        order_tiebreak=["event_id"],
+    )
+    return out.orderBy("user_id", "a_id")
+
+
+@query(
+    "cep_error_burst",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, event_type, ts,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+             lead(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS id2,
+             lead(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts2
+      FROM events)
+    SELECT user_id, event_id AS first_id, id2 AS last_id
+    FROM w
+    WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'
+      AND ts2 <= ts + INTERVAL 2 HOUR
+    ORDER BY user_id, first_id
+    """,
+)
+def cep_error_burst(spark, sf_dir):
+    """Quantifier: three consecutive errors within 2 hours per user
+    (Pattern.times(3) — the times/oneOrMore looping-state machinery)."""
+    events = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("e")
+        .where(lambda r: r["event_type"] == "error")
+        .times(3)
+        .within(timedelta(hours=2))
+    )
+    out = match_pattern(
+        events,
+        pat,
+        key_cols=["user_id"],
+        time_col="ts",
+        select=lambda key, m: {
+            "user_id": key["user_id"],
+            "first_id": m["e"][0]["event_id"],
+            "last_id": m["e"][-1]["event_id"],
+        },
+        output_schema="user_id long, first_id long, last_id long",
+        order_tiebreak=["event_id"],
+    )
+    return out.orderBy("user_id", "first_id")

@@ -45,6 +45,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query-family module (side effect: fills REGISTRY)."""
     from .queries import (  # noqa: F401
         aggregates,
+        cep_queries,
         dedup_queries,
         joins,
         scalar_funcs,

@@ -1,0 +1,107 @@
+"""NFA semantics tests for operators/cep (reference: flink-cep Pattern API,
+test model .../cep/nfa/NFAITCase.java)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from fries_flink_spark.operators.cep import Pattern, match_pattern
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime(2024, 1, 1) + timedelta(minutes=m), k, t) for i, (m, k, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def _run(df, pat, select_stages):
+    out = match_pattern(
+        df,
+        pat,
+        key_cols=["user_id"],
+        time_col="ts",
+        select=lambda key, m: {
+            "user_id": key["user_id"],
+            **{
+                f"{name}_{pos}": m[name][pos]["event_id"]
+                for name, pos in select_stages
+            },
+        },
+        output_schema="user_id long, "
+        + ", ".join(f"{n}_{p} long" for n, p in select_stages),
+        order_tiebreak=["event_id"],
+    )
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_strict_vs_relaxed(spark):
+    # user 1: A x B   (x breaks strict contiguity, not relaxed)
+    df = _events(spark, [(0, 1, "A"), (1, 1, "x"), (2, 1, "B")])
+    strict = (
+        Pattern.begin("a").where(lambda r: r["event_type"] == "A")
+        .next("b").where(lambda r: r["event_type"] == "B")
+    )
+    relaxed = (
+        Pattern.begin("a").where(lambda r: r["event_type"] == "A")
+        .followed_by("b").where(lambda r: r["event_type"] == "B")
+    )
+    assert _run(df, strict, [("a", 0), ("b", 0)]) == []
+    assert _run(df, relaxed, [("a", 0), ("b", 0)]) == [(1, 0, 2)]
+
+
+def test_within_bounds_match(spark):
+    df = _events(spark, [(0, 1, "A"), (90, 1, "B")])
+    pat = (
+        Pattern.begin("a").where(lambda r: r["event_type"] == "A")
+        .followed_by("b").where(lambda r: r["event_type"] == "B")
+        .within(timedelta(hours=1))
+    )
+    assert _run(df, pat, [("a", 0), ("b", 0)]) == []
+
+
+def test_times_exact_no_skip(spark):
+    # 4 consecutive A's -> times(3) matches at starts 0 and 1 (noSkip)
+    df = _events(spark, [(0, 1, "A"), (1, 1, "A"), (2, 1, "A"), (3, 1, "A")])
+    pat = Pattern.begin("a").where(lambda r: r["event_type"] == "A").times(3)
+    assert _run(df, pat, [("a", 0), ("a", 2)]) == [(1, 0, 2), (1, 1, 3)]
+
+
+def test_one_or_more_non_greedy_vs_greedy(spark):
+    df = _events(spark, [(0, 1, "A"), (1, 1, "A"), (2, 1, "B")])
+    base = lambda: (  # noqa: E731
+        Pattern.begin("a").where(lambda r: r["event_type"] == "A").one_or_more()
+    )
+    lazy = base().followed_by("b").where(lambda r: r["event_type"] == "B")
+    # non-greedy: shortest run first -> match at 0 takes a=[0] then b=2
+    assert (1, 0, 2) in _run(df, lazy, [("a", 0), ("b", 0)])
+    greedy = (
+        Pattern.begin("a").where(lambda r: r["event_type"] == "A")
+        .one_or_more().greedy()
+        .followed_by("b").where(lambda r: r["event_type"] == "B")
+    )
+    # greedy: match at 0 consumes both A's
+    rows = _run(df, greedy, [("a", 0), ("b", 0)])
+    assert (1, 0, 2) in rows
+
+
+def test_optional_stage(spark):
+    df = _events(spark, [(0, 1, "A"), (1, 1, "C")])
+    pat = (
+        Pattern.begin("a").where(lambda r: r["event_type"] == "A")
+        .followed_by("b").where(lambda r: r["event_type"] == "B").optional()
+        .followed_by("c").where(lambda r: r["event_type"] == "C")
+    )
+    assert _run(df, pat, [("a", 0), ("c", 0)]) == [(1, 0, 1)]
+
+
+def test_keys_are_independent(spark):
+    df = _events(spark, [(0, 1, "A"), (1, 2, "B")])
+    pat = (
+        Pattern.begin("a").where(lambda r: r["event_type"] == "A")
+        .followed_by("b").where(lambda r: r["event_type"] == "B")
+    )
+    # A and B belong to different users -> no match
+    assert _run(df, pat, [("a", 0), ("b", 0)]) == []

@@ -1,0 +1,73 @@
+"""Plan-property tests: the scale assertions SURVEY §4/§7 promise — pushdown,
+pruning, broadcast joins, partial aggregation (reference model: the golden
+plan XMLs of flink-table-planner-blink, asserted programmatically)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fries_flink_spark.plans.inspect import (
+    codegen_stage_count,
+    exchange_count,
+    has_partial_aggregation,
+    join_strategies,
+    pushed_filters,
+    read_schemas,
+)
+from fries_flink_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_q6_filters_reach_scan(spark, registry):
+    """TPC-H q6 is scan→filter→agg: every predicate must be pushed."""
+    df = registry["tpch_q6"](spark, SF)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+    assert any("l_discount" in f for f in pf), pf
+    assert any("l_quantity" in f for f in pf), pf
+
+
+def test_q6_column_pruning(spark, registry):
+    df = registry["tpch_q6"](spark, SF)
+    schemas = read_schemas(df)
+    assert schemas, "no file scan found"
+    # q6 needs only 4 of lineitem's 16 columns
+    assert all(s.count(",") <= 4 for s in schemas), schemas
+
+
+def test_q3_broadcasts_dimensions(spark, registry):
+    """customer/orders are small relative to lineitem: at least one join must
+    be broadcast, and no cartesian product may appear."""
+    df = registry["tpch_q3"](spark, SF)
+    js = join_strategies(df)
+    assert js.get("BroadcastHashJoin", 0) >= 1, js
+    assert "CartesianProduct" not in js, js
+
+
+def test_q1_partial_aggregation(spark, registry):
+    df = registry["tpch_q1"](spark, SF)
+    assert has_partial_aggregation(df)
+
+
+def test_q1_single_exchange(spark, registry):
+    """q1 groups on 2 low-cardinality keys: exactly one shuffle for the agg
+    (plus one range exchange for the final order-by)."""
+    df = registry["tpch_q1"](spark, SF)
+    assert exchange_count(df) <= 2
+
+
+def test_codegen_spans_exist(spark, registry):
+    df = registry["tpch_q1"](spark, SF)
+    assert codegen_stage_count(df) >= 1
+
+
+def test_exact_dedup_is_single_shuffle(spark, registry):
+    df = registry["dedup_exact"](spark, SF)
+    assert exchange_count(df) == 1
+    assert has_partial_aggregation(df)
