@@ -46,7 +46,7 @@ HEADLINE = [
 ]
 
 
-WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> None:

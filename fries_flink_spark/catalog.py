@@ -47,11 +47,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Integer division, NOT `/`: ns-since-epoch (~1.7e18) exceeds double's
+        # 53-bit mantissa, so float division rounds the microsecond — DuckDB
+        # truncates, and the off-by-one shows up in any query exposing raw ts.
         df = df.withColumn(
             "ts",
-            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 

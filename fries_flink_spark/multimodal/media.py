@@ -1,0 +1,183 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata
+(beyond-reference surface for large-scale training-data pipelines).
+
+Design (the part that must be right at 100 TB):
+- Media lives in ``binary`` columns next to typed metadata structs — never
+  Python objects. Parquet stores binary natively; Arrow moves it to Pandas
+  UDFs zero-copy.
+- Every transform is ``mapInPandas`` over Arrow batches: one Python worker
+  call per batch, numpy math inside, bounded memory via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (media rows are large —
+  size batches by bytes, not rows).
+- Decode for real formats (JPEG/PNG/WAV/MP4) requires codec libs that are NOT
+  in this environment; those entry points raise NotImplementedError with the
+  intended library. The deterministic SYN format exercises the identical
+  plumbing (schema, batching, partitioning) with real parsing + real math.
+
+SYN format (deterministic fake, for tests and the plumbing path):
+  image: b"SYNI" | width:u16be | height:u16be | channels:u8 | pixels (row-major)
+  video: b"SYNV" | width:u16be | height:u16be | n_frames:u16be | frames
+         (each frame = width*height grayscale bytes)
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+IMAGE_MAGIC = b"SYNI"
+VIDEO_MAGIC = b"SYNV"
+
+IMAGE_META_SCHEMA = (
+    "width int, height int, channels int, n_bytes long, format string"
+)
+
+
+def encode_syn_image(arr: np.ndarray) -> bytes:
+    """Pack an (h, w) or (h, w, c) uint8 array into SYN image bytes."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    return IMAGE_MAGIC + _struct.pack(">HHB", w, h, c) + arr.astype(np.uint8).tobytes()
+
+
+def decode_syn_image(data: bytes) -> np.ndarray:
+    """Parse SYN image bytes back to an (h, w, c) uint8 array."""
+    if data[:4] != IMAGE_MAGIC:
+        raise ValueError("not a SYN image")
+    w, h, c = _struct.unpack(">HHB", data[4:9])
+    return np.frombuffer(data[9 : 9 + w * h * c], dtype=np.uint8).reshape(h, w, c)
+
+
+def encode_syn_video(frames: np.ndarray) -> bytes:
+    """Pack an (n, h, w) uint8 array into SYN video bytes."""
+    n, h, w = frames.shape
+    return VIDEO_MAGIC + _struct.pack(">HHH", w, h, n) + frames.astype(np.uint8).tobytes()
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Real-format decode entry point — requires Pillow, not bundled here."""
+    raise NotImplementedError(
+        "JPEG decode needs Pillow (PIL.Image.open) — not available in this "
+        "environment; the SYN path exercises the same Spark plumbing"
+    )
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """Real-format audio decode entry point — requires soundfile/scipy."""
+    raise NotImplementedError(
+        "WAV decode needs soundfile/scipy.io.wavfile — not available here"
+    )
+
+
+def image_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Parse header metadata for SYN images: (… , meta struct).
+
+    Header-only parse — does NOT materialize pixels; at scale this is the
+    cheap manifest pass you run before any decode."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", meta struct<{IMAGE_META_SCHEMA.replace(',', ',')}>"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for data in pdf[content_col]:
+                b = bytes(data)
+                if b[:4] == IMAGE_MAGIC:
+                    w, h, c = _struct.unpack(">HHB", b[4:9])
+                    metas.append((w, h, c, len(b), "syn"))
+                else:
+                    metas.append((None, None, None, len(b), "unknown"))
+            pdf = pdf.copy()
+            pdf["meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded as SYN (the reference shape of a
+    per-item media transform: binary in → binary out, metadata updated)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[content_col]):
+                arr = decode_syn_image(bytes(data))
+                h, w, _ = arr.shape
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                out.append((mid, encode_syn_image(arr[np.ix_(yi, xi)])))
+            yield pd.DataFrame(out, columns=[id_col, "content"])
+
+    return df.mapInPandas(gen, schema=f"{id_col} long, content binary")
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame sampling for SYN video: one output row per kept frame (the
+    explode-shaped transform — output cardinality = frames/stride)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(data)
+                if b[:4] != VIDEO_MAGIC:
+                    raise ValueError("not a SYN video")
+                w, h, n = _struct.unpack(">HHH", b[4:10])
+                frames = np.frombuffer(
+                    b[10 : 10 + n * h * w], dtype=np.uint8
+                ).reshape(n, h, w)
+                for fi in range(0, n, every_nth):
+                    rows.append((mid, fi, encode_syn_image(frames[fi])))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "content"])
+
+    return df.mapInPandas(gen, schema=f"{id_col} long, frame_idx int, content binary")
+
+
+def image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    n_bins: int = 8,
+) -> DataFrame:
+    """Feature extraction: per-image normalized intensity histogram + mean/std
+    — a stand-in for an embedding model forward pass with the identical Spark
+    shape (binary batch in → fixed-width float vector out)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[content_col]):
+                arr = decode_syn_image(bytes(data)).astype(np.float64)
+                hist = np.histogram(arr, bins=n_bins, range=(0, 256))[0]
+                hist = hist / max(arr.size, 1)
+                rows.append(
+                    (mid, [float(x) for x in hist], float(arr.mean()), float(arr.std()))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "features", "mean_intensity", "std_intensity"]
+            )
+
+    return df.mapInPandas(
+        gen,
+        schema=f"{id_col} long, features array<double>, "
+        "mean_intensity double, std_intensity double",
+    )

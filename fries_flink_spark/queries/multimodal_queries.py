@@ -1,0 +1,68 @@
+"""Multimodal queries over the documents table (binary-column pipeline).
+
+No binary media table ships in the test data, so these derive a deterministic
+binary column from ``documents.text`` (utf-8 bytes) — the point is the
+binary-column plumbing at real table scale, not the codec.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..multimodal.media import IMAGE_MAGIC, image_features
+from ..registry import query
+
+
+@query(
+    "mm_media_meta",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS checksum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_media_meta(spark, sf_dir):
+    """Manifest pass over a binary column: size + checksum without decoding —
+    the cheap first stage of any media pipeline (header/metadata only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.md5(blob).alias("checksum"),
+    ).orderBy("doc_id")
+
+
+@query("mm_image_features")  # rows-only check: fake-decode isn't SQL
+def mm_image_features(spark, sf_dir):
+    """Full binary pipeline on a real table: pack each document's bytes into a
+    deterministic 16x16 SYN image, then run the mapInPandas feature extractor
+    (histogram + mean/std). Exercises binary column -> Arrow batch -> numpy ->
+    fixed-width vector at table scale."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def to_syn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8")[:256], dtype=np.uint8)
+                px = np.zeros(256, dtype=np.uint8)
+                px[: len(raw)] = raw
+                rows.append(
+                    (
+                        did,
+                        IMAGE_MAGIC
+                        + _struct.pack(">HHB", 16, 16, 1)
+                        + px.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    imgs = docs.mapInPandas(to_syn, schema="media_id long, content binary")
+    return image_features(imgs).orderBy("media_id")

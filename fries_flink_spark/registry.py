@@ -46,8 +46,10 @@ def load_all() -> dict[str, QuerySpec]:
     from .queries import (  # noqa: F401
         aggregates,
         cep_queries,
+        changelog_queries,
         dedup_queries,
         joins,
+        multimodal_queries,
         scalar_funcs,
         setops,
         similarity_queries,

@@ -1,0 +1,60 @@
+"""UDF surface tests (reference model: pyflink udf.py general/pandas split,
+UserDefinedScalarFunctionITCase / TableAggregateITCase)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from fries_flink_spark.functions.udf import (
+    aggregate_function,
+    apply_table_aggregate,
+    apply_table_function,
+    scalar_function,
+    table_function,
+)
+
+
+def test_scalar_pandas_and_general_agree(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+    fast = scalar_function(lambda s: s * 2, "long", "pandas")
+    slow = scalar_function(lambda x: x * 2, "long", "general")
+    a = sorted(r[0] for r in df.select(fast("x")).collect())
+    b = sorted(r[0] for r in df.select(slow("x")).collect())
+    assert a == b == [2, 4, 6]
+
+
+def test_table_function_explode(spark):
+    df = spark.createDataFrame([("a b",), ("c",)], "s string")
+    udtf = table_function(lambda s: s.split(" "), "string")
+    out = apply_table_function(df, udtf, "tok", "s")
+    assert sorted(r.tok for r in out.collect()) == ["a", "b", "c"]
+
+
+def test_table_function_outer_keeps_empty(spark):
+    df = spark.createDataFrame([("",), ("x",)], "s string")
+    udtf = table_function(lambda s: [w for w in s.split(" ") if w], "string")
+    inner = apply_table_function(df, udtf, "tok", "s")
+    outer = apply_table_function(df, udtf, "tok", "s", outer=True)
+    assert inner.count() == 1 and outer.count() == 2
+
+
+def test_aggregate_function_grouped(spark):
+    df = spark.createDataFrame([(1, 2.0), (1, 4.0), (2, 10.0)], "k long, v double")
+    geo_mean_ish = aggregate_function(lambda s: float(s.prod() ** (1 / len(s))), "double")
+    out = {r.k: r.g for r in df.groupBy("k").agg(geo_mean_ish("v").alias("g")).collect()}
+    assert abs(out[1] - (8.0 ** 0.5)) < 1e-9 and out[2] == 10.0
+
+
+def test_table_aggregate_top2(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, 9.0), (1, 7.0), (2, 1.0)], "k long, v double"
+    )
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.nlargest(2, "v")[["k", "v"]]
+
+    out = apply_table_aggregate(df, ["k"], top2, "k long, v double")
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [(1, 7.0), (1, 9.0), (2, 1.0)]
