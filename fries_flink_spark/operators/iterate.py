@@ -1,0 +1,99 @@
+"""Iterations: the reference's DataSet.iterate / DataStream.iterate surface
+(SURVEY §2.10 — DataSet.java:1181 bulk iterations, DataStream.java:531
+feedback loops; delta iterations DataSet.iterateDelta).
+
+Spark mapping (SURVEY §2.10): a driver-side loop over DataFrames. Flink runs
+iterations inside the dataflow with feedback channels; Spark re-plans per
+step, which at scale demands two disciplines encoded here:
+
+- **Lineage truncation**: each step's plan nests the previous step's — after
+  k steps the plan is O(k) deep and the optimizer/codegen cost explodes.
+  ``localCheckpoint`` (or persist+count) materializes the step and cuts the
+  lineage, keeping every step's plan O(1). This is the Spark analog of
+  Flink's materialized iteration state.
+- **Convergence by aggregate, not collect**: the stop test reduces to one
+  scalar on the executors (count of changed rows), never shipping the
+  dataset to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize + truncate lineage + mint fresh attribute ids.
+
+    ``localCheckpoint`` alone preserves the plan's output exprIds, so two
+    frames checkpointed from the same parent still alias each other — later
+    self-joins between them resolve ambiguously and can corrupt the plan
+    (observed as ``NoSuchElementException: key not found`` at re-checkpoint).
+    The extra aliasing projection gives every column a fresh exprId.
+    """
+    ck = df.localCheckpoint(eager=True)
+    return ck.select([F.col(c).alias(c) for c in ck.columns])
+
+
+def iterate(
+    initial: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    max_iterations: int,
+    converged: Callable[[DataFrame, DataFrame], bool] | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Bulk iteration: state = step(state, i) until max_iterations or
+    ``converged(prev, cur)`` (DataSet.iterate:1181).
+
+    ``converged`` receives the previous and current state; implement it as a
+    scalar aggregate (e.g. ``cur.join(prev, ...).filter(changed).count() == 0``).
+    """
+    state = _pin(initial) if checkpoint else initial
+    for i in range(max_iterations):
+        nxt = step(state, i)
+        if checkpoint:
+            nxt = _pin(nxt)
+        if converged is not None and converged(state, nxt):
+            return nxt
+        state = nxt
+    return state
+
+
+def iterate_delta(
+    solution: DataFrame,
+    workset: DataFrame,
+    step: Callable[[DataFrame, DataFrame, int], tuple[DataFrame, DataFrame]],
+    max_iterations: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Delta iteration (DataSet.iterateDelta): per step the workset shrinks to
+    only changed elements and the solution set is updated by key — terminates
+    when the workset is empty. The scalable pattern for fixed-point graph
+    algorithms (connected components etc.): work is proportional to the
+    frontier, not the full dataset."""
+    solution = _pin(solution)
+    workset = _pin(workset)
+    for i in range(max_iterations):
+        if workset.isEmpty():
+            break
+        delta, new_workset = step(solution, workset, i)
+        delta = _pin(delta)
+        # Merge delta into solution by key (delta wins). Single shuffle on the
+        # key via union + priority dedup; deliberately references ``delta``
+        # only once — a plan where the same checkpointed subtree feeds both an
+        # anti-join branch and a union branch breaks localCheckpoint on this
+        # Spark build (NoSuchElementException on the shared exprIds).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.col("__pri").desc())
+        solution = _pin(
+            solution.withColumn("__pri", F.lit(0))
+            .unionByName(delta.withColumn("__pri", F.lit(1)))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__pri", "__rn")
+        )
+        workset = _pin(new_workset)
+    return solution

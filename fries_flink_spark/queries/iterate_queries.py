@@ -1,0 +1,85 @@
+"""Iterative queries (DataSet.iterate parity, SURVEY §2.10).
+
+PageRank over a graph derived deterministically from orders (nodes = key
+residues mod 100) — 3 bulk iterations. The oracle unrolls the same three
+steps as chained CTEs, so the comparison is exact (rounded to 6 decimals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.iterate import iterate
+from ..registry import query
+
+_D = 0.85
+_ITERS = 3
+
+_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+  FROM orders WHERE o_custkey % 100 <> o_orderkey % 100),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+n AS (SELECT count(*) AS c FROM nodes),
+r0 AS (SELECT id, 1.0 / (SELECT c FROM n) AS rank FROM nodes),
+{steps}
+SELECT id, round(rank, 6) AS rank FROM r{k} ORDER BY id
+"""
+
+_STEP = """
+r{i} AS (
+  SELECT no.id,
+         0.15 / (SELECT c FROM n)
+         + 0.85 * coalesce(sum(r{p}.rank / deg.d), 0) AS rank
+  FROM nodes no
+  LEFT JOIN edges e ON e.dst = no.id
+  LEFT JOIN r{p} ON r{p}.id = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY no.id)"""
+
+
+def _oracle() -> str:
+    steps = ",".join(_STEP.format(i=i, p=i - 1) for i in range(1, _ITERS + 1))
+    return _ORACLE.format(steps=steps, k=_ITERS)
+
+
+@query("iter_pagerank", oracle=_oracle())
+def iter_pagerank(spark, sf_dir):
+    """3-iteration PageRank via operators/iterate.iterate — a driver-side bulk
+    iteration with per-step lineage truncation (localCheckpoint), contributions
+    as one shuffle per step (join on src + groupBy dst)."""
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        orders.select(
+            (F.col("o_custkey") % 100).alias("src"),
+            (F.col("o_orderkey") % 100).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks0 = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+
+    def step(ranks, _i):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select(F.col("dst"), (F.col("rank") / F.col("d")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        return nodes.join(contribs, nodes.id == contribs.dst, "left").select(
+            "id",
+            (F.lit(0.15 / n) + F.lit(_D) * F.coalesce("s", F.lit(0.0))).alias("rank"),
+        )
+
+    final = iterate(ranks0, step, max_iterations=_ITERS)
+    return final.select("id", F.round("rank", 6).alias("rank")).orderBy("id")

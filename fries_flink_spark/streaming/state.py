@@ -93,3 +93,56 @@ def streaming_topn(
         return out, st
 
     return keyed_process(df, key_cols, fn, output_schema)
+
+
+def count_window(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    n: int,
+    agg: Callable[[pd.DataFrame], dict[str, Any]],
+    output_schema: str,
+):
+    """Tumbling COUNT window per key (KeyedStream.countWindow:696 — absent
+    from Spark): emit ``agg(window_rows)`` for every complete group of n
+    events; the partial tail carries across micro-batches in state.
+
+    Rows buffer in state as plain dicts (JSON), so buffered columns must be
+    JSON-serializable — project timestamps to epoch numbers upstream. Events
+    are ordered by ``order_col`` within each batch; cross-batch order is
+    arrival order, as in the reference.
+    """
+
+    import json
+
+    def wrapper(key, pdf_iter, state: GroupState):
+        # Concatenate the WHOLE micro-batch before sorting: Arrow delivers a
+        # group's rows as multiple chunks in arbitrary order, and emitting
+        # windows chunk-by-chunk would fix row order too early.
+        parts = [p for p in pdf_iter if len(p)]
+        if state.exists:
+            (raw,) = state.get
+            buf = json.loads(raw) if raw else []
+        else:
+            buf = []
+        if parts:
+            batch = pd.concat(parts).sort_values(order_col)
+            buf.extend(batch.to_dict("records"))
+        outs = []
+        keys = key if isinstance(key, tuple) else (key,)
+        while len(buf) >= n:
+            window_rows, buf = buf[:n], buf[n:]
+            outs.append(
+                {**dict(zip(key_cols, keys)), **agg(pd.DataFrame(window_rows))}
+            )
+        state.update((json.dumps(buf),))
+        if outs:
+            yield pd.DataFrame(outs)
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        wrapper,
+        output_schema,
+        "state string",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

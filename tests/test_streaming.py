@@ -141,3 +141,125 @@ def test_rate_source_smoke(spark):
     time.sleep(2)
     q.stop()
     assert spark.sql("SELECT count(*) AS n FROM rate_smoke").first()["n"] >= 0
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Two watermarked streams joined on key + time range (reference
+    TimeIntervalJoin.java:51): every emitted pair must exist in the batch
+    rendition of the same join."""
+    clicks_sdf, stage_a = stream_from_table(spark, sf_dir, "events", n_chunks=4)
+    buys_sdf, stage_b = stream_from_table(spark, sf_dir, "events", n_chunks=4)
+    try:
+        a = (
+            clicks_sdf.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("a_user"),
+                F.col("event_id").alias("a_id"),
+                F.col("ts").alias("a_ts"),
+            )
+            .withWatermark("a_ts", "10 minutes")
+        )
+        b = (
+            buys_sdf.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("b_user"),
+                F.col("event_id").alias("b_id"),
+                F.col("ts").alias("b_ts"),
+            )
+            .withWatermark("b_ts", "10 minutes")
+        )
+        joined = a.join(
+            b,
+            F.expr(
+                "a_user = b_user AND b_ts > a_ts "
+                "AND b_ts <= a_ts + INTERVAL 30 MINUTES"
+            ),
+        ).select("a_user", "a_id", "b_id")
+        run_to_completion(joined, "stream_ivjoin", "append")
+        got = {
+            (r.a_user, r.a_id, r.b_id)
+            for r in spark.sql("SELECT * FROM stream_ivjoin").collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        ca = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("a_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        cb = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        want = {
+            (r.a_user, r.a_id, r.b_id)
+            for r in ca.join(
+                cb,
+                F.expr(
+                    "a_user = b_user AND b_ts > a_ts "
+                    "AND b_ts <= a_ts + INTERVAL 30 MINUTES"
+                ),
+            )
+            .select("a_user", "a_id", "b_id")
+            .collect()
+        }
+        assert got, "stream join emitted nothing"
+        assert got <= want
+        assert len(got) >= len(want) * 0.5
+    finally:
+        shutil.rmtree(stage_a, ignore_errors=True)
+        shutil.rmtree(stage_b, ignore_errors=True)
+
+
+def test_count_window(spark, sf_dir):
+    """Keyed tumbling count window: complete n-groups match the batch
+    row_number rendition; partial tails are held back."""
+    from fries_flink_spark.streaming.state import count_window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(300)
+        .select("user_id", "event_id", "value")
+        .cache()
+    )
+    sdf, stage = stream_from_df(ev, n_chunks=3, order_col="event_id")
+    try:
+        out = count_window(
+            sdf.select("user_id", "event_id", "value"),
+            key_cols=["user_id"],
+            order_col="event_id",
+            n=5,
+            agg=lambda pdf: {
+                "n": len(pdf),
+                "total": float(pdf["value"].sum()),
+                "first_id": int(pdf["event_id"].min()),
+            },
+            output_schema="user_id long, n int, total double, first_id long",
+        )
+        run_to_completion(out, "stream_cw", "append")
+        got = {
+            (r.user_id, r.first_id): (r.n, round(r.total, 6))
+            for r in spark.sql("SELECT * FROM stream_cw").collect()
+        }
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("event_id")
+        batch = (
+            ev.withColumn("rn", F.row_number().over(w))
+            .withColumn("grp", F.floor((F.col("rn") - 1) / 5))
+            .groupBy("user_id", "grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total"),
+                F.min("event_id").alias("first_id"),
+            )
+            .filter(F.col("n") == 5)
+        )
+        want = {
+            (r.user_id, r.first_id): (r.n, round(r.total, 6)) for r in batch.collect()
+        }
+        assert got == want and got
+    finally:
+        ev.unpersist()
+        shutil.rmtree(stage, ignore_errors=True)
