@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         setops,
         similarity_queries,
         sort_topn,
+        sql_queries,
         streaming_batch,
         text_queries,
         tpch,

@@ -58,3 +58,24 @@ def test_table_aggregate_top2(spark):
     out = apply_table_aggregate(df, ["k"], top2, "k long, v double")
     got = sorted((r.k, r.v) for r in out.collect())
     assert got == [(1, 7.0), (1, 9.0), (2, 1.0)]
+
+
+def test_cogroup(spark):
+    """DataSet.coGroup / DataStream.coGroup (reference DataSet.java:1033) —
+    Spark's grouped cogroup + applyInPandas."""
+    a = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], "k long, v string")
+    b = spark.createDataFrame([(1, 10.0), (3, 30.0)], "k long, w double")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        k = left["k"].iloc[0] if len(left) else right["k"].iloc[0]
+        return pd.DataFrame(
+            [{"k": int(k), "n_left": len(left), "n_right": len(right)}]
+        )
+
+    out = (
+        a.groupBy("k")
+        .cogroup(b.groupBy("k"))
+        .applyInPandas(merge, schema="k long, n_left long, n_right long")
+    )
+    got = {(r.k): (r.n_left, r.n_right) for r in out.collect()}
+    assert got == {1: (2, 1), 2: (1, 0), 3: (0, 1)}
