@@ -296,3 +296,469 @@ def tpch_q18(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------- #
+# Q4 (adapted: lateness = l_shipdate > o_orderdate + 30 days; the driver's
+# schema has no commit/receipt dates): order-priority checking — EXISTS
+# rewritten to a semi join (reference FlinkSubQueryRemoveRule, SURVEY §4.1).
+@query(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-04-01'"))
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q7: volume shipping between two nations — 6-way join with broadcast dims.
+@query(
+    "tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                               AND TIMESTAMP '1996-12-31') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    sup, li, orders, cust, nat = _t(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    df = (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.expr("TIMESTAMP '1995-01-01'"), F.expr("TIMESTAMP '1996-12-31'")
+            )
+        )
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        df.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q8 (adapted: region filter by key, p_type = 'PROMO'): national market share.
+@query(
+    "tpch_q8",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE n1.n_regionkey = 0 AND p_type = 'PROMO'
+            AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                AND TIMESTAMP '1996-12-31') all_nations
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    part, li, sup, orders, cust, nat = _t(
+        spark, sf_dir, "part", "lineitem", "supplier", "orders", "customer", "nation"
+    )
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"), "n_regionkey")
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    df = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate").between(
+                    F.expr("TIMESTAMP '1995-01-01'"), F.expr("TIMESTAMP '1996-12-31'")
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1.filter(F.col("n_regionkey") == 0)),
+              F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        df.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q12 (adapted: shipmode column absent — classify by order priority instead):
+# conditional aggregation after a fact-fact join.
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01'"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q13 (adapted: exclusion predicate on priority, not comment): customer order
+# count distribution — left outer join with join-condition filter, double agg.
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q14: promotion effect — conditional ratio aggregate over a broadcast join.
+@query(
+    "tpch_q14",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-09-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-10-01'"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q15: top supplier — agg CTE reused twice (revenue + its max), scalar subquery.
+@query(
+    "tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    li, sup = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01'"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q17 (adapted: brand+size in place of brand+container): small-quantity-order
+# revenue — correlated scalar subquery as per-part average join.
+@query(
+    "tpch_q17",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS ap_key, 0.2 * avg(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) pa ON ap_key = p_partkey
+    WHERE p_brand = 'Brand#1' AND p_size < 15 AND l_quantity < avg_qty
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("avg_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(per_part, F.col("ap_key") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q19 (adapted: brand/size/quantity ranges): disjunctive join predicate —
+# the reference plans this as a single join with a residual OR filter.
+@query(
+    "tpch_q19",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+           AND l_quantity BETWEEN 5 AND 40)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 20)
+        & F.col("l_quantity").between(5, 40)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q21 (adapted: lateness by shipdate vs orderdate+60d): suppliers who kept
+# multi-supplier orders waiting — the double EXISTS/NOT EXISTS, expressed as
+# per-order distinct-supplier counts (same relational content, one pass).
+@query(
+    "tpch_q21",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+    per_order AS (
+      SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns
+      FROM lineitem GROUP BY l_orderkey),
+    late_po AS (
+      SELECT l_orderkey, count(DISTINCT l_suppkey) AS nls
+      FROM late GROUP BY l_orderkey),
+    elig AS (
+      SELECT p.l_orderkey
+      FROM per_order p JOIN late_po q USING (l_orderkey)
+      WHERE p.ns > 1 AND q.nls = 1)
+    SELECT s_name, count(*) AS numwait
+    FROM late JOIN elig USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    li, orders, sup = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    late = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns")
+    )
+    late_po = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nls")
+    )
+    elig = (
+        per_order.join(late_po, "l_orderkey")
+        .filter((F.col("ns") > 1) & (F.col("nls") == 1))
+        .select("l_orderkey")
+    )
+    return (
+        late.join(elig, "l_orderkey")
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q22 (adapted: country code = nation key mod 7; no phone column): customers
+# with above-average balance and no orders — scalar subquery + anti join.
+@query(
+    "tpch_q22",
+    oracle="""
+    SELECT c_nationkey % 7 AS cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 7).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
