@@ -96,3 +96,63 @@ def cumulate_agg(
         sliced.groupBy(F.col("__w_start").alias("window_start"), "window_end", *group_cols)
         .agg(*re_aggs)
     )
+
+
+def hop_agg_sliced(
+    df: DataFrame,
+    ts: str,
+    size_s: int,
+    slide_s: int,
+    group_cols: list[str],
+    aggs: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Sliced HOP aggregation — the reference's SlicingWindowOperator.java:96
+    strategy, which Spark's ``window(ts, size, slide)`` lacks: the built-in
+    replicates EVERY ROW into size/slide windows before aggregating, so a
+    1-hour window sliding by 1 minute inflates the shuffle 60×. Here rows
+    aggregate once into non-overlapping gcd(size, slide)-wide slices
+    (partial agg, map-side combined), and only the tiny per-slice partials
+    replicate into their covering windows for the final roll-up.
+
+    ``aggs``: (out_name, kind, col) with kind ∈ sum|count|min|max — the
+    algebraic aggregates that decompose over slices (avg = sum/count at the
+    call site). Window starts are epoch-aligned multiples of ``slide_s``;
+    output column ``w_start`` is the window start in epoch seconds.
+    """
+    import math
+
+    g = math.gcd(size_s, slide_s)
+    partials = []
+    finals = []
+    for name, kind, col in aggs:
+        if kind == "count":
+            partials.append(F.count(F.lit(1)).alias(f"__p_{name}"))
+            finals.append(F.sum(f"__p_{name}").alias(name))
+        elif kind == "sum":
+            partials.append(F.sum(col).alias(f"__p_{name}"))
+            finals.append(F.sum(f"__p_{name}").alias(name))
+        elif kind == "min":
+            partials.append(F.min(col).alias(f"__p_{name}"))
+            finals.append(F.min(f"__p_{name}").alias(name))
+        elif kind == "max":
+            partials.append(F.max(col).alias(f"__p_{name}"))
+            finals.append(F.max(f"__p_{name}").alias(name))
+        else:
+            raise ValueError(f"non-decomposable aggregate kind: {kind}")
+
+    slices = df.groupBy(
+        F.window(F.col(ts), f"{g} seconds").alias("__slice"), *group_cols
+    ).agg(*partials)
+    s = F.unix_timestamp(F.col("__slice.start"))
+    s_aligned = F.floor(s / slide_s) * slide_s
+    n_back = (size_s - g) // slide_s
+    w = (s_aligned - F.col("__i") * slide_s).alias("w_start")
+    return (
+        slices.select(
+            "*", F.explode(F.array(*[F.lit(i) for i in range(n_back + 1)])).alias("__i")
+        )
+        .select(w, s.alias("__s"), *group_cols, *[f"__p_{n}" for n, _, _ in aggs])
+        .filter(F.col("w_start") >= F.col("__s") + g - size_s)
+        .groupBy("w_start", *group_cols)
+        .agg(*finals)
+    )

@@ -72,17 +72,22 @@ def win_tumble(spark, sf_dir):
     """,
 )
 def win_hop(spark, sf_dir):
-    """10-minute windows sliding every 5 minutes (reference HopSliceAssigner).
-    The oracle enumerates the size/slide = 2 covering windows per row."""
+    """10-minute windows sliding every 5 minutes via SLICED execution
+    (reference SlicingWindowOperator.java:96 / HopSliceAssigner): rows
+    aggregate once into gcd-width slices, only per-slice partials replicate
+    into covering windows — Spark's built-in window(size, slide) would
+    replicate every raw row size/slide times instead (operators/windows.
+    hop_agg_sliced). The oracle enumerates the covering windows per row."""
+    from ..operators.windows import hop_agg_sliced
+
     ev = _ev(spark, sf_dir)
-    return (
-        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("w_start"),
-            "n",
-            "total",
-        )
+    return hop_agg_sliced(
+        ev,
+        "ts",
+        size_s=600,
+        slide_s=300,
+        group_cols=[],
+        aggs=[("n", "count", ""), ("total", "sum", "value")],
     )
 
 

@@ -1,0 +1,90 @@
+"""Scale-path operators: sliced HOP equals the row-replicating built-in;
+salted join/agg equal their unsalted renditions."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from fries_flink_spark.catalog import load_table
+from fries_flink_spark.operators.skew import salted_agg, salted_join
+from fries_flink_spark.operators.windows import hop_agg_sliced
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sliced_hop_matches_builtin(spark):
+    ev = load_table(spark, SF, "events")
+    sliced = hop_agg_sliced(
+        ev, "ts", size_s=600, slide_s=300, group_cols=[],
+        aggs=[("n", "count", ""), ("total", "sum", "value"), ("mx", "max", "value")],
+    )
+    builtin = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"),
+             F.max("value").alias("mx"))
+        .select(F.unix_timestamp("w.start").alias("w_start"), "n", "total", "mx")
+    )
+    got = {r.w_start: (r.n, round(r.total, 6), r.mx) for r in sliced.collect()}
+    want = {r.w_start: (r.n, round(r.total, 6), r.mx) for r in builtin.collect()}
+    assert got == want and got
+
+
+def test_sliced_hop_uneven_ratio(spark):
+    """size=900 slide=600 -> gcd 300: three slices per window, windows share
+    slices — the general (non-divisible) case."""
+    ev = load_table(spark, SF, "events")
+    sliced = hop_agg_sliced(
+        ev, "ts", size_s=900, slide_s=600, group_cols=["event_type"],
+        aggs=[("n", "count", "")],
+    )
+    builtin = (
+        ev.groupBy(F.window("ts", "900 seconds", "600 seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("w_start"), "event_type", "n")
+    )
+    got = {(r.w_start, r.event_type): r.n for r in sliced.collect()}
+    want = {(r.w_start, r.event_type): r.n for r in builtin.collect()}
+    assert got == want and got
+
+
+def test_salted_join_matches_plain(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    plain = li.join(orders.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"])
+    salted = salted_join(
+        li, orders.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"], n_salts=4
+    )
+    assert salted.count() == plain.count()
+    a = salted.groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("s"))
+    b = plain.groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("s"))
+    got = {r.o_orderpriority: round(r.s, 6) for r in a.collect()}
+    want = {r.o_orderpriority: round(r.s, 6) for r in b.collect()}
+    assert got == want
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k long, v string")
+    right = spark.createDataFrame([(1, 10.0)], "k long, w double")
+    out = salted_join(left, right, ["k"], n_salts=4, how="left").collect()
+    got = {(r.k): r.w for r in out}
+    assert got == {1: 10.0, 99: None}
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = load_table(spark, SF, "events")
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"),
+        F.min("value").alias("mn"), F.max("value").alias("mx"),
+    )
+    salted = salted_agg(
+        ev, ["event_type"],
+        [("n", "count", ""), ("s", "sum", "value"),
+         ("mn", "min", "value"), ("mx", "max", "value")],
+        n_salts=4,
+    )
+    got = {r.event_type: (r.n, round(r.s, 6), r.mn, r.mx) for r in salted.collect()}
+    want = {r.event_type: (r.n, round(r.s, 6), r.mn, r.mx) for r in plain.collect()}
+    assert got == want
