@@ -156,3 +156,45 @@ def hop_agg_sliced(
         .groupBy("w_start", *group_cols)
         .agg(*finals)
     )
+
+
+def dynamic_session_agg(
+    df: DataFrame,
+    ts: str,
+    key_cols: list[str],
+    gap_s,
+    aggs: list[Column],
+) -> DataFrame:
+    """Session windows with a per-row DYNAMIC gap (reference
+    DynamicEventTimeSessionWindows.java — Spark's session_window only takes a
+    constant gap... in the DataFrame API; SQL session_window accepts an
+    expression, but not one over the previous row, which Flink's dynamic gap
+    extractor allows).
+
+    ``gap_s``: a Column of seconds — a row starts a new session when its
+    event-time distance to the PREVIOUS row exceeds the previous row's gap.
+    Classic two-pass formulation: lag + running sum of session-start flags
+    (one shuffle on the key, two window passes, fully codegen'd).
+    Emits key cols + session_start/session_end epoch seconds + aggregates.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols).orderBy(F.col(ts))
+    sec = F.unix_timestamp(F.col(ts))
+    prev_ts = F.lag(sec).over(w)
+    prev_gap = F.lag(gap_s).over(w)
+    new_session = F.when(
+        prev_ts.isNull() | ((sec - prev_ts) > prev_gap), 1
+    ).otherwise(0)
+    sessionized = df.withColumn("__new", new_session).withColumn(
+        "__sid", F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sessionized.groupBy(*key_cols, "__sid")
+        .agg(
+            F.min(sec).alias("session_start"),
+            F.max(sec).alias("session_end"),
+            *aggs,
+        )
+        .drop("__sid")
+    )

@@ -227,3 +227,50 @@ def win_grouped_user_day(spark, sf_dir):
         F.sum("value").alias("total"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@query(
+    "win_session_dynamic",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'error' THEN 600 ELSE 1800 END AS gap_s
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, value, gap_s,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w)
+                       > lag(gap_s) OVER w
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def win_session_dynamic(spark, sf_dir):
+    """Session windows with per-row dynamic gap (reference
+    DynamicEventTimeSessionWindows): error events shorten the gap to 10
+    minutes, everything else 30 — operators/windows.dynamic_session_agg."""
+    from ..operators.windows import dynamic_session_agg
+
+    ev = _ev(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "error", 600).otherwise(1800)
+    out = dynamic_session_agg(
+        ev.withColumn("__gap", gap),
+        "ts",
+        ["user_id"],
+        F.col("__gap"),
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")],
+    )
+    return out.select(
+        "user_id", "session_start", "session_end", "n", "total"
+    ).orderBy("user_id", "session_start")
