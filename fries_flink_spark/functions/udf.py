@@ -51,6 +51,18 @@ def apply_table_function(
     return df.select("*", exploder(udtf(*args)).alias(out_name))
 
 
+def native_table_function(cls: type, returnType: str):
+    """True multi-column/multi-row UDTF (Spark 4 ``F.udtf``): the closest
+    analog of the reference's TableFunction.collect() — a class with
+    ``eval(self, *args)`` yielding output tuples. Prefer this over the
+    array-explode path when one input row fans out to rows with several
+    columns; use in SQL via ``spark.udtf.register`` or laterally with
+    ``udtf_obj(col)`` in select."""
+    from pyspark.sql.functions import udtf
+
+    return udtf(cls, returnType=returnType)
+
+
 def aggregate_function(fn: Callable, result_type: str):
     """AggregateFunction (UDAF): ``fn(pandas.Series) -> scalar``, executed as
     a grouped-agg pandas UDF — partial aggregation does NOT apply (state is

@@ -181,3 +181,84 @@ def image_features(
         schema=f"{id_col} long, features array<double>, "
         "mean_intensity double, std_intensity double",
     )
+
+
+AUDIO_MAGIC = b"SYNA"
+
+
+def encode_syn_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Pack a 1-D int16 sample array into SYN audio bytes:
+    b"SYNA" | sample_rate:u32be | n_samples:u32be | int16le samples."""
+    s = samples.astype("<i2")
+    return (
+        AUDIO_MAGIC
+        + _struct.pack(">II", sample_rate, len(s))
+        + s.tobytes()
+    )
+
+
+def decode_syn_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Parse SYN audio bytes back to (samples int16, sample_rate)."""
+    if data[:4] != AUDIO_MAGIC:
+        raise ValueError("not a SYN audio blob")
+    rate, n = _struct.unpack(">II", data[4:12])
+    return np.frombuffer(data[12 : 12 + 2 * n], dtype="<i2"), rate
+
+
+def resample_audio(
+    df: DataFrame,
+    out_rate: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Nearest-sample resample to ``out_rate`` (binary in → binary out, the
+    audio analog of resize_images)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[content_col]):
+                samples, rate = decode_syn_audio(bytes(data))
+                n_out = max(1, int(round(len(samples) * out_rate / rate)))
+                idx = (np.arange(n_out) * rate // out_rate).clip(0, len(samples) - 1)
+                rows.append((mid, encode_syn_audio(samples[idx], out_rate)))
+            yield pd.DataFrame(rows, columns=[id_col, "content"])
+
+    return df.mapInPandas(gen, schema=f"{id_col} long, content binary")
+
+
+def audio_features(
+    df: DataFrame,
+    frame_len: int = 256,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-clip features: RMS energy per fixed-length frame (truncating tail)
+    + global mean/peak — the mel-spectrogram stand-in with the identical
+    Spark shape (binary batch in → float vector out)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[content_col]):
+                samples, rate = decode_syn_audio(bytes(data))
+                x = samples.astype(np.float64) / 32768.0
+                n_frames = len(x) // frame_len
+                frames = x[: n_frames * frame_len].reshape(n_frames, frame_len)
+                rms = np.sqrt((frames**2).mean(axis=1)) if n_frames else np.array([])
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        [float(v) for v in rms],
+                        float(np.abs(x).max()) if len(x) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "sample_rate", "frame_rms", "peak"]
+            )
+
+    return df.mapInPandas(
+        gen,
+        schema=f"{id_col} long, sample_rate int, frame_rms array<double>, peak double",
+    )

@@ -296,3 +296,46 @@ def join_lookup(spark, sf_dir):
         .select("o_orderkey", "o_totalprice", "c_name", "n_name")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "join_window",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS w_start
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS w_start
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.w_start, c.user_id,
+           c.event_id AS click_id, p.event_id AS purchase_id,
+           round(c.value + p.value, 4) AS combined
+    FROM c JOIN p ON c.user_id = p.user_id AND c.w_start = p.w_start
+    ORDER BY c.w_start, c.user_id, click_id, purchase_id
+    """,
+)
+def join_window(spark, sf_dir):
+    """Window join (reference StreamPhysicalWindowJoin.scala / 1.13 window-TVF
+    join): two inputs co-windowed by the same tumble, joined on key + window.
+    The window column is part of the equi-join key, so the shuffle co-locates
+    by (user, window) — no time-range post-filter needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.unix_timestamp(F.window("ts", "15 minutes").start).alias("w_start")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        w, "user_id", F.col("event_id").alias("click_id"),
+        F.col("value").alias("c_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        w, "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("p_value"),
+    )
+    return (
+        clicks.join(purchases, ["w_start", "user_id"])
+        .select(
+            "w_start", "user_id", "click_id", "purchase_id",
+            F.round(F.col("c_value") + F.col("p_value"), 4).alias("combined"),
+        )
+        .orderBy("w_start", "user_id", "click_id", "purchase_id")
+    )

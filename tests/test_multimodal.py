@@ -82,3 +82,42 @@ def test_features_shape_and_values(spark):
 def test_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_jpeg(b"\xff\xd8\xff")
+
+
+def test_audio_roundtrip_and_features(spark):
+    from fries_flink_spark.multimodal.media import (
+        audio_features,
+        decode_syn_audio,
+        encode_syn_audio,
+        resample_audio,
+    )
+
+    t = np.arange(1024)
+    wave = (10000 * np.sin(2 * np.pi * t / 64)).astype(np.int16)
+    back, rate = decode_syn_audio(encode_syn_audio(wave, 8000))
+    assert rate == 8000 and np.array_equal(back, wave)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_syn_audio(wave, 8000)))], "media_id long, content binary"
+    )
+    half = resample_audio(df, out_rate=4000).collect()[0]
+    samples, r2 = decode_syn_audio(bytes(half.content))
+    assert r2 == 4000 and len(samples) == 512
+
+    feats = audio_features(df, frame_len=256).collect()[0]
+    assert feats.sample_rate == 8000 and len(feats.frame_rms) == 4
+    # a pure sine's RMS ≈ amplitude/sqrt(2)
+    expected = (10000 / 32768.0) / np.sqrt(2)
+    assert all(abs(v - expected) < 0.01 for v in feats.frame_rms)
+    assert abs(feats.peak - 10000 / 32768.0) < 1e-6
+
+
+def test_silence_features(spark):
+    from fries_flink_spark.multimodal.media import audio_features, encode_syn_audio
+
+    df = spark.createDataFrame(
+        [(2, bytearray(encode_syn_audio(np.zeros(100, dtype=np.int16), 16000)))],
+        "media_id long, content binary",
+    )
+    r = audio_features(df, frame_len=50).collect()[0]
+    assert r.frame_rms == [0.0, 0.0] and r.peak == 0.0

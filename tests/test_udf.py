@@ -79,3 +79,23 @@ def test_cogroup(spark):
     )
     got = {(r.k): (r.n_left, r.n_right) for r in out.collect()}
     assert got == {1: (2, 1), 2: (1, 0), 3: (0, 1)}
+
+
+def test_native_udtf(spark):
+    """Spark-4 class-based UDTF: one row fans out to multi-column rows
+    (reference TableFunction.collect multi-field emission)."""
+    from fries_flink_spark.functions.udf import native_table_function
+
+    class SplitWithPos:
+        def eval(self, s: str):
+            for i, tok in enumerate(s.split(" ")):
+                yield i, tok, len(tok)
+
+    split_udtf = native_table_function(SplitWithPos, "pos int, tok string, n int")
+    spark.udtf.register("split_with_pos", split_udtf)
+    out = spark.sql(
+        "SELECT * FROM split_with_pos('alpha beta gamma')"
+    ).collect()
+    assert [(r.pos, r.tok, r.n) for r in out] == [
+        (0, "alpha", 5), (1, "beta", 4), (2, "gamma", 5)
+    ]
