@@ -29,8 +29,11 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
     "tpch_q10",
     "tpch_q18",
+    "tpch_q21",
+    "sql_exists_subquery",
     "join_inner",
     "join_asof",
     "agg_cube",
@@ -38,11 +41,19 @@ HEADLINE = [
     "topn_per_group",
     "win_tumble",
     "win_session",
+    "win_session_dynamic",
     "win_hop",
+    "win_cumulate",
+    "changelog_snapshot",
+    "iter_pagerank",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "text_quality",
+    "text_langid",
     "sim_topk_bruteforce",
+    "mm_image_features",
 ]
 
 

@@ -361,23 +361,29 @@ def tpch_q7(spark, sf_dir):
     sup, li, orders, cust, nat = _t(
         spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
     )
-    n1 = nat.select(
+    # The OR-of-ANDs nation pair can't be pushed below the joins by Catalyst,
+    # but its necessary condition — each side's nation ∈ {N1, N2} — can be
+    # applied manually: dims shrink to 2/25 nations BEFORE touching the fact
+    # tables, so ~92% of lineitem drops at the first broadcast join instead
+    # of after the orders⋈customer join.
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nat.filter(F.col("n_name").isin(pair)).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = nat.select(
+    n2 = nat.filter(F.col("n_name").isin(pair)).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
+    sup2 = sup.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    cust2 = cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
     df = (
         li.filter(
             F.col("l_shipdate").between(
                 F.expr("TIMESTAMP '1995-01-01'"), F.expr("TIMESTAMP '1996-12-31'")
             )
         )
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sup2), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(cust2), F.col("c_custkey") == F.col("o_custkey"))
         .filter(
             (
                 (F.col("supp_nation") == "NATION_1")
