@@ -111,14 +111,32 @@ class Pattern:
         return self
 
 
+def _accept_index(rows: list[dict], pattern: Pattern) -> list[list[int]]:
+    """Per-stage sorted positions of accepting events — evaluated ONCE per
+    group so each relaxed-contiguity step is a binary search instead of a
+    linear rescan (turns the noSkip sweep from O(n²) to O(n log n) per key
+    for fixed pattern length)."""
+    return [
+        [i for i, r in enumerate(rows) if st.accepts(r)] for st in pattern.stages
+    ]
+
+
 def _match_from(
-    rows: list[dict], start: int, pattern: Pattern, time_col: str
+    rows: list[dict],
+    start: int,
+    pattern: Pattern,
+    time_col: str,
+    accept_idx: list[list[int]] | None = None,
 ) -> dict[str, list[dict]] | None:
     """Try to complete one match whose first event is rows[start].
 
     Backtracking NFA sweep, earliest-first unless a stage is greedy. Returns
     {stage_name: [events]} or None.
     """
+    from bisect import bisect_left
+
+    if accept_idx is None:
+        accept_idx = _accept_index(rows, pattern)
     deadline = None
     if pattern.window is not None:
         deadline = rows[start][time_col] + pattern.window
@@ -132,13 +150,15 @@ def _match_from(
             starts = [start] if stage.accepts(rows[start]) else []
         elif stage.contiguity == "strict":
             starts = [pos] if pos < len(rows) and stage.accepts(rows[pos]) else []
-        else:  # relaxed: first acceptable event at or after pos
-            starts = [
-                i
-                for i in range(pos, len(rows))
-                if (deadline is None or rows[i][time_col] <= deadline)
-                and stage.accepts(rows[i])
-            ][:1]
+        else:  # relaxed: first acceptable event at or after pos (binary search)
+            idx = accept_idx[si]
+            j = bisect_left(idx, pos)
+            starts = (
+                [idx[j]]
+                if j < len(idx)
+                and (deadline is None or rows[idx[j]][time_col] <= deadline)
+                else []
+            )
         if stage.min_times == 0:
             rest = advance(si + 1, pos)
             if rest is not None:
@@ -195,9 +215,11 @@ def match_pattern(
         pdf = pdf.sort_values([time_col, *tiebreak], kind="mergesort")
         rows = pdf.to_dict("records")
         key = {k: rows[0][k] for k in key_cols} if rows else {}
+        accept_idx = _accept_index(rows, pattern)
         out = []
-        for start in range(len(rows)):
-            m = _match_from(rows, start, pattern, time_col)
+        # noSkip attempts start only at events the begin stage accepts
+        for start in accept_idx[0] if accept_idx else []:
+            m = _match_from(rows, start, pattern, time_col, accept_idx)
             if m is not None:
                 out.append(select(key, m))
         return pd.DataFrame(out, columns=out_cols)

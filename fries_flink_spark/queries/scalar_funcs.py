@@ -306,3 +306,78 @@ def func_json(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
     ).orderBy("event_id")
+
+
+@query(
+    "func_parity_wide",
+    oracle="""
+    SELECT doc_id,
+           upper(lang) AS up, lower(source) AS lo, length(text) AS len,
+           trim(substr(text, 1, 12)) AS sub12,
+           concat(lang, '-', source) AS cat,
+           concat_ws('|', lang, source) AS catws,
+           lpad(lang, 6, '_') AS lpadded, rpad(lang, 6, '_') AS rpadded,
+           reverse(lang) AS rev, replace(lang, 'e', 'E') AS repl,
+           repeat(lang, 2) AS rep2, ascii(lang) AS asc_,
+           left(text, 5) AS l5, right(text, 5) AS r5,
+           instr(text, 'the') AS pos_the,
+           abs(n_chars - 500) AS a, ceil(n_chars / 7.0) AS ce,
+           floor(n_chars / 7.0) AS fl, round(n_chars / 7.0, 2) AS ro,
+           round(sqrt(n_chars), 6) AS sq,
+           round(ln(n_chars + 1), 6) AS lnp,
+           round(log10(n_chars + 1), 6) AS lg,
+           pow(doc_id % 5, 2) AS pw, doc_id % 7 AS md,
+           sign(n_chars - 300) AS sg,
+           round(sin(doc_id % 10), 6) AS sn, round(cos(doc_id % 10), 6) AS cs,
+           round(degrees(1.0), 6) AS dg, round(radians(90.0), 6) AS rd,
+           greatest(n_chars, doc_id) AS gr, least(n_chars, doc_id) AS le,
+           coalesce(nullif(lang, 'en'), 'english') AS co,
+           CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS cl,
+           sha256(text) AS sh
+    FROM documents ORDER BY doc_id
+    """,
+)
+def func_parity_wide(spark, sf_dir):
+    """One-shot parity sweep over ~35 reference scalar functions (SURVEY
+    §2.9 families: string/math/conditional/hash) — every expression is a
+    Spark built-in evaluated identically by DuckDB, demonstrating the
+    name-for-name mapping holds on real data, not just the table in SURVEY."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("up"),
+        F.lower("source").alias("lo"),
+        F.length("text").alias("len"),
+        F.trim(F.substring("text", 1, 12)).alias("sub12"),
+        F.concat(c("lang"), F.lit("-"), c("source")).alias("cat"),
+        F.concat_ws("|", "lang", "source").alias("catws"),
+        F.lpad("lang", 6, "_").alias("lpadded"),
+        F.rpad("lang", 6, "_").alias("rpadded"),
+        F.reverse("lang").alias("rev"),
+        F.replace(c("lang"), F.lit("e"), F.lit("E")).alias("repl"),
+        F.repeat("lang", 2).alias("rep2"),
+        F.ascii("lang").alias("asc_"),
+        F.left(c("text"), F.lit(5)).alias("l5"),
+        F.right(c("text"), F.lit(5)).alias("r5"),
+        F.instr("text", "the").alias("pos_the"),
+        F.abs(c("n_chars") - 500).alias("a"),
+        F.ceil(c("n_chars") / 7.0).alias("ce"),
+        F.floor(c("n_chars") / 7.0).alias("fl"),
+        F.round(c("n_chars") / 7.0, 2).alias("ro"),
+        F.round(F.sqrt("n_chars"), 6).alias("sq"),
+        F.round(F.log(c("n_chars") + 1), 6).alias("lnp"),
+        F.round(F.log10(c("n_chars") + 1), 6).alias("lg"),
+        F.pow(c("doc_id") % 5, 2).alias("pw"),
+        (c("doc_id") % 7).alias("md"),
+        F.signum(c("n_chars") - 300).alias("sg"),
+        F.round(F.sin(c("doc_id") % 10), 6).alias("sn"),
+        F.round(F.cos(c("doc_id") % 10), 6).alias("cs"),
+        F.round(F.degrees(F.lit(1.0)), 6).alias("dg"),
+        F.round(F.radians(F.lit(90.0)), 6).alias("rd"),
+        F.greatest("n_chars", "doc_id").alias("gr"),
+        F.least("n_chars", "doc_id").alias("le"),
+        F.coalesce(F.nullif(c("lang"), F.lit("en")), F.lit("english")).alias("co"),
+        F.when(c("n_chars") > 300, "long").otherwise("short").alias("cl"),
+        F.sha2(c("text"), 256).alias("sh"),
+    ).orderBy("doc_id")
