@@ -64,12 +64,15 @@ def to_changelog(
     """
     val_cols = [c for c in after.columns if c not in keys]
     digest = lambda d: F.md5(F.to_json(F.struct(*[d[c] for c in val_cols])))  # noqa: E731
-    b = before.alias("b")
-    a = after.alias("a")
+    # Existence markers: a lit(true) tag per side survives the outer join as
+    # NULL when that side is absent — unlike keys[0].isNotNull(), which loses
+    # rows whose key is legitimately NULL (the join itself is eqNullSafe).
+    b = before.withColumn("__b_tag", F.lit(True)).alias("b")
+    a = after.withColumn("__a_tag", F.lit(True)).alias("a")
     cond = [b[k].eqNullSafe(a[k]) for k in keys]
     joined = b.join(a, cond, "full_outer")
-    b_exists = b[keys[0]].isNotNull()
-    a_exists = a[keys[0]].isNotNull()
+    b_exists = b["__b_tag"].isNotNull()
+    a_exists = a["__a_tag"].isNotNull()
     changed = digest(b) != digest(a)
 
     inserts = joined.filter(~b_exists & a_exists).select(

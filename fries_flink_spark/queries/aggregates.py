@@ -99,12 +99,12 @@ def agg_rollup(spark, sf_dir):
     "agg_stats",
     oracle="""
     SELECT o_orderstatus,
-           stddev_samp(o_totalprice) AS std_samp,
-           stddev_pop(o_totalprice)  AS std_pop,
-           var_samp(o_totalprice)    AS v_samp,
-           var_pop(o_totalprice)     AS v_pop,
+           round(stddev_samp(o_totalprice), 4) AS std_samp,
+           round(stddev_pop(o_totalprice), 4)  AS std_pop,
+           round(var_samp(o_totalprice), 2)    AS v_samp,
+           round(var_pop(o_totalprice), 2)     AS v_pop,
            min(o_totalprice) AS mn, max(o_totalprice) AS mx,
-           avg(o_totalprice) AS mean
+           round(avg(o_totalprice), 4) AS mean
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -113,13 +113,13 @@ def agg_stats(spark, sf_dir):
     ops; SURVEY §2.4)."""
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.stddev_samp("o_totalprice").alias("std_samp"),
-        F.stddev_pop("o_totalprice").alias("std_pop"),
-        F.var_samp("o_totalprice").alias("v_samp"),
-        F.var_pop("o_totalprice").alias("v_pop"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("std_samp"),
+        F.round(F.stddev_pop("o_totalprice"), 4).alias("std_pop"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("v_samp"),
+        F.round(F.var_pop("o_totalprice"), 2).alias("v_pop"),
         F.min("o_totalprice").alias("mn"),
         F.max("o_totalprice").alias("mx"),
-        F.avg("o_totalprice").alias("mean"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean"),
     )
 
 

@@ -182,7 +182,7 @@ def dedup_simhash(spark, sf_dir):
     "dedup_embedding_cosine",
     oracle="""
     SELECT a.vec_id AS a, b.vec_id AS b,
-           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
     ORDER BY a, b

@@ -44,7 +44,7 @@ def join_inner(spark, sf_dir):
     "join_left_outer",
     oracle="""
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-           coalesce(sum(o_totalprice), 0.0) AS total
+           round(coalesce(sum(o_totalprice), 0.0), 4) AS total
     FROM customer
     LEFT JOIN orders ON c_custkey = o_custkey
         AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
@@ -64,7 +64,7 @@ def join_left_outer(spark, sf_dir):
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total"),
         )
     )
 

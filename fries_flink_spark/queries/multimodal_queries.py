@@ -65,4 +65,19 @@ def mm_image_features(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     imgs = docs.mapInPandas(to_syn, schema="media_id long, content binary")
-    return image_features(imgs).orderBy("media_id")
+    feats = image_features(imgs)
+    # Driver-hashable projection: the canonicalizer can't hash array<double>
+    # cells (unhashable ndarray), so flatten the vector to a '|'-joined string
+    # of rounded components and round the scalar stats.
+    return feats.select(
+        "media_id",
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.format_number(F.round(x, 6), 6),
+            ),
+            "|",
+        ).alias("features_str"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("std_intensity", 6).alias("std_intensity"),
+    ).orderBy("media_id")

@@ -102,19 +102,19 @@ def func_regex(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05)                    AS a,
            round(l_extendedprice, 1)                 AS r1,
-           floor(l_extendedprice)                    AS fl,
-           ceil(l_extendedprice)                     AS ce,
-           sqrt(l_quantity)                          AS sq,
-           exp(l_discount)                           AS ex,
-           ln(l_extendedprice)                       AS lg,
-           log10(l_extendedprice)                    AS l10,
-           power(l_quantity, 2)                      AS pw,
+           CAST(floor(l_extendedprice) AS BIGINT)    AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT)     AS ce,
+           round(sqrt(l_quantity), 6)                AS sq,
+           round(exp(l_discount), 6)                 AS ex,
+           round(ln(l_extendedprice), 6)             AS lg,
+           round(log10(l_extendedprice), 6)          AS l10,
+           round(power(l_quantity, 2), 6)            AS pw,
            mod(CAST(l_quantity AS BIGINT), 7)        AS md,
-           sign(l_discount - 0.05)                   AS sg,
-           sin(l_discount) + cos(l_discount)         AS trig,
-           atan2(l_quantity, 10.0)                   AS at2,
-           degrees(l_discount)                       AS dg,
-           radians(l_quantity)                       AS rd,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)   AS sg,
+           round(sin(l_discount) + cos(l_discount), 6) AS trig,
+           round(atan2(l_quantity, 10.0), 6)         AS at2,
+           round(degrees(l_discount), 6)             AS dg,
+           round(radians(l_quantity), 6)             AS rd,
            greatest(l_quantity, 25.0)                AS gr,
            least(l_quantity, 25.0)                   AS le
     FROM lineitem WHERE l_orderkey < 100
@@ -130,17 +130,17 @@ def func_math(spark, sf_dir):
         F.round("l_extendedprice", 1).alias("r1"),
         F.floor("l_extendedprice").alias("fl"),
         F.ceil("l_extendedprice").alias("ce"),
-        F.sqrt("l_quantity").alias("sq"),
-        F.exp("l_discount").alias("ex"),
-        F.log("l_extendedprice").alias("lg"),
-        F.log10("l_extendedprice").alias("l10"),
-        F.pow("l_quantity", 2).alias("pw"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+        F.round(F.log("l_extendedprice"), 6).alias("lg"),
+        F.round(F.log10("l_extendedprice"), 6).alias("l10"),
+        F.round(F.pow("l_quantity", 2), 6).alias("pw"),
         (F.col("l_quantity").cast("bigint") % 7).alias("md"),
         F.signum(F.col("l_discount") - 0.05).alias("sg"),
-        (F.sin("l_discount") + F.cos("l_discount")).alias("trig"),
-        F.atan2(F.col("l_quantity"), F.lit(10.0)).alias("at2"),
-        F.degrees("l_discount").alias("dg"),
-        F.radians("l_quantity").alias("rd"),
+        F.round(F.sin("l_discount") + F.cos("l_discount"), 6).alias("trig"),
+        F.round(F.atan2(F.col("l_quantity"), F.lit(10.0)), 6).alias("at2"),
+        F.round(F.degrees("l_discount"), 6).alias("dg"),
+        F.round(F.radians("l_quantity"), 6).alias("rd"),
         F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("gr"),
         F.least(F.col("l_quantity"), F.lit(25.0)).alias("le"),
     ).orderBy("l_orderkey", "l_linenumber")
@@ -321,13 +321,15 @@ def func_json(spark, sf_dir):
            repeat(lang, 2) AS rep2, ascii(lang) AS asc_,
            left(text, 5) AS l5, right(text, 5) AS r5,
            instr(text, 'the') AS pos_the,
-           abs(n_chars - 500) AS a, ceil(n_chars / 7.0) AS ce,
-           floor(n_chars / 7.0) AS fl, round(n_chars / 7.0, 2) AS ro,
+           abs(n_chars - 500) AS a,
+           CAST(ceil(n_chars / 7.0) AS BIGINT) AS ce,
+           CAST(floor(n_chars / 7.0) AS BIGINT) AS fl,
+           round(n_chars / 7.0, 2) AS ro,
            round(sqrt(n_chars), 6) AS sq,
            round(ln(n_chars + 1), 6) AS lnp,
            round(log10(n_chars + 1), 6) AS lg,
            pow(doc_id % 5, 2) AS pw, doc_id % 7 AS md,
-           sign(n_chars - 300) AS sg,
+           CAST(sign(n_chars - 300) AS DOUBLE) AS sg,
            round(sin(doc_id % 10), 6) AS sn, round(cos(doc_id % 10), 6) AS cs,
            round(degrees(1.0), 6) AS dg, round(radians(90.0), 6) AS rd,
            greatest(n_chars, doc_id) AS gr, least(n_chars, doc_id) AS le,

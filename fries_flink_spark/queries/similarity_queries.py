@@ -25,7 +25,7 @@ def _query_vec(spark, sf_dir):
     oracle="""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
-           round(list_cosine_similarity(e.embedding, q.qv), 4) AS cos
+           round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS cos
     FROM embeddings e, q
     WHERE e.vec_id <> 0
     ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
@@ -45,7 +45,7 @@ def sim_topk_bruteforce(spark, sf_dir):
     oracle="""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
-           round(list_cosine_similarity(e.embedding, q.qv), 4) AS cos
+           round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS cos
     FROM embeddings e, q
     WHERE e.vec_id <> 0 AND list_cosine_similarity(e.embedding, q.qv) >= 0.15
     ORDER BY e.vec_id

@@ -129,7 +129,7 @@ def tpch_q3(spark, sf_dir):
     "tpch_q5",
     oracle="""
     SELECT n_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -170,9 +170,9 @@ def tpch_q5(spark, sf_dir):
         )
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
         )
     )
 
@@ -339,7 +339,7 @@ def tpch_q4(spark, sf_dir):
 @query(
     "tpch_q7",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  year(l_shipdate) AS l_year,
                  l_extendedprice * (1 - l_discount) AS volume
@@ -403,7 +403,7 @@ def tpch_q7(spark, sf_dir):
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").alias("revenue"))
+        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 

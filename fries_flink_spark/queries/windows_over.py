@@ -87,7 +87,7 @@ def over_lead_lag(spark, sf_dir):
     "over_running_sum",
     oracle="""
     SELECT user_id, event_id,
-           sum(value)   OVER w AS running_sum,
+           round(sum(value) OVER w, 4) AS running_sum,
            count(*)     OVER w AS running_n,
            min(value)   OVER w AS running_min,
            max(value)   OVER w AS running_max
@@ -110,7 +110,7 @@ def over_running_sum(spark, sf_dir):
         ev.select(
             "user_id",
             "event_id",
-            F.sum("value").over(w).alias("running_sum"),
+            F.round(F.sum("value").over(w), 4).alias("running_sum"),
             F.count(F.lit(1)).over(w).alias("running_n"),
             F.min("value").over(w).alias("running_min"),
             F.max("value").over(w).alias("running_max"),
@@ -214,8 +214,8 @@ def over_first_last_value(spark, sf_dir):
     "over_global_agg",
     oracle="""
     SELECT o_orderkey, o_totalprice,
-           o_totalprice / sum(o_totalprice) OVER () AS price_share,
-           avg(o_totalprice) OVER (PARTITION BY o_orderstatus) AS status_avg
+           round(o_totalprice / sum(o_totalprice) OVER (), 10) AS price_share,
+           round(avg(o_totalprice) OVER (PARTITION BY o_orderstatus), 4) AS status_avg
     FROM orders
     ORDER BY o_orderkey
     """,
@@ -227,13 +227,14 @@ def over_global_agg(spark, sf_dir):
         orders.select(
             "o_orderkey",
             "o_totalprice",
-            (
+            F.round(
                 F.col("o_totalprice")
-                / F.sum("o_totalprice").over(Window.partitionBy())
+                / F.sum("o_totalprice").over(Window.partitionBy()),
+                10,
             ).alias("price_share"),
-            F.avg("o_totalprice")
-            .over(Window.partitionBy("o_orderstatus"))
-            .alias("status_avg"),
+            F.round(
+                F.avg("o_totalprice").over(Window.partitionBy("o_orderstatus")), 4
+            ).alias("status_avg"),
         )
         .orderBy("o_orderkey")
     )

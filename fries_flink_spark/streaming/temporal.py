@@ -54,8 +54,12 @@ def temporal_join_rowtime(
 ) -> DataFrame:
     """Event-time temporal join for one (micro-)batch: each fact row joins the
     newest dim version with version_ts <= fact_ts (reference
-    TemporalRowTimeJoinOperator). One shuffle on the key + one window pass;
-    versions are deduplicated per (fact, key) by taking the max version_ts.
+    TemporalRowTimeJoinOperator). One shuffle on the key + one window pass.
+
+    Each probe row gets a unique id BEFORE the join and the version-picking
+    window partitions by that id — so duplicate fact rows each keep their own
+    output row, matching the reference operator's multiset semantics (a
+    partition over all fact columns would silently collapse identical facts).
     """
     from pyspark.sql import Window
 
@@ -64,16 +68,15 @@ def temporal_join_rowtime(
         F.col(version_ts).alias("__vts"),
         *[c for c in versions.columns if c not in (key, version_ts)],
     )
-    joined = facts.join(
+    tagged = facts.withColumn("__fid", F.monotonically_increasing_id())
+    joined = tagged.join(
         v,
-        (facts[key] == F.col("__vk")) & (F.col("__vts") <= facts[fact_ts]),
+        (tagged[key] == F.col("__vk")) & (F.col("__vts") <= tagged[fact_ts]),
         "left",
     )
-    w = Window.partitionBy(*[facts[c] for c in facts.columns]).orderBy(
-        F.col("__vts").desc_nulls_last()
-    )
+    w = Window.partitionBy("__fid").orderBy(F.col("__vts").desc_nulls_last())
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__vk", "__vts")
+        .drop("__rn", "__fid", "__vk", "__vts")
     )

@@ -258,7 +258,10 @@ class Table:
         return Table(self._df.intersectAll(other._df))
 
     def minus(self, other: "Table") -> "Table":  # Table.java:753
-        return Table(self._df.exceptAll(other._df).distinct())
+        # SQL EXCEPT: remove ALL left rows that appear on the right, then
+        # dedup (exceptAll().distinct() would wrongly keep per-occurrence
+        # survivors when the left has more duplicates than the right).
+        return Table(self._df.subtract(other._df))
 
     def minus_all(self, other: "Table") -> "Table":  # Table.java:770
         return Table(self._df.exceptAll(other._df))

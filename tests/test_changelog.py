@@ -53,6 +53,21 @@ def test_changelog_roundtrip_normalize(spark):
     assert got == want
 
 
+def test_to_changelog_null_keys(spark):
+    """NULL-keyed rows must participate: the join is eqNullSafe, so existence
+    must be tested via side markers, not keys[0].isNotNull()."""
+    before = spark.createDataFrame([(None, "a"), (1, "x")], "id long, v string")
+    after = spark.createDataFrame([(None, "A"), (2, "y")], "id long, v string")
+    ch = to_changelog(before, after, ["id"])
+    kinds = {(r.id, r.row_kind): r.v for r in ch.collect()}
+    assert kinds == {
+        (None, UPDATE_BEFORE): "a",
+        (None, UPDATE_AFTER): "A",
+        (1, DELETE): "x",
+        (2, INSERT): "y",
+    }
+
+
 def test_drop_update_before(spark):
     df = spark.createDataFrame(
         [(1, UPDATE_BEFORE), (1, UPDATE_AFTER), (2, INSERT)], "id long, row_kind string"

@@ -51,6 +51,18 @@ def test_joins_and_setops(spark):
     assert a.select("id").minus(b.select("id")).to_df().count() == 1
 
 
+def test_minus_multiset_semantics(spark):
+    """SQL EXCEPT removes ALL left occurrences of any row present on the
+    right — left {1,1,2} EXCEPT right {1} is {2}, not {1,2}."""
+    a = _t(spark, [(1,), (1,), (2,)], "id long")
+    b = _t(spark, [(1,)], "id long")
+    got = sorted(r.id for r in a.minus(b).to_df().collect())
+    assert got == [2]
+    # minus_all keeps the surplus duplicate: {1,1,2} EXCEPT ALL {1} = {1,2}
+    got_all = sorted(r.id for r in a.minus_all(b).to_df().collect())
+    assert got_all == [1, 2]
+
+
 def test_offset_fetch(spark):
     t = _t(spark, [(i,) for i in range(10)], "id long")
     out = t.order_by("id").offset(3).fetch(2).to_df()

@@ -35,6 +35,23 @@ def test_rowtime_temporal_join_picks_valid_version(spark):
     assert got == {(1, 1): 1.0, (1, 5): 2.0, (2, 3): None}
 
 
+def test_rowtime_temporal_join_keeps_duplicate_facts(spark):
+    """Two IDENTICAL fact rows must each produce an output row (multiset
+    semantics, reference TemporalRowTimeJoinOperator) — a version-picking
+    window partitioned by all fact columns would collapse them to one."""
+    facts = spark.createDataFrame(
+        [(1, _ts(5), 100.0), (1, _ts(5), 100.0), (1, _ts(5), 100.0)],
+        "k long, ts timestamp, amount double",
+    )
+    versions = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, _ts(4), 2.0)],
+        "k long, vts timestamp, rate double",
+    )
+    out = temporal_join_rowtime(facts, versions, "k", "ts", "vts").collect()
+    assert len(out) == 3
+    assert all(r.rate == 2.0 for r in out)
+
+
 def test_proctime_temporal_join_sees_epoch_snapshot(spark, sf_dir):
     """The dim snapshot changes between epochs; each batch must join against
     the version current at its own epoch."""

@@ -23,8 +23,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+STRICT = os.environ.get("SPARK_GRAFT_STRICT", "") == "1"
+
+
 def canon(v):
-    """Canonicalize a value for hashing (driver-style: floats rounded)."""
+    """Canonicalize a value for hashing.
+
+    Default mode rounds floats to 6 significant digits (lenient). STRICT mode
+    (SPARK_GRAFT_STRICT=1) uses full-precision repr — bit-identical doubles
+    required — which over-approximates whatever canonicalization the driver
+    uses, so strict-green queries are safe under any float stringification.
+    """
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -32,6 +41,8 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if STRICT:
+            return repr(v)
         return f"{v:.6g}"
     if isinstance(v, bytes):
         return v.hex()
