@@ -3,10 +3,11 @@ streams (SURVEY §2.10 — the reference's biggest non-relational operator).
 
 Reference surface: flink-libraries/flink-cep/src/main/java/org/apache/flink/
 cep/CEP.java:38 (CEP.pattern entry point), .../pattern/Pattern.java:128-543
-(begin/where/or/next/followedBy/notNext/oneOrMore/times/greedy/within),
-.../nfa/NFA.java (the state machine), CepOperator.java:81 (keyed runtime);
-SQL MATCH_RECOGNIZE lowers onto the same NFA (StreamExecMatch.java,
-MatchCodeGenerator.scala).
+(begin/where/or/next/followedBy/followedByAny/notNext/notFollowedBy/oneOrMore/
+times/greedy/within), .../nfa/aftermatch/AfterMatchSkipStrategy.java (noSkip /
+skipToNext / skipPastLastEvent), .../nfa/NFA.java (the state machine),
+CepOperator.java:81 (keyed runtime); SQL MATCH_RECOGNIZE lowers onto the same
+NFA (StreamExecMatch.java, MatchCodeGenerator.scala).
 
 Spark design: there is no native CEP, so the NFA runs as data-parallel Python
 inside ``applyInPandas`` — one NFA sweep per key group over its time-sorted
@@ -15,39 +16,88 @@ events. This is the right Spark shape for it:
 - The shuffle is ``groupBy(key)`` — exactly the keyBy the reference requires
   before ``CEP.pattern`` — so parallelism scales with distinct keys, and each
   group's sweep is O(events × pattern_length) locally.
+- Predicates are evaluated ONCE per stage as vectorized numpy boolean masks
+  over the whole Arrow batch (``where_mask``), not per-row Python dicts —
+  the NFA then walks index arrays. Row-dict predicates (``where``) remain
+  supported for API parity and fall back to a per-row pass.
 - Batch = one sweep. Streaming = the same operator inside ``foreachBatch``
   with carry-over state (the partial-match frontier) via
   ``applyInPandasWithState`` — see streaming/state.keyed_process.
-- Matching semantics follow Flink defaults: AfterMatchSkipStrategy.noSkip
-  (a match attempt starts at EVERY event), relaxed contiguity for
+- Matching semantics follow Flink defaults: AfterMatchSkipStrategy.NO_SKIP
+  (a match attempt starts at EVERY accepting event), relaxed contiguity for
   ``followed_by`` (non-matching events are skipped), strict for ``next``,
-  earliest-first (non-greedy) branch resolution, ``within`` bounding
-  first→last event time.
+  non-deterministic relaxed for ``followed_by_any`` (every later acceptable
+  event is a branch), earliest-first (non-greedy) branch resolution,
+  ``within`` bounding first→last event time.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from bisect import bisect_left, bisect_right
+from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
 from datetime import timedelta
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+NO_SKIP = "no_skip"
+SKIP_TO_NEXT = "skip_to_next"
+SKIP_PAST_LAST_EVENT = "skip_past_last_event"
 
 
 @dataclass
 class _Stage:
     name: str
-    contiguity: str  # 'begin' | 'strict' | 'relaxed'
-    predicates: list[Callable[[dict], bool]] = field(default_factory=list)
+    contiguity: str  # 'begin' | 'strict' | 'relaxed' | 'relaxed_any'
+    # OR of AND-groups: where() ANDs onto the last group, or_where() opens a
+    # new group (Pattern.where:209 / Pattern.or:175 semantics).
+    clauses: list[list[tuple[str, Callable]]] = field(default_factory=list)
     min_times: int = 1
     max_times: int = 1
     greedy: bool = False
+    negated: bool = False
 
     def accepts(self, row: dict) -> bool:
-        return all(p(row) for p in self.predicates)
+        """Row-at-a-time evaluation (wrapper path; mask predicates get the
+        single row wrapped in a 1-row DataFrame)."""
+        if not self.clauses:
+            return True
+        return any(
+            all(self._eval_row(kind, fn, row) for kind, fn in group)
+            for group in self.clauses
+        )
+
+    @staticmethod
+    def _eval_row(kind: str, fn: Callable, row: dict) -> bool:
+        if kind == "row":
+            return bool(fn(row))
+        return bool(np.asarray(fn(pd.DataFrame([row]))).ravel()[0])
+
+    def mask(self, pdf: pd.DataFrame, records: list[dict] | None) -> np.ndarray:
+        """Vectorized acceptance mask over the whole batch."""
+        n = len(pdf)
+        if not self.clauses:
+            return np.ones(n, dtype=bool)
+        out = np.zeros(n, dtype=bool)
+        for group in self.clauses:
+            g = np.ones(n, dtype=bool)
+            for kind, fn in group:
+                if kind == "mask":
+                    g &= np.asarray(fn(pdf)).astype(bool)
+                else:  # row-dict predicate: per-row fallback
+                    g &= np.fromiter(
+                        (bool(fn(r)) for r in records), dtype=bool, count=n
+                    )
+            out |= g
+        return out
+
+    @property
+    def needs_records(self) -> bool:
+        return any(kind == "row" for group in self.clauses for kind, _ in group)
 
 
 class Pattern:
@@ -55,6 +105,13 @@ class Pattern:
 
     >>> p = (Pattern.begin("a").where(lambda r: r["event_type"] == "click")
     ...      .followed_by("b").where(lambda r: r["event_type"] == "purchase")
+    ...      .within(timedelta(minutes=30)))
+
+    Prefer ``where_mask`` for the hot path — it evaluates once per Arrow
+    batch instead of once per row:
+
+    >>> p = (Pattern.begin("a").where_mask(lambda d: d["event_type"] == "click")
+    ...      .not_followed_by("n").where_mask(lambda d: d["event_type"] == "purchase")
     ...      .within(timedelta(minutes=30)))
     """
 
@@ -68,21 +125,71 @@ class Pattern:
         p.stages.append(_Stage(name, "begin"))
         return p
 
+    # -- predicates --------------------------------------------------------
     def where(self, pred: Callable[[dict], bool]) -> "Pattern":
-        """AND-combined predicate on the current stage (Pattern.where:209)."""
-        self.stages[-1].predicates.append(pred)
+        """AND-combined row predicate on the current stage (Pattern.where:209)."""
+        st = self.stages[-1]
+        if not st.clauses:
+            st.clauses.append([])
+        st.clauses[-1].append(("row", pred))
         return self
 
+    def where_mask(
+        self, pred: Callable[[pd.DataFrame], "pd.Series | np.ndarray"]
+    ) -> "Pattern":
+        """AND-combined VECTORIZED predicate: pdf -> boolean mask."""
+        st = self.stages[-1]
+        if not st.clauses:
+            st.clauses.append([])
+        st.clauses[-1].append(("mask", pred))
+        return self
+
+    def or_where(self, pred: Callable[[dict], bool]) -> "Pattern":
+        """OR-combined row predicate (Pattern.or:175): opens a new AND-group."""
+        self.stages[-1].clauses.append([("row", pred)])
+        return self
+
+    def or_where_mask(
+        self, pred: Callable[[pd.DataFrame], "pd.Series | np.ndarray"]
+    ) -> "Pattern":
+        """OR-combined vectorized predicate (Pattern.or:175)."""
+        self.stages[-1].clauses.append([("mask", pred)])
+        return self
+
+    # -- positive contiguity ----------------------------------------------
     def next(self, name: str) -> "Pattern":
         """Strict contiguity — the very next event must match (Pattern.next:334)."""
         self.stages.append(_Stage(name, "strict"))
         return self
 
     def followed_by(self, name: str) -> "Pattern":
-        """Relaxed contiguity — skip non-matching events (Pattern.followedBy:373)."""
+        """Relaxed contiguity — skip non-matching events; first acceptable
+        event only (Pattern.followedBy:373)."""
         self.stages.append(_Stage(name, "relaxed"))
         return self
 
+    def followed_by_any(self, name: str) -> "Pattern":
+        """Non-deterministic relaxed contiguity — EVERY later acceptable event
+        is a candidate branch (Pattern.followedByAny:322)."""
+        self.stages.append(_Stage(name, "relaxed_any"))
+        return self
+
+    # -- absence (not-patterns) -------------------------------------------
+    def not_next(self, name: str) -> "Pattern":
+        """The immediately following event must NOT match (Pattern.notNext:273).
+        Consumes nothing; the remaining pattern continues at the same event."""
+        self.stages.append(_Stage(name, "strict", negated=True))
+        return self
+
+    def not_followed_by(self, name: str) -> "Pattern":
+        """No matching event may occur between the previous stage's match and
+        the following stage's match (Pattern.notFollowedBy:304). As the LAST
+        stage it requires ``within`` (absence checked until the window closes)
+        — same restriction as the reference."""
+        self.stages.append(_Stage(name, "relaxed", negated=True))
+        return self
+
+    # -- quantifiers -------------------------------------------------------
     def times(self, n: int, n_max: int | None = None) -> "Pattern":
         """Repeat the current stage n (or n..n_max) times (Pattern.times:472)."""
         st = self.stages[-1]
@@ -102,23 +209,159 @@ class Pattern:
 
     def optional(self) -> "Pattern":
         """Zero occurrences allowed (Pattern.optional:417)."""
+        if self.stages[-1].negated:
+            raise ValueError("not-patterns cannot be optional")
         self.stages[-1].min_times = 0
         return self
 
-    def within(self, duration: timedelta) -> "Pattern":
+    def within(self, duration) -> "Pattern":
         """Max first→last event time span (Pattern.within:543)."""
         self.window = duration
         return self
 
+    def _validate(self) -> None:
+        if self.stages and self.stages[-1].negated:
+            st = self.stages[-1]
+            if st.contiguity == "relaxed" and self.window is None:
+                raise ValueError(
+                    "not_followed_by as the last stage requires within() "
+                    "(reference Pattern.notFollowedBy restriction)"
+                )
 
-def _accept_index(rows: list[dict], pattern: Pattern) -> list[list[int]]:
-    """Per-stage sorted positions of accepting events — evaluated ONCE per
-    group so each relaxed-contiguity step is a binary search instead of a
-    linear rescan (turns the noSkip sweep from O(n²) to O(n log n) per key
-    for fixed pattern length)."""
-    return [
-        [i for i, r in enumerate(rows) if st.accepts(r)] for st in pattern.stages
-    ]
+
+def _solutions(
+    ts,
+    masks: list[np.ndarray],
+    accept_idx: list[list[int]],
+    start: int,
+    pattern: Pattern,
+) -> Iterator[dict[str, list[int]]]:
+    """Yield every completed match (stage name -> consumed indices) whose
+    first event is index ``start``, in earliest-first branch order.
+
+    Backtracking NFA over precomputed per-stage acceptance masks/index lists;
+    each relaxed step is a binary search, each strict step an O(1) probe.
+    """
+    n = len(ts)
+    stages = pattern.stages
+    deadline = None
+    if pattern.window is not None:
+        deadline = ts[start] + pattern.window
+
+    def in_window(i: int) -> bool:
+        return deadline is None or ts[i] <= deadline
+
+    def window_end(pos: int) -> int:
+        """First index at/after pos whose ts exceeds the deadline."""
+        if deadline is None:
+            return n
+        lo = pos
+        # ts is sorted; binary search for first ts > deadline
+        hi = n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if ts[mid] <= deadline:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    def advance(si: int, pos: int) -> Iterator[dict[str, list[int]]]:
+        if si == len(stages):
+            yield {}
+            return
+        stage = stages[si]
+        mask = masks[si]
+
+        if stage.negated:
+            if stage.contiguity == "strict":  # not_next
+                if pos < n and mask[pos] and in_window(pos):
+                    return
+                for rest in advance(si + 1, pos):
+                    yield {stage.name: [], **rest}
+                return
+            # not_followed_by
+            if si == len(stages) - 1:
+                # terminal absence: nothing may match until the window closes
+                end = window_end(pos)
+                if any(mask[pos:end]):
+                    return
+                yield {stage.name: []}
+                return
+            for rest in advance(si + 1, pos):
+                first = _first_consumed(rest, stages, si + 1)
+                gap_end = first if first is not None else window_end(pos)
+                if not any(mask[pos:gap_end]):
+                    yield {stage.name: [], **rest}
+            return
+
+        # candidate positions for this stage's FIRST event
+        if si == 0:
+            starts = [start] if mask[start] else []
+        elif stage.contiguity == "strict":
+            starts = [pos] if pos < n and mask[pos] and in_window(pos) else []
+        else:
+            idx = accept_idx[si]
+            j = bisect_left(idx, pos)
+            if stage.contiguity == "relaxed_any":
+                starts = [i for i in idx[j:] if in_window(i)]
+            else:  # relaxed: first acceptable event only
+                starts = (
+                    [idx[j]] if j < len(idx) and in_window(idx[j]) else []
+                )
+
+        if stage.min_times == 0:
+            for rest in advance(si + 1, pos):
+                yield {stage.name: [], **rest}
+
+        for s0 in starts:
+            # extend the repetition run: contiguous run of matching events
+            # (Flink's default internal contiguity for looping states)
+            run = [s0]
+            while (
+                len(run) < stage.max_times
+                and run[-1] + 1 < n
+                and mask[run[-1] + 1]
+                and in_window(run[-1] + 1)
+            ):
+                run.append(run[-1] + 1)
+            lengths = (
+                range(len(run), stage.min_times - 1, -1)
+                if stage.greedy
+                else range(stage.min_times, len(run) + 1)
+            )
+            for ln in lengths:
+                if ln == 0:
+                    continue
+                taken = run[:ln]
+                for rest in advance(si + 1, taken[-1] + 1):
+                    yield {stage.name: taken, **rest}
+
+    yield from advance(0, start)
+
+
+def _first_consumed(
+    match: dict[str, list[int]], stages: list[_Stage], from_si: int
+) -> int | None:
+    for st in stages[from_si:]:
+        if match.get(st.name):
+            return match[st.name][0]
+    return None
+
+
+def _last_consumed(match: dict[str, list[int]]) -> int:
+    return max((ix[-1] for ix in match.values() if ix), default=-1)
+
+
+def _build_masks(
+    pattern: Pattern, pdf: pd.DataFrame
+) -> tuple[list[np.ndarray], list[list[int]]]:
+    records = None
+    if any(st.needs_records for st in pattern.stages):
+        records = pdf.to_dict("records")
+    masks = [st.mask(pdf, records) for st in pattern.stages]
+    accept_idx = [list(np.flatnonzero(m)) for m in masks]
+    return masks, accept_idx
 
 
 def _match_from(
@@ -128,69 +371,18 @@ def _match_from(
     time_col: str,
     accept_idx: list[list[int]] | None = None,
 ) -> dict[str, list[dict]] | None:
-    """Try to complete one match whose first event is rows[start].
-
-    Backtracking NFA sweep, earliest-first unless a stage is greedy. Returns
-    {stage_name: [events]} or None.
-    """
-    from bisect import bisect_left
-
-    if accept_idx is None:
-        accept_idx = _accept_index(rows, pattern)
-    deadline = None
-    if pattern.window is not None:
-        deadline = rows[start][time_col] + pattern.window
-
-    def advance(si: int, pos: int) -> dict[str, list[dict]] | None:
-        if si == len(pattern.stages):
-            return {}
-        stage = pattern.stages[si]
-        # candidate positions for this stage's FIRST event
-        if si == 0:
-            starts = [start] if stage.accepts(rows[start]) else []
-        elif stage.contiguity == "strict":
-            starts = [pos] if pos < len(rows) and stage.accepts(rows[pos]) else []
-        else:  # relaxed: first acceptable event at or after pos (binary search)
-            idx = accept_idx[si]
-            j = bisect_left(idx, pos)
-            starts = (
-                [idx[j]]
-                if j < len(idx)
-                and (deadline is None or rows[idx[j]][time_col] <= deadline)
-                else []
-            )
-        if stage.min_times == 0:
-            rest = advance(si + 1, pos)
-            if rest is not None:
-                return {stage.name: [], **rest}
-        for s0 in starts:
-            if deadline is not None and rows[s0][time_col] > deadline:
-                continue
-            # extend the repetition run (contiguous for strict, contiguous
-            # run of matching events for relaxed — Flink's default internal
-            # contiguity for looping states is relaxed-same semantics; we use
-            # contiguous matching runs, the common case)
-            run = [s0]
-            while (
-                len(run) < stage.max_times
-                and run[-1] + 1 < len(rows)
-                and stage.accepts(rows[run[-1] + 1])
-                and (deadline is None or rows[run[-1] + 1][time_col] <= deadline)
-            ):
-                run.append(run[-1] + 1)
-            lengths = range(len(run), stage.min_times - 1, -1) if stage.greedy else range(
-                stage.min_times, len(run) + 1
-            )
-            for ln in lengths:
-                if ln == 0:
-                    continue
-                taken = run[:ln]
-                rest = advance(si + 1, taken[-1] + 1)
-                if rest is not None:
-                    return {stage.name: [rows[i] for i in taken], **rest}
-        return None
-
-    return advance(0, start)
+    """Row-dict compatibility wrapper: first match whose first event is
+    rows[start], as {stage_name: [event dicts]} — or None."""
+    pattern._validate()
+    ts = [r[time_col] for r in rows]
+    masks = [
+        np.fromiter((st.accepts(r) for r in rows), dtype=bool, count=len(rows))
+        for st in pattern.stages
+    ]
+    idx = [list(np.flatnonzero(m)) for m in masks]
+    for m in _solutions(ts, masks, idx, start, pattern):
+        return {k: [rows[i] for i in v] for k, v in m.items()}
+    return None
 
 
 def match_pattern(
@@ -201,27 +393,55 @@ def match_pattern(
     select: Callable[[dict[str, Any], dict[str, list[dict]]], dict[str, Any]],
     output_schema: str,
     order_tiebreak: list[str] | None = None,
+    skip_strategy: str = NO_SKIP,
+    emit: str = "first",
 ) -> DataFrame:
     """CEP.pattern(stream.keyBy(...), pattern).select(...) analog.
 
     ``select(key_dict, {stage: [event dicts]}) -> output dict`` — the
     reference's PatternSelectFunction (flink-cep .../PatternSelectFunction.java).
-    One output row per match; noSkip semantics (attempts start at every event).
+
+    ``skip_strategy``: NO_SKIP (default; attempts start at every accepting
+    event), SKIP_TO_NEXT (at most one match per start event — identical to
+    NO_SKIP under emit='first'), SKIP_PAST_LAST_EVENT (after a match, the next
+    attempt starts after its last consumed event).
+    ``emit``: 'first' (one match per start, Flink's head-branch) or 'all'
+    (every branch per start — meaningful with followed_by_any).
     """
+    pattern._validate()
     tiebreak = order_tiebreak or []
     out_cols = [c.strip().split()[0] for c in output_schema.split(",")]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([time_col, *tiebreak], kind="mergesort")
-        rows = pdf.to_dict("records")
-        key = {k: rows[0][k] for k in key_cols} if rows else {}
-        accept_idx = _accept_index(rows, pattern)
+        pdf = pdf.sort_values([time_col, *tiebreak], kind="mergesort").reset_index(
+            drop=True
+        )
+        if not len(pdf):
+            return pd.DataFrame([], columns=out_cols)
+        key = {k: pdf[k].iloc[0] for k in key_cols}
+        masks, accept_idx = _build_masks(pattern, pdf)
+        ts = pdf[time_col].tolist()
+        # event dicts built lazily, only for rows that appear in a match
+        row_cache: dict[int, dict] = {}
+
+        def row_at(i: int) -> dict:
+            if i not in row_cache:
+                row_cache[i] = {c: pdf[c].iloc[i] for c in pdf.columns}
+            return row_cache[i]
+
         out = []
-        # noSkip attempts start only at events the begin stage accepts
+        barrier = 0  # skip_past_last_event frontier
         for start in accept_idx[0] if accept_idx else []:
-            m = _match_from(rows, start, pattern, time_col, accept_idx)
-            if m is not None:
-                out.append(select(key, m))
+            if skip_strategy == SKIP_PAST_LAST_EVENT and start < barrier:
+                continue
+            for m in _solutions(ts, masks, accept_idx, start, pattern):
+                out.append(
+                    select(key, {k: [row_at(i) for i in v] for k, v in m.items()})
+                )
+                if skip_strategy == SKIP_PAST_LAST_EVENT:
+                    barrier = max(barrier, _last_consumed(m) + 1)
+                if emit == "first" or skip_strategy == SKIP_TO_NEXT:
+                    break
         return pd.DataFrame(out, columns=out_cols)
 
     return df.groupBy(*key_cols).applyInPandas(

@@ -44,9 +44,9 @@ def cep_next(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     pat = (
         Pattern.begin("a")
-        .where(lambda r: r["event_type"] == "click")
+        .where_mask(lambda d: d["event_type"] == "click")
         .next("b")
-        .where(lambda r: r["event_type"] == "purchase")
+        .where_mask(lambda d: d["event_type"] == "purchase")
         .within(timedelta(minutes=30))
     )
     out = match_pattern(
@@ -90,9 +90,9 @@ def cep_followed_by(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     pat = (
         Pattern.begin("a")
-        .where(lambda r: r["event_type"] == "click")
+        .where_mask(lambda d: d["event_type"] == "click")
         .followed_by("b")
-        .where(lambda r: r["event_type"] == "purchase")
+        .where_mask(lambda d: d["event_type"] == "purchase")
         .within(timedelta(minutes=30))
     )
     out = match_pattern(
@@ -134,7 +134,7 @@ def cep_error_burst(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     pat = (
         Pattern.begin("e")
-        .where(lambda r: r["event_type"] == "error")
+        .where_mask(lambda d: d["event_type"] == "error")
         .times(3)
         .within(timedelta(hours=2))
     )
@@ -152,3 +152,131 @@ def cep_error_burst(spark, sf_dir):
         order_tiebreak=["event_id"],
     )
     return out.orderBy("user_id", "first_id")
+
+@query(
+    "cep_no_purchase",
+    oracle="""
+    SELECT c.user_id, c.event_id AS a_id
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id
+          AND p.event_type = 'purchase'
+          AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+          AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    ORDER BY user_id, a_id
+    """,
+)
+def cep_no_purchase(spark, sf_dir):
+    """Absence pattern: click NOT followed by a purchase within 30 minutes
+    (Flink Pattern.notFollowedBy:304 as terminal stage + within — the
+    abandoned-cart shape, a top CEP use case)."""
+    events = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("a")
+        .where_mask(lambda d: d["event_type"] == "click")
+        .not_followed_by("nb")
+        .where_mask(lambda d: d["event_type"] == "purchase")
+        .within(timedelta(minutes=30))
+    )
+    out = match_pattern(
+        events,
+        pat,
+        key_cols=["user_id"],
+        time_col="ts",
+        select=lambda key, m: {
+            "user_id": key["user_id"],
+            "a_id": m["a"][0]["event_id"],
+        },
+        output_schema="user_id long, a_id long",
+        order_tiebreak=["event_id"],
+    )
+    return out.orderBy("user_id", "a_id")
+
+
+@query(
+    "cep_not_next",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS n_type
+      FROM events)
+    SELECT user_id, event_id AS a_id
+    FROM w
+    WHERE event_type = 'error' AND (n_type IS NULL OR n_type <> 'error')
+    ORDER BY user_id, a_id
+    """,
+)
+def cep_not_next(spark, sf_dir):
+    """Absence with strict contiguity: an error whose IMMEDIATELY following
+    event is not another error (Flink Pattern.notNext:273) — isolated-failure
+    detection."""
+    events = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("a")
+        .where_mask(lambda d: d["event_type"] == "error")
+        .not_next("nb")
+        .where_mask(lambda d: d["event_type"] == "error")
+    )
+    out = match_pattern(
+        events,
+        pat,
+        key_cols=["user_id"],
+        time_col="ts",
+        select=lambda key, m: {
+            "user_id": key["user_id"],
+            "a_id": m["a"][0]["event_id"],
+        },
+        output_schema="user_id long, a_id long",
+        order_tiebreak=["event_id"],
+    )
+    return out.orderBy("user_id", "a_id")
+
+
+@query(
+    "cep_or_where",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type IN ('click', 'view')),
+    p AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    j AS (
+      SELECT c.user_id, c.event_id AS a_id, p.event_id AS b_id,
+             row_number() OVER (PARTITION BY c.user_id, c.event_id
+                                ORDER BY p.ts, p.event_id) AS rn
+      FROM c JOIN p
+        ON p.user_id = c.user_id
+       AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+       AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    SELECT user_id, a_id, b_id FROM j WHERE rn = 1
+    ORDER BY user_id, a_id
+    """,
+)
+def cep_or_where(spark, sf_dir):
+    """OR-combined stage conditions (Flink Pattern.or:175): (click OR view)
+    followed by the first purchase within 30 minutes."""
+    events = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("a")
+        .where_mask(lambda d: d["event_type"] == "click")
+        .or_where_mask(lambda d: d["event_type"] == "view")
+        .followed_by("b")
+        .where_mask(lambda d: d["event_type"] == "purchase")
+        .within(timedelta(minutes=30))
+    )
+    out = match_pattern(
+        events,
+        pat,
+        key_cols=["user_id"],
+        time_col="ts",
+        select=lambda key, m: {
+            "user_id": key["user_id"],
+            "a_id": m["a"][0]["event_id"],
+            "b_id": m["b"][0]["event_id"],
+        },
+        output_schema="user_id long, a_id long, b_id long",
+        order_tiebreak=["event_id"],
+    )
+    return out.orderBy("user_id", "a_id")

@@ -105,3 +105,68 @@ def test_keys_are_independent(spark):
     )
     # A and B belong to different users -> no match
     assert _run(df, pat, [("a", 0), ("b", 0)]) == []
+
+def test_skip_past_last_event(spark):
+    """4 consecutive A's, times(2): noSkip yields overlapping starts 0,1,2;
+    skipPastLastEvent yields non-overlapping [0,1] and [2,3] only."""
+    from fries_flink_spark.operators.cep import SKIP_PAST_LAST_EVENT
+
+    df = _events(spark, [(0, 1, "A"), (1, 1, "A"), (2, 1, "A"), (3, 1, "A")])
+    pat = Pattern.begin("a").where(lambda r: r["event_type"] == "A").times(2)
+    no_skip = _run(df, pat, [("a", 0), ("a", 1)])
+    assert no_skip == [(1, 0, 1), (1, 1, 2), (1, 2, 3)]
+    out = match_pattern(
+        df,
+        pat,
+        key_cols=["user_id"],
+        time_col="ts",
+        select=lambda key, m: {
+            "user_id": key["user_id"],
+            "a_0": m["a"][0]["event_id"],
+            "a_1": m["a"][1]["event_id"],
+        },
+        output_schema="user_id long, a_0 long, a_1 long",
+        order_tiebreak=["event_id"],
+        skip_strategy=SKIP_PAST_LAST_EVENT,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 0, 1), (1, 2, 3)]
+
+
+def test_not_followed_by_requires_within_when_terminal(spark):
+    pat = (
+        Pattern.begin("a").where(lambda r: r["event_type"] == "A")
+        .not_followed_by("nb").where(lambda r: r["event_type"] == "B")
+    )
+    with pytest.raises(ValueError, match="within"):
+        match_pattern(
+            _events(spark, [(0, 1, "A")]),
+            pat,
+            key_cols=["user_id"],
+            time_col="ts",
+            select=lambda key, m: {"user_id": key["user_id"]},
+            output_schema="user_id long",
+        )
+
+
+def test_followed_by_any_emit_all(spark):
+    """followedByAny + emit='all': one match per (A, later B) pair."""
+    df = _events(spark, [(0, 1, "A"), (1, 1, "B"), (2, 1, "B")])
+    pat = (
+        Pattern.begin("a").where_mask(lambda d: d["event_type"] == "A")
+        .followed_by_any("b").where_mask(lambda d: d["event_type"] == "B")
+    )
+    out = match_pattern(
+        df,
+        pat,
+        key_cols=["user_id"],
+        time_col="ts",
+        select=lambda key, m: {
+            "user_id": key["user_id"],
+            "a_0": m["a"][0]["event_id"],
+            "b_0": m["b"][0]["event_id"],
+        },
+        output_schema="user_id long, a_0 long, b_0 long",
+        order_tiebreak=["event_id"],
+        emit="all",
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 0, 1), (1, 0, 2)]

@@ -94,6 +94,136 @@ def test_times_matches_bruteforce(events, n):
 
 @given(EVENTS)
 @settings(max_examples=200, deadline=None)
+def test_not_next_matches_bruteforce(events):
+    """A notNext(B): match at every A whose immediately following event is
+    not B (or that is last)."""
+    rows = _rows(events)
+    pat = (
+        Pattern.begin("a").where(lambda r: r["y"] == "A")
+        .not_next("nb").where(lambda r: r["y"] == "B")
+    )
+    got = _all_matches(rows, pat)
+    want = [
+        {"a": [rows[i]["i"]], "nb": []}
+        for i in range(len(rows))
+        if rows[i]["y"] == "A"
+        and (i + 1 >= len(rows) or rows[i + 1]["y"] != "B")
+    ]
+    assert got == want
+
+
+@given(EVENTS, st.integers(1, 10))
+@settings(max_examples=200, deadline=None)
+def test_not_followed_by_terminal_matches_bruteforce(events, window):
+    """A notFollowedBy(B) within w: match at every A with no B in (A, A+w]."""
+    rows = _rows(events)
+    pat = (
+        Pattern.begin("a").where(lambda r: r["y"] == "A")
+        .not_followed_by("nb").where(lambda r: r["y"] == "B")
+        .within(window)
+    )
+    got = _all_matches(rows, pat)
+    want = []
+    for i, r in enumerate(rows):
+        if r["y"] != "A":
+            continue
+        blocked = any(
+            q["y"] == "B" and q["t"] <= r["t"] + window for q in rows[i + 1 :]
+        )
+        if not blocked:
+            want.append({"a": [r["i"]], "nb": []})
+    assert got == want
+
+
+@given(EVENTS, st.integers(1, 10))
+@settings(max_examples=200, deadline=None)
+def test_not_followed_by_middle_matches_bruteforce(events, window):
+    """A notFollowedBy(B) followedBy(C): no B strictly between A and the
+    first C after A."""
+    rows = [
+        {"t": t, "y": y, "i": i}
+        for i, (t, y) in enumerate(
+            sorted(events, key=lambda e: e[0])
+        )
+    ]
+    # third symbol: map every even index to C to get three letters from {A,B}
+    for r in rows:
+        if r["i"] % 3 == 2:
+            r["y"] = "C"
+    pat = (
+        Pattern.begin("a").where(lambda r: r["y"] == "A")
+        .not_followed_by("nb").where(lambda r: r["y"] == "B")
+        .followed_by("c").where(lambda r: r["y"] == "C")
+        .within(window)
+    )
+    got = _all_matches(rows, pat)
+    want = []
+    for i, r in enumerate(rows):
+        if r["y"] != "A":
+            continue
+        cs = [
+            q for q in rows[i + 1 :] if q["y"] == "C" and q["t"] <= r["t"] + window
+        ]
+        if not cs:
+            continue
+        c = cs[0]
+        gap_has_b = any(
+            q["y"] == "B" for q in rows[i + 1 : c["i"]]
+        )
+        if not gap_has_b:
+            want.append({"a": [r["i"]], "nb": [], "c": [c["i"]]})
+    assert got == want
+
+
+@given(EVENTS)
+@settings(max_examples=200, deadline=None)
+def test_or_where_is_union(events):
+    """where(A).or_where(B) accepts exactly the union of A-rows and B-rows."""
+    rows = _rows(events)
+    pat_or = (
+        Pattern.begin("x")
+        .where(lambda r: r["y"] == "A")
+        .or_where(lambda r: r["y"] == "B")
+    )
+    got = _all_matches(rows, pat_or)
+    want = [{"x": [r["i"]]} for r in rows if r["y"] in ("A", "B")]
+    assert got == want
+
+
+@given(EVENTS)
+@settings(max_examples=200, deadline=None)
+def test_followed_by_any_enumerates_all_branches(events):
+    """followedByAny must find a match for every (A, later B) pair when
+    branches are enumerated."""
+    rows = _rows(events)
+    pat = (
+        Pattern.begin("a").where(lambda r: r["y"] == "A")
+        .followed_by_any("b").where(lambda r: r["y"] == "B")
+    )
+    from fries_flink_spark.operators.cep import _build_masks, _solutions
+    import pandas as pd
+
+    if not rows:
+        return
+    pdf = pd.DataFrame(rows)
+    masks, idx = _build_masks(pat, pdf)
+    ts = [r["t"] for r in rows]
+    got = []
+    for s in range(len(rows)):
+        for m in _solutions(ts, masks, idx, s, pat):
+            got.append({k: v for k, v in m.items()})
+    want = [
+        {"a": [i], "b": [j]}
+        for i in range(len(rows))
+        if rows[i]["y"] == "A"
+        for j in range(i + 1, len(rows))
+        if rows[j]["y"] == "B"
+    ]
+    assert got == want
+
+
+@given(EVENTS)
+@settings(max_examples=200, deadline=None)
 def test_optional_stage_never_blocks(events):
     """A fully-optional middle stage must make the pattern equivalent to the
     two-stage version when no middle events exist."""
