@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ..similarity.ann import cosine, cosine_topk, ivf_topk, lsh_bucket_topk, _as_double
+from ..similarity.ann import cosine_lit, cosine_topk, ivf_topk, lsh_bucket_topk, _as_double
 
 
 def _query_vec(spark, sf_dir):
@@ -55,10 +55,9 @@ def sim_range_search(spark, sf_dir):
     """Range (threshold) similarity search: all vectors with cos >= 0.15."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     qv = _query_vec(spark, sf_dir)
-    q = F.array(*[F.lit(x) for x in qv])
     return (
         emb.select(
-            "vec_id", cosine(_as_double(F.col("embedding")), q).alias("__cos")
+            "vec_id", cosine_lit(F.col("embedding"), qv).alias("__cos")
         )
         .filter(F.col("__cos") >= 0.15)
         .select("vec_id", F.round("__cos", 4).alias("cos"))

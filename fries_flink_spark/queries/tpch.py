@@ -708,31 +708,41 @@ def tpch_q19(spark, sf_dir):
     """,
 )
 def tpch_q21(spark, sf_dir):
+    # Single pass over the fact table: ONE lineitem-orders join, then a
+    # two-level aggregation — (orderkey, suppkey) with map-side partials,
+    # collapsed to per-order distinct/late-distinct counts via conditional
+    # aggregates. The naive per_order/late_po formulation scans lineitem
+    # three times and shuffles it for each countDistinct; here lateness is a
+    # flag inside one aggregation. Eligible orders (ns > 1, exactly one late
+    # supplier) carry that supplier's id and late-row count out of the same
+    # pass, so the only remaining join is the broadcast against supplier.
     li, orders, sup = _t(spark, sf_dir, "lineitem", "orders", "supplier")
-    late = (
-        li.join(
-            orders.filter(F.col("o_orderstatus") == "F"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+    j = li.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("ns")
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("is_late"), F.lit(1))).alias("late_cnt")
     )
-    late_po = late.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("nls")
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.count(F.when(F.col("late_cnt") > 0, F.lit(1))).alias("nls"),
+        F.max(F.when(F.col("late_cnt") > 0, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum(F.when(F.col("late_cnt") > 0, F.col("late_cnt"))).alias("late_rows"),
     )
-    elig = (
-        per_order.join(late_po, "l_orderkey")
-        .filter((F.col("ns") > 1) & (F.col("nls") == 1))
-        .select("l_orderkey")
-    )
+    elig = per_order.filter((F.col("ns") > 1) & (F.col("nls") == 1))
     return (
-        late.join(elig, "l_orderkey")
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        elig.join(F.broadcast(sup), F.col("s_suppkey") == F.col("late_supp"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_rows").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )

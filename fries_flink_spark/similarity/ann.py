@@ -1,24 +1,34 @@
 """Similarity search over embedding columns (LLM-pipeline operators).
 
 - ``cosine_topk``: brute-force top-k by cosine — the exactness baseline.
-  Dot products run as JVM higher-order functions (zip_with + aggregate) in
-  whole-stage codegen; top-k is TakeOrderedAndProject (no full sort).
+  Dot products against literal query vectors are expanded into flat
+  ``v[i] * c_i`` multiply-add chains (plain GetArrayItem arithmetic that
+  whole-stage codegen compiles), NOT interpreted higher-order-function
+  lambdas; top-k is TakeOrderedAndProject (no full sort, no exchange).
 - ``lsh_bucket_topk``: the scale path — sign-random-projection LSH. Each
   vector hashes to a bucket by the signs of h dot products with
   deterministic pseudo-random hyperplanes (seeded, so plans are stable and
   engine-portable). Query time touches only matching/neighboring buckets:
   at 100 TB, the bucket column is a partition/bucketing key, so a top-k
   probe prunes to a handful of partitions instead of scanning everything.
-- ``ivf_topk``: IVF-style two-stage probe — coarse centroids (sampled seed
-  vectors), assign each vector to nearest centroid (broadcast join), probe
-  only the ``nprobe`` closest centroids at query time.
+- ``ivf_topk``: IVF two-stage probe — spherical k-means coarse centroids
+  (Lloyd iterations run as DataFrame aggregations; only the k×d centroid
+  matrix ever touches the driver, exactly like MLlib's KMeans), assignment
+  as a zero-exchange literal-centroid argmin, probe of the ``nprobe``
+  closest cells.
+- ``cosine_pairs``: exact all-pairs above a threshold, as a distributed
+  block-tiled GEMM (cogrouped pandas) — nothing is collected to the driver.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
+from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -26,7 +36,21 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+# --------------------------------------------------------------------------- #
+# Dot products.
+#
+# Two renditions: a generic column-vs-column HOF form (kept for the rare
+# data-vs-data case where the dimension isn't statically known), and the
+# codegen form used on every hot path — when one side is a driver-known
+# literal vector the product unrolls to ``v[0]*c0 + v[1]*c1 + ...``, plain
+# arithmetic that Tungsten compiles into a single codegen stage (PERF.md
+# measured the interpreted HOF ~10× slower on exactly this shape).
+# --------------------------------------------------------------------------- #
+
+
 def dot(a: Column, b: Column) -> Column:
+    """Generic column-vs-column dot product (interpreted HOF — use
+    :func:`dot_lit` whenever one side is a literal)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
@@ -38,6 +62,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def dot_lit(vec: Column, lit_vec: list[float]) -> Column:
+    """Codegen dot product against a literal vector: a flat multiply-add
+    chain over GetArrayItem — no lambda functions in the plan."""
+    return reduce(
+        Column.__add__,
+        [vec[i].cast("double") * F.lit(float(c)) for i, c in enumerate(lit_vec)],
+    )
+
+
+def l2norm_sq_lit(vec: Column, dim: int) -> Column:
+    """Codegen squared L2 norm for a column of statically-known dimension."""
+    return reduce(
+        Column.__add__,
+        [vec[i].cast("double") * vec[i].cast("double") for i in range(dim)],
+    )
+
+
+def cosine_lit(vec: Column, lit_vec: list[float]) -> Column:
+    """Codegen cosine similarity against a literal query vector."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in lit_vec))
+    return dot_lit(vec, lit_vec) / (F.sqrt(l2norm_sq_lit(vec, len(lit_vec))) * F.lit(qn))
+
+
 def cosine_topk(
     df: DataFrame,
     vec_col: str,
@@ -45,12 +92,15 @@ def cosine_topk(
     query_vec: list[float],
     k: int = 10,
 ) -> DataFrame:
-    """Brute-force cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    """Brute-force cosine top-k against a literal query vector.
+
+    Plan shape: Scan → Project (codegen multiply-add chain) →
+    TakeOrderedAndProject. Zero exchanges, zero Python.
+    """
     return (
         df.select(
             F.col(id_col),
-            cosine(_as_double(F.col(vec_col)), q).alias("cos"),
+            cosine_lit(F.col(vec_col), query_vec).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
@@ -72,11 +122,11 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def srp_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
-    """Sign-random-projection bucket id (0 .. 2^n_planes-1)."""
+    """Sign-random-projection bucket id (0 .. 2^n_planes-1). Each plane test
+    is a codegen multiply-add chain (planes are literals by construction)."""
     out = F.lit(0)
     for p, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
-        pl = F.array(*[F.lit(v) for v in plane])
-        out = out + F.when(dot(vec, pl) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        out = out + F.when(dot_lit(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return out
 
 
@@ -94,8 +144,8 @@ def lsh_bucket_topk(
     dim = len(query_vec)
     withb = df.select(
         F.col(id_col),
-        _as_double(F.col(vec_col)).alias("__v"),
-        srp_bucket(_as_double(F.col(vec_col)), dim, n_planes, seed).alias("__b"),
+        F.col(vec_col).alias("__v"),
+        srp_bucket(F.col(vec_col), dim, n_planes, seed).alias("__b"),
     )
     # query bucket computed driver-side with the same hyperplanes
     qb = 0
@@ -103,10 +153,9 @@ def lsh_bucket_topk(
         if sum(x * y for x, y in zip(query_vec, plane)) > 0:
             qb |= 1 << p
     probe = [qb] + [qb ^ (1 << p) for p in range(n_planes)]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         withb.filter(F.col("__b").isin(probe))
-        .select(F.col(id_col), cosine(F.col("__v"), q).alias("cos"))
+        .select(F.col(id_col), cosine_lit(F.col("__v"), query_vec).alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
@@ -117,53 +166,134 @@ def cosine_pairs(
     vec_col: str,
     id_col: str,
     threshold: float,
+    rows_per_block: int = 65536,
 ) -> DataFrame:
-    """Exact all-pairs cosine similarity ≥ threshold, as a blocked GEMM.
+    """Exact all-pairs cosine similarity ≥ threshold, as a block-tiled GEMM.
 
-    One side (the full normalized matrix) is broadcast to every executor; each
-    partition of the other side computes a single numpy matmul against it and
-    emits only pairs over the threshold with a < b. Arrow batches in, one
-    vectorized BLAS call per partition — versus evaluating an interpreted
-    per-pair dot product over the crossJoin, which is ~50× slower at 10⁷
-    pairs.
-
-    Scale: the broadcast side must fit in executor memory (n×d doubles — same
-    constraint as a broadcast join build side). Beyond that, tile the right
-    side into DataFrame blocks and union the per-block results; for near-dup
-    detection at 100 TB prefer the ANN paths (``lsh_bucket_topk``/``ivf_topk``)
-    which prune candidates before any exact math.
+    Rows hash into ``ceil(n / rows_per_block)`` disjoint blocks; every block
+    pair (bi ≤ bj) becomes one cogroup, and each cogroup runs a single numpy
+    matmul of block bi against block bj, emitting only pairs over the
+    threshold (ordered a < b, each unordered pair exactly once). Nothing is
+    ever collected to the driver — the old formulation ``toPandas()``-ed the
+    whole table before broadcasting, which caps out at driver memory; this
+    one shuffles each row ~(n_blocks+1)/2 times into groups of bounded size
+    (rows_per_block × dim doubles ≈ 33 MB at the defaults), the inherent
+    replication cost of exact all-pairs tiling. At 100 TB prefer the ANN
+    paths (``lsh_bucket_topk``/``ivf_topk``) or MinHash-LSH, which prune
+    candidates before any exact math.
     """
-    import numpy as np
-    import pandas as pd
-
+    spark = df.sparkSession
     id_type = [f.dataType.simpleString() for f in df.schema.fields if f.name == id_col][0]
-    pdf = df.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+    n = df.count()
+    n_blocks = max(1, math.ceil(n / rows_per_block))
+
+    def replicated(block_col: str):
+        # fresh expression ids per side (alias + createDataFrame both mint
+        # new attributes), so the cogroup's key columns aren't ambiguous
+        base = df.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+        ).withColumn(
+            "__blk", F.pmod(F.hash(F.col("__id")), F.lit(n_blocks)).cast("int")
+        )
+        grid = spark.createDataFrame(
+            [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)],
+            "bi int, bj int",
+        )
+        return base.join(
+            F.broadcast(grid), F.col("__blk") == F.col(block_col)
+        ).drop("__blk")
+
+    left = replicated("bi")
+    right = replicated("bj")
     thr = float(threshold)
 
-    def gen(batches):
-        bids, bmat = bc.value
-        for part in batches:
-            if not len(part):
-                continue
-            x = np.stack(part[vec_col].to_numpy()).astype("float64")
-            x /= np.linalg.norm(x, axis=1, keepdims=True)
-            xids = part[id_col].to_numpy()
-            sim = x @ bmat.T
-            ii, jj = np.nonzero(sim >= thr)
-            keep = xids[ii] < bids[jj]
-            yield pd.DataFrame(
-                {
-                    "a": xids[ii][keep],
-                    "b": bids[jj][keep],
-                    "cos": sim[ii, jj][keep],
-                }
-            )
+    def gemm(key, lpdf, rpdf):
+        bi, bj = key
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"a": [], "b": [], "cos": []})
+        xl = np.stack(lpdf["__vec"].to_numpy()).astype("float64")
+        xl /= np.linalg.norm(xl, axis=1, keepdims=True)
+        xr = np.stack(rpdf["__vec"].to_numpy()).astype("float64")
+        xr /= np.linalg.norm(xr, axis=1, keepdims=True)
+        lids = lpdf["__id"].to_numpy()
+        rids = rpdf["__id"].to_numpy()
+        sim = xl @ xr.T
+        ii, jj = np.nonzero(sim >= thr)
+        cc = sim[ii, jj]
+        if bi == bj:
+            # same block on both sides: keep the upper triangle only
+            keep = lids[ii] < rids[jj]
+            a, b, cc = lids[ii][keep], rids[jj][keep], cc[keep]
+        else:
+            # disjoint blocks: every hit is a distinct unordered pair
+            a = np.minimum(lids[ii], rids[jj])
+            b = np.maximum(lids[ii], rids[jj])
+        return pd.DataFrame({"a": a, "b": b, "cos": cc})
 
-    return df.mapInPandas(gen, schema=f"a {id_type}, b {id_type}, cos double")
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(gemm, schema=f"a {id_type}, b {id_type}, cos double")
+    )
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Zero-exchange argmax-cosine over literal centroids.
+
+    argmax_c cos(v, c) = argmax_c dot(v, ĉ) — centroids are pre-normalized
+    driver-side so no per-row norm is needed. Evaluated as one BLAS GEMM per
+    Arrow batch (batch_matrix @ ĉᵀ, row argmax) in a vectorized pandas_udf:
+    a narrow per-row transform, no Window/row_number shuffle (the literal
+    k×d multiply-add expansion is codegen-able too, but its k·d-term
+    expression tree costs more in Catalyst/janino compile time than the
+    whole job at any k ≥ 16).
+    """
+    cmat = np.asarray(centroids, dtype="float64")
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    chat = cmat / norms
+
+    @F.pandas_udf("int")
+    def argmax_cos(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype("float64")
+        return pd.Series(np.argmax(x @ chat.T, axis=1).astype("int32"))
+
+    return argmax_cos(vec)
+
+
+def kmeans_centroids(
+    vecs: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int,
+    dim: int,
+    n_iter: int = 2,
+) -> list[list[float]]:
+    """Spherical k-means via Lloyd iterations expressed as DataFrame ops.
+
+    Seeds are the first ``n_centroids`` vectors by id (deterministic).
+    Each step: zero-exchange literal-centroid assignment, then one tiny
+    aggregation (k groups × dim avg columns, map-side partials) whose k×d
+    result is collected — the only driver traffic, same shape as MLlib
+    KMeans. Empty clusters keep their previous centroid.
+    """
+    seed_rows = (
+        vecs.orderBy(id_col).limit(n_centroids).select(F.col(vec_col)).collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in seed_rows]
+    for _ in range(n_iter):
+        assigned = vecs.select(
+            _nearest_centroid(F.col(vec_col), cents).alias("__cid"),
+            F.col(vec_col).alias("__v"),
+        )
+        new = (
+            assigned.groupBy("__cid")
+            .agg(*[F.avg(F.col("__v")[i].cast("double")).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cid = {r["__cid"]: [r[f"c{i}"] for i in range(dim)] for r in new}
+        cents = [by_cid.get(cid, cents[cid]) for cid in range(len(cents))]
+    return cents
 
 
 def ivf_topk(
@@ -174,48 +304,35 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    kmeans_iter: int = 2,
 ) -> DataFrame:
-    """IVF-style probe: centroids = first n_centroids vectors by id (a
-    deterministic coarse quantizer — a k-means refinement would slot in here),
-    vectors assigned to nearest centroid via broadcast join; query scans only
-    the nprobe nearest centroid cells."""
-    cent = (
-        df.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cvec")
-        )
-    )
-    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
-    assigned = (
-        vecs.crossJoin(F.broadcast(cent))
-        .withColumn("d", cosine(F.col("__v"), F.col("cvec")))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.desc("d"), F.asc("cent_id"))
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select(id_col, "__v", "cent_id")
-    )
-    crows = cent.collect()
-    import math
+    """IVF two-stage probe: spherical-k-means coarse centroids, zero-exchange
+    nearest-centroid assignment, query scans only the ``nprobe`` closest
+    cells. The returned plan is Scan → Project → Filter →
+    TakeOrderedAndProject — no Exchange anywhere (the old rendition paid a
+    full shuffle for a row_number-window argmin and used untrained first-n
+    centroids). At 100 TB the cell id is the natural partition key, so the
+    probe prunes to nprobe partitions."""
+    dim = len(query_vec)
+    cents = kmeans_centroids(df, vec_col, id_col, n_centroids, dim, kmeans_iter)
 
     def cos_py(a, b):
         d = sum(x * y for x, y in zip(a, b))
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb)
+        return d / (na * nb) if na and nb else 0.0
 
-    probe_ids = [
-        r["cent_id"]
-        for r in sorted(crows, key=lambda r: -cos_py(r["cvec"], query_vec))[:nprobe]
-    ]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = sorted(
+        range(len(cents)), key=lambda cid: -cos_py(cents[cid], query_vec)
+    )[:nprobe]
     return (
-        assigned.filter(F.col("cent_id").isin(probe_ids))
-        .select(F.col(id_col), cosine(F.col("__v"), q).alias("cos"))
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            _nearest_centroid(F.col(vec_col), cents).alias("__cid"),
+        )
+        .filter(F.col("__cid").isin(probe_ids))
+        .select(F.col(id_col), cosine_lit(F.col("__v"), query_vec).alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )

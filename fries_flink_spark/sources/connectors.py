@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 # Formats supported natively by the Spark distribution in this environment.
-FORMATS = ("parquet", "csv", "json", "orc", "text")
+FORMATS = ("parquet", "csv", "json", "orc", "text", "avro")
 
 
 def read_file(
@@ -47,7 +47,16 @@ def read_file(
         reader = reader.schema(schema)
     if fmt == "csv":
         options.setdefault("header", "true")
-    return reader.options(**options).load(path)
+    try:
+        return reader.options(**options).load(path)
+    except Exception as e:  # avro is an external Spark module (flink-avro parity)
+        if fmt == "avro" and "avro" in str(e).lower():
+            raise NotImplementedError(
+                "avro support requires the spark-avro module "
+                "(org.apache.spark:spark-avro_2.13 on the classpath / "
+                "--packages); it is not bundled in this environment"
+            ) from e
+        raise
 
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:
@@ -80,7 +89,16 @@ def write_file(
         options["compression"] = compression
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.options(**options).save(path)
+    try:
+        writer.options(**options).save(path)
+    except Exception as e:  # avro is an external Spark module (flink-avro parity)
+        if fmt == "avro" and "avro" in str(e).lower():
+            raise NotImplementedError(
+                "avro support requires the spark-avro module "
+                "(org.apache.spark:spark-avro_2.13 on the classpath / "
+                "--packages); it is not bundled in this environment"
+            ) from e
+        raise
 
 
 def write_bucketed_table(

@@ -266,6 +266,14 @@ class Table:
     def minus_all(self, other: "Table") -> "Table":  # Table.java:770
         return Table(self._df.exceptAll(other._df))
 
+    # -- hints -------------------------------------------------------------
+    def hint(self, name: str, *parameters) -> "Table":
+        """Optimizer hint passthrough (reference DataSet.java:793-995
+        joinWithTiny/joinWithHuge + JoinHint, JoinOperatorBase.java:39).
+        Spark names: broadcast, merge, shuffle_hash, shuffle_replicate_nl,
+        rebalance, repartition, coalesce."""
+        return Table(self._df.hint(name, *parameters))
+
     # -- sort / limit (§2.7) ----------------------------------------------
     def order_by(self, *exprs: Column | str) -> "Table":  # Table.java:861
         return Table(self._df.orderBy(*_cols(exprs)))

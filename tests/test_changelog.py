@@ -74,3 +74,67 @@ def test_drop_update_before(spark):
     )
     kinds = {r.row_kind for r in drop_update_before(df).collect()}
     assert UPDATE_BEFORE not in kinds and len(kinds) == 2
+
+
+def test_streaming_agg_changelog_roundtrip(spark, sf_dir):
+    """Reference GroupAggFunction.java:43: a streaming group-agg's update
+    stream, diffed into +I/-U/+U batches by to_changelog, accumulated in a
+    changelog sink, and normalized back, must reproduce the batch aggregate."""
+    from fries_flink_spark.catalog import load_table
+    from fries_flink_spark.streaming.sources import stream_from_df
+
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    sdf, stage = stream_from_df(ev, n_chunks=4)
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+
+    schema = "event_type string, n long, total double"
+    snapshot: dict = {}   # key -> (key, n, total): the sink's current rows
+    log: list = []        # accumulated changelog: (seq, row_kind, key, n, total)
+
+    def emit(batch_df, _bid):
+        rows = [(r["event_type"], r["n"], r["total"]) for r in batch_df.collect()]
+        if not rows:
+            return
+        touched = [r[0] for r in rows]
+        before = spark.createDataFrame(
+            [snapshot[k] for k in touched if k in snapshot], schema
+        )
+        after = spark.createDataFrame(rows, schema)
+        ch = to_changelog(before, after, ["event_type"]).collect()
+        # -U must precede its +U partner in the changelog stream
+        for r in sorted(
+            ch, key=lambda r: (r["event_type"], r["row_kind"] != UPDATE_BEFORE)
+        ):
+            log.append((len(log), r["row_kind"], r["event_type"], r["n"], r["total"]))
+        snapshot.update({r[0]: r for r in rows})
+
+    q = agg.writeStream.outputMode("update").foreachBatch(emit).start()
+    q.processAllAvailable()
+    q.stop()
+    shutil.rmtree(stage, ignore_errors=True)
+
+    chdf = spark.createDataFrame(
+        log, "seq long, row_kind string, event_type string, n long, total double"
+    )
+    kinds = {r["row_kind"] for r in chdf.select("row_kind").distinct().collect()}
+    assert INSERT in kinds, "no +I rows — keys never materialized"
+    assert UPDATE_BEFORE in kinds and UPDATE_AFTER in kinds, (
+        "no retractions flowed — multi-batch updates must emit -U/+U pairs"
+    )
+
+    snap = changelog_normalize(chdf, ["event_type"], [F.col("seq")])
+    got = {r["event_type"]: (r["n"], r["total"]) for r in snap.collect()}
+    want = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, total) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - total) < 1e-6

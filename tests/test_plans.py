@@ -71,3 +71,15 @@ def test_exact_dedup_is_single_shuffle(spark, registry):
     df = registry["dedup_exact"](spark, SF)
     assert exchange_count(df) == 1
     assert has_partial_aggregation(df)
+
+
+def test_q21_single_fact_pass(spark, registry):
+    """q21 must scan lineitem once (single-pass conditional aggregation), not
+    the naive three-scan per_order/late_po plan, and broadcast supplier."""
+    df = registry["tpch_q21"](spark, SF)
+    schemas = read_schemas(df)
+    fact_scans = [s for s in schemas if "l_suppkey" in s]
+    assert len(fact_scans) == 1, schemas
+    js = join_strategies(df)
+    assert js.get("BroadcastHashJoin", 0) >= 1, js
+    assert has_partial_aggregation(df)
