@@ -94,7 +94,13 @@ class TableEnvironment:
         return register_tables(self.spark, sf_dir)
 
     def sql_query(self, sql: str) -> DataFrame:
-        return self.spark.sql(sql)
+        """Reference TableEnvironment.sqlQuery (TableEnvironmentImpl.java:703)
+        including the Flink grammar extensions — window TVFs, FOR SYSTEM_TIME
+        AS OF, MATCH_RECOGNIZE — which ``sqlext`` lowers onto this repo's
+        operators; plain ANSI rides Catalyst untouched."""
+        from .sqlext import sql as _ext_sql
+
+        return _ext_sql(self.spark, sql)
 
     # Flink names executeSql for DDL+DML; for us it is the same entry point.
     execute_sql = sql_query

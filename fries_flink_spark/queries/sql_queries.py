@@ -8,8 +8,11 @@ ones SURVEY §4.1 maps from the Blink planner.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..catalog import register_tables
 from ..registry import query
+from ..sqlext import sql as fsql
 
 
 @query(
@@ -96,4 +99,265 @@ def sql_window_tvf(spark, sf_dir):
         GROUP BY window(ts, '15 minutes'), event_type
         ORDER BY w_start, event_type
         """
+    )
+
+
+@query(
+    "sql_tumble_tvf",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS w_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY w_start, event_type
+    """,
+)
+def sql_tumble_tvf(spark, sf_dir):
+    """TUMBLE window TVF through the Flink grammar (reference
+    FlinkSqlOperatorTable.java:1181, parserImpls.ftl) — sqlext lowers the TVF
+    to Spark's native window() expression, codegen end to end."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS w_start,
+               event_type, count(*) AS n, round(sum(value), 4) AS total
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '900' SECOND))
+        GROUP BY window_start, event_type
+        ORDER BY w_start, event_type
+        """,
+    )
+
+
+@query(
+    "sql_hop_tvf",
+    oracle="""
+    SELECT CAST((floor(epoch(ts) / 300) - g.k) * 300 AS BIGINT) AS w_start,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events, generate_series(0, 1) AS g(k)
+    GROUP BY 1
+    ORDER BY w_start
+    """,
+)
+def sql_hop_tvf(spark, sf_dir):
+    """HOP window TVF (Flink arg order: slide, size) through the grammar —
+    lowered to native window(size, slide). For heavy sliding aggregations the
+    sliced operator (win_hop) replicates per-slice partials instead of rows;
+    the SQL surface keeps the native lowering for fidelity."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS w_start,
+               count(*) AS n, round(sum(value), 4) AS total
+        FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),
+                       INTERVAL '300' SECOND, INTERVAL '600' SECOND))
+        GROUP BY window_start
+        ORDER BY w_start
+        """,
+    )
+
+
+@query(
+    "sql_cumulate_tvf",
+    oracle="""
+    WITH slices AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
+             CAST(floor(epoch(ts) / 900) * 900 + 900 AS BIGINT) AS slice_end,
+             value
+      FROM events
+    )
+    SELECT w_start, w_start + g.k * 900 AS w_end,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM slices, generate_series(1, 4) AS g(k)
+    WHERE slice_end <= w_start + g.k * 900
+    GROUP BY 1, 2
+    ORDER BY w_start, w_end
+    """,
+)
+def sql_cumulate_tvf(spark, sf_dir):
+    """CUMULATE window TVF (reference CumulativeSliceAssigner; VERDICT missing
+    #3) — sqlext lowers to an explode over <= max/step window-ends."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS w_start,
+               CAST(unix_timestamp(window_end) AS BIGINT) AS w_end,
+               count(*) AS n, round(sum(value), 4) AS total
+        FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts),
+                            INTERVAL '900' SECOND, INTERVAL '3600' SECOND))
+        GROUP BY window_start, window_end
+        ORDER BY w_start, w_end
+        """,
+    )
+
+
+@query(
+    "sql_session_tvf",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def sql_session_tvf(spark, sf_dir):
+    """SESSION window TVF with PARTITION BY (Flink session TVF grammar) —
+    sqlext lowers to lag/cumsum sessionization at microsecond precision, one
+    shuffle on the partition keys."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id,
+               CAST(unix_timestamp(window_start) AS BIGINT) AS session_start,
+               count(*) AS n, round(sum(value), 4) AS total
+        FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts),
+                           INTERVAL '1800' SECOND))
+        GROUP BY user_id, window_start
+        ORDER BY user_id, session_start
+        """,
+    )
+
+
+@query(
+    "sql_temporal_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, s.signup_event AS last_signup_event
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, event_id AS signup_event FROM events
+                    WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND s.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+)
+def sql_temporal_join(spark, sf_dir):
+    """FOR SYSTEM_TIME AS OF through the SQL string (reference grammar
+    parserImpls.ftl:518, StreamExecTemporalJoin.java; VERDICT missing #3) —
+    sqlext lowers onto asof_join's union + last_value window: one shuffle on
+    the key, no pairwise explosion."""
+    register_tables(spark, sf_dir)
+    spark.sql(
+        "SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'"
+    ).createOrReplaceTempView("purchases_v")
+    spark.sql(
+        "SELECT user_id, ts, event_id AS signup_event FROM events "
+        "WHERE event_type = 'signup'"
+    ).createOrReplaceTempView("signups_v")
+    return fsql(
+        spark,
+        """
+        SELECT p.event_id, p.user_id, p.signup_event AS last_signup_event
+        FROM purchases_v p LEFT JOIN signups_v
+          FOR SYSTEM_TIME AS OF p.ts AS s
+          ON p.user_id = s.user_id
+        ORDER BY p.event_id
+        """,
+    )
+
+
+@query(
+    "sql_match_recognize",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, event_type, ts,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS n_type,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS n_id,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n_ts
+      FROM events)
+    SELECT user_id, event_id AS a_id, n_id AS b_id
+    FROM w
+    WHERE event_type = 'click' AND n_type = 'purchase'
+      AND n_ts <= ts + INTERVAL 30 MINUTE
+    ORDER BY user_id, a_id
+    """,
+)
+def sql_match_recognize(spark, sf_dir):
+    """MATCH_RECOGNIZE through the SQL string (reference parserImpls.ftl,
+    StreamExecMatch.java, MatchCodeGenerator.scala; VERDICT missing #3) —
+    sqlext compiles DEFINE into vectorized numpy masks feeding the NFA in
+    operators/cep.py, one shuffle on PARTITION BY."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id, a_id, b_id
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS a_id, B.event_id AS b_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B) WITHIN INTERVAL '1800' SECOND
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'purchase'
+        )
+        ORDER BY user_id, a_id
+        """,
+    )
+
+
+@query(
+    "sql_mr_quantifier",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+             lead(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS id2,
+             lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v1,
+             lead(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2,
+             lead(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts2
+      FROM events)
+    SELECT user_id, event_id AS first_id, id2 AS last_id,
+           CAST(3 AS BIGINT) AS n_errors,
+           round(value + v1 + v2, 4) AS total_value
+    FROM w
+    WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'
+      AND ts2 <= ts + INTERVAL 2 HOUR
+    ORDER BY user_id, first_id
+    """,
+)
+def sql_mr_quantifier(spark, sf_dir):
+    """MATCH_RECOGNIZE with a {3} quantifier and FIRST/LAST/COUNT/SUM measures
+    (reference MatchRecognizeITCase.scala quantifier cases)."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id, first_id, last_id, n_errors,
+               round(total_value, 4) AS total_value
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(E.event_id) AS first_id,
+                   LAST(E.event_id) AS last_id,
+                   COUNT(E.*) AS n_errors,
+                   SUM(E.value) AS total_value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (E{3}) WITHIN INTERVAL '7200' SECOND
+          DEFINE E AS E.event_type = 'error'
+        )
+        ORDER BY user_id, first_id
+        """,
     )

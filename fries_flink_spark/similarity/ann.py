@@ -122,12 +122,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def srp_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
-    """Sign-random-projection bucket id (0 .. 2^n_planes-1). Each plane test
-    is a codegen multiply-add chain (planes are literals by construction)."""
-    out = F.lit(0)
-    for p, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
-        out = out + F.when(dot_lit(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return out
+    """Sign-random-projection bucket id (0 .. 2^n_planes-1).
+
+    All n_planes sign tests run as one BLAS GEMM per Arrow batch
+    (batch_matrix @ planesᵀ, sign bits weighted into an int) in a vectorized
+    pandas_udf. The literal multiply-add expansion is NOT used here: at
+    n_planes×dim terms (512 at the defaults) the generated Java exceeds
+    janino's method limit, so codegen fails and Spark silently falls back to
+    interpreted eval — strictly slower than the Arrow path."""
+    pmat = np.asarray(_hyperplanes(dim, n_planes, seed), dtype="float64")
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    @F.pandas_udf("int")
+    def bucket(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype("float64")
+        bits = (x @ pmat.T) > 0
+        return pd.Series((bits @ weights).astype("int32"))
+
+    return bucket(vec)
 
 
 def lsh_bucket_topk(

@@ -1,0 +1,653 @@
+"""Flink-SQL extension surface over Spark SQL (SURVEY §3.1 / VERDICT "What's
+missing" #3): the three grammar extensions the reference's parser adds beyond
+ANSI — window TVFs, ``FOR SYSTEM_TIME AS OF`` temporal joins, and
+``MATCH_RECOGNIZE`` — accepted as SQL strings and lowered onto this repo's
+operators.
+
+Reference grammar: flink-table/flink-sql-parser/src/main/codegen/includes/
+parserImpls.ftl:518 (MATCH_RECOGNIZE / temporal table syntax),
+FlinkSqlOperatorTable.java:1181-1183 (TUMBLE/HOP/CUMULATE window TVFs),
+StreamExecMatch.java + MatchCodeGenerator.scala (MATCH_RECOGNIZE lowering),
+StreamExecTemporalJoin.java (FOR SYSTEM_TIME AS OF lowering).
+
+Spark-first design: everything that IS ANSI rides ``spark.sql`` untouched —
+Catalyst parses, optimizes, and codegens it. Only the three extensions are
+recognized (by a light tokenizing pass, not a full SQL grammar), rewritten
+into DataFrame plans built from ``operators/`` (cep.match_pattern,
+joins.asof_join, window assignment), registered as temp views, and spliced
+back into the remaining ANSI query — so projections, aggregations, and ORDER
+BY around the extension still execute fully inside Catalyst.
+
+Scale notes:
+- Window TVFs: TUMBLE/HOP lower to the native ``window()`` expression
+  (codegen; HOP replicates rows size/slide× — for heavy sliding aggs prefer
+  ``operators.windows.hop_agg_sliced`` which replicates only per-slice
+  partials). CUMULATE lowers to an explode over ≤ max/step window-ends;
+  SESSION to the lag/cumsum sessionization (one shuffle on the partition
+  keys, fully codegen).
+- Temporal join: lowers to ``asof_join``'s union + last_value window — one
+  shuffle on the key, no pairwise explosion.
+- MATCH_RECOGNIZE: lowers to the vectorized NFA in ``operators/cep.py`` —
+  one shuffle on PARTITION BY, per-key linear sweeps, per-stage predicates
+  evaluated once per Arrow batch as numpy masks.
+
+Supported subset (documented, enforced with clear errors): single TVF /
+single temporal join / single MATCH_RECOGNIZE per query; DEFINE conditions
+reference only the current pattern variable (Flink allows LAST(A.x) etc. —
+those raise); measures FIRST/LAST/bare column plus COUNT/SUM/AVG/MIN/MAX;
+ONE ROW PER MATCH; AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import timedelta
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.cep import (
+    NO_SKIP,
+    SKIP_PAST_LAST_EVENT,
+    SKIP_TO_NEXT,
+    Pattern,
+    match_pattern,
+)
+from .operators.joins import asof_join
+
+__all__ = ["sql"]
+
+_VIEW_SEQ = [0]
+
+
+def _fresh_view(prefix: str) -> str:
+    _VIEW_SEQ[0] += 1
+    return f"__{prefix}_{_VIEW_SEQ[0]}"
+
+
+# --------------------------------------------------------------------------- #
+# Interval literals
+# --------------------------------------------------------------------------- #
+
+_UNIT_SECONDS = {
+    "SECOND": 1,
+    "SECONDS": 1,
+    "MINUTE": 60,
+    "MINUTES": 60,
+    "HOUR": 3600,
+    "HOURS": 3600,
+    "DAY": 86400,
+    "DAYS": 86400,
+}
+
+_INTERVAL_RE = re.compile(r"INTERVAL\s+'(\d+)'\s+(\w+)", re.IGNORECASE)
+
+
+def _interval_seconds(text: str) -> int:
+    m = _INTERVAL_RE.search(text)
+    if not m:
+        raise ValueError(f"unsupported interval literal: {text!r}")
+    unit = m.group(2).upper()
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported interval unit: {unit}")
+    return int(m.group(1)) * _UNIT_SECONDS[unit]
+
+
+# --------------------------------------------------------------------------- #
+# Window TVFs: TABLE(TUMBLE|HOP|CUMULATE|SESSION(...))
+# --------------------------------------------------------------------------- #
+
+_TVF_RE = re.compile(
+    r"TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\((.*?)\)\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split on top-level commas (DESCRIPTOR(...) nests one paren level)."""
+    out, depth, cur = [], 0, []
+    for ch in argstr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _ts_typed(df: DataFrame, ts: str, col):
+    """Cast an epoch-seconds column back to the input ts column's type."""
+    target = dict(df.dtypes)[ts]
+    return F.timestamp_seconds(col).cast(target)
+
+
+def _window_tvf_df(spark: SparkSession, kind: str, argstr: str) -> DataFrame:
+    args = _split_args(argstr)
+    m = re.match(
+        r"TABLE\s+(\w+)(?:\s+PARTITION\s+BY\s+([\w\s,]+?))?\s*$",
+        args[0],
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"window TVF: cannot parse table argument {args[0]!r}")
+    table, part = m.group(1), m.group(2)
+    dm = re.match(r"DESCRIPTOR\s*\(\s*(\w+)\s*\)", args[1], re.IGNORECASE)
+    if not dm:
+        raise ValueError(f"window TVF: cannot parse descriptor {args[1]!r}")
+    ts = dm.group(1)
+    df = spark.table(table)
+    kind = kind.upper()
+
+    if kind == "TUMBLE":
+        size = _interval_seconds(args[2])
+        w = F.window(F.col(ts), f"{size} seconds")
+    elif kind == "HOP":
+        # Flink arg order: slide, then size (FlinkSqlOperatorTable HOP).
+        slide = _interval_seconds(args[2])
+        size = _interval_seconds(args[3])
+        w = F.window(F.col(ts), f"{size} seconds", f"{slide} seconds")
+    elif kind == "CUMULATE":
+        step = _interval_seconds(args[2])
+        max_size = _interval_seconds(args[3])
+        if max_size % step:
+            raise ValueError("CUMULATE: max_size must be a multiple of step")
+        epoch = F.unix_timestamp(F.col(ts))
+        w_start = F.floor(epoch / max_size) * max_size
+        first_end = w_start + (F.floor((epoch - w_start) / step) + 1) * step
+        out = df.withColumn(
+            "__we",
+            F.explode(F.sequence(first_end, w_start + F.lit(max_size), F.lit(step))),
+        )
+        return out.select(
+            "*",
+            _ts_typed(df, ts, w_start).alias("window_start"),
+            _ts_typed(df, ts, F.col("__we")).alias("window_end"),
+        ).drop("__we")
+    elif kind == "SESSION":
+        if not part:
+            raise ValueError("SESSION TVF requires PARTITION BY (Flink grammar)")
+        # Microsecond epoch, not unix_timestamp: second-truncation could merge
+        # two sessions whose true gap is fractionally over the threshold.
+        gap_us = _interval_seconds(args[2]) * 1_000_000
+        keys = [k.strip() for k in part.split(",")]
+        target = dict(df.dtypes)[ts]
+        wk = Window.partitionBy(*keys).orderBy(F.col(ts))
+        # unix_micros requires TIMESTAMP; cast covers TIMESTAMP_NTZ inputs
+        # (round-trips through timestamp_micros().cast(target) below).
+        us = F.unix_micros(F.col(ts).cast("timestamp"))
+        prev = F.lag(us).over(wk)
+        new_s = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+        sid = F.sum(new_s).over(wk.rowsBetween(Window.unboundedPreceding, 0))
+        ws = Window.partitionBy(*keys, "__sid")
+        out = df.withColumn("__sid", sid)
+        return out.select(
+            "*",
+            F.timestamp_micros(F.min(us).over(ws)).cast(target).alias(
+                "window_start"
+            ),
+            F.timestamp_micros(F.max(us).over(ws) + gap_us).cast(target).alias(
+                "window_end"
+            ),
+        ).drop("__sid")
+    else:  # pragma: no cover
+        raise ValueError(kind)
+
+    return df.select(
+        "*", w.start.alias("window_start"), w.end.alias("window_end")
+    )
+
+
+def _rewrite_window_tvfs(spark: SparkSession, q: str) -> str:
+    def sub(m: re.Match) -> str:
+        view = _fresh_view("wtvf")
+        _window_tvf_df(spark, m.group(1), m.group(2)).createOrReplaceTempView(view)
+        return view
+
+    return _TVF_RE.sub(sub, q)
+
+
+# --------------------------------------------------------------------------- #
+# Temporal join: <probe> JOIN <build> FOR SYSTEM_TIME AS OF p.ts AS b ON ...
+# --------------------------------------------------------------------------- #
+
+_TEMPORAL_RE = re.compile(
+    r"FROM\s+(\w+)\s+(?:AS\s+)?(\w+)\s+(LEFT\s+)?JOIN\s+(\w+)\s+"
+    r"FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(\w+)\.(\w+)\s+(?:AS\s+)?(\w+)\s+"
+    r"ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_temporal_join(spark: SparkSession, q: str) -> str:
+    m = _TEMPORAL_RE.search(q)
+    if not m:
+        return q
+    (probe_t, probe_a, left_kw, build_t, asof_a, asof_col, build_a,
+     l_al, l_col, r_al, r_col) = m.groups()
+    if asof_a != probe_a:
+        raise ValueError("FOR SYSTEM_TIME AS OF must reference the probe alias")
+    if {l_al, r_al} != {probe_a, build_a}:
+        raise ValueError("temporal join ON must equate probe and build aliases")
+    probe_key = l_col if l_al == probe_a else r_col
+    build_key = r_col if r_al == build_a else l_col
+
+    probe = spark.table(probe_t)
+    build = spark.table(build_t)
+    if asof_col not in build.columns:
+        raise ValueError(
+            f"versioned table {build_t} needs a {asof_col!r} column (its "
+            "event-time attribute must match the AS OF column name)"
+        )
+    if build_key != probe_key:
+        build = build.withColumnRenamed(build_key, probe_key)
+    payload = [
+        c for c in build.columns if c not in probe.columns and c != probe_key
+    ]
+    if not payload:
+        raise ValueError("temporal join: build side has no non-clashing columns")
+    joined = asof_join(
+        probe,
+        build,
+        on=probe_key,
+        left_time=asof_col,
+        right_time=asof_col,
+        right_payload=payload,
+        how="left" if left_kw else "inner",
+    )
+    view = _fresh_view("temporal")
+    joined.createOrReplaceTempView(view)
+    q = q[: m.start()] + f"FROM {view}" + q[m.end():]
+    # un-qualify the two aliases in the rest of the query
+    q = re.sub(rf"\b{probe_a}\.", "", q)
+    q = re.sub(rf"\b{build_a}\.", "", q)
+    return q
+
+
+# --------------------------------------------------------------------------- #
+# MATCH_RECOGNIZE
+# --------------------------------------------------------------------------- #
+
+_COMPARE_OPS = [("<=", "le"), (">=", "ge"), ("<>", "ne"), ("!=", "ne"),
+                ("=", "eq"), ("<", "lt"), (">", "gt")]
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:('(?:[^']|'')*')|(\d+\.\d+|\d+)|([A-Za-z_][\w]*(?:\.[\w]+)?)"
+    r"|(<=|>=|<>|!=|[=<>()+\-*/,]))"
+)
+
+
+def _tokenize(s: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            if s[pos:].strip():
+                raise ValueError(f"cannot tokenize {s[pos:]!r}")
+            break
+        out.append(next(g for g in m.groups() if g is not None))
+        pos = m.end()
+    return out
+
+
+class _CondParser:
+    """Recursive-descent parser for DEFINE conditions → vectorized mask.
+
+    Grammar: or_expr := and_expr (OR and_expr)* ; and_expr := unary (AND
+    unary)* ; unary := NOT unary | '(' or_expr ')' | comparison ; comparison
+    := operand op operand ; operand := term ((+|-|*|/) term)* ; term :=
+    literal | VAR.col | col. Column refs may be qualified with the CURRENT
+    pattern variable only (Flink's cross-variable refs raise)."""
+
+    def __init__(self, tokens: list[str], var: str):
+        self.toks = tokens
+        self.i = 0
+        self.var = var
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return node
+
+    def or_expr(self):
+        node = self.and_expr()
+        while self.peek() and self.peek().upper() == "OR":
+            self.take()
+            rhs = self.and_expr()
+            node = ("or", node, rhs)
+        return node
+
+    def and_expr(self):
+        node = self.unary()
+        while self.peek() and self.peek().upper() == "AND":
+            self.take()
+            rhs = self.unary()
+            node = ("and", node, rhs)
+        return node
+
+    def unary(self):
+        t = self.peek()
+        if t and t.upper() == "NOT":
+            self.take()
+            return ("not", self.unary())
+        if t == "(":
+            save = self.i
+            self.take()
+            try:
+                node = self.or_expr()
+                if self.take() != ")":
+                    raise ValueError("unbalanced parens")
+                return node
+            except ValueError:
+                self.i = save  # arithmetic parens: re-parse as comparison
+        return self.comparison()
+
+    def comparison(self):
+        lhs = self.operand()
+        op = self.take()
+        names = dict(_COMPARE_OPS)
+        if op not in names:
+            raise ValueError(f"expected comparison operator, got {op!r}")
+        rhs = self.operand()
+        return ("cmp", names[op], lhs, rhs)
+
+    def operand(self):
+        node = self.term()
+        while self.peek() in ("+", "-", "*", "/"):
+            op = self.take()
+            node = ("arith", op, node, self.term())
+        return node
+
+    def term(self):
+        t = self.take()
+        if t is None:
+            raise ValueError("unexpected end of condition")
+        if t == "(":
+            node = self.operand()
+            if self.take() != ")":
+                raise ValueError("unbalanced parens in arithmetic")
+            return node
+        if t.startswith("'"):
+            return ("lit", t[1:-1].replace("''", "'"))
+        if re.fullmatch(r"\d+\.\d+", t):
+            return ("lit", float(t))
+        if re.fullmatch(r"\d+", t):
+            return ("lit", int(t))
+        if "." in t:
+            var, col = t.split(".", 1)
+            if var.upper() != self.var.upper():
+                raise NotImplementedError(
+                    f"DEFINE for {self.var} references {var}.{col}: only "
+                    "current-variable references are supported (Flink's "
+                    "LAST()/cross-variable conditions are not)"
+                )
+            return ("col", col)
+        if t.upper() in ("TRUE", "FALSE"):
+            return ("lit", t.upper() == "TRUE")
+        return ("col", t)
+
+
+def _eval_node(node, pdf):
+    kind = node[0]
+    if kind == "lit":
+        return node[1]
+    if kind == "col":
+        return pdf[node[1]]
+    if kind == "col_np":  # pre-bound numpy column (internal)
+        return node[1]
+    if kind == "arith":
+        _, op, a, b = node
+        a, b = _eval_node(a, pdf), _eval_node(b, pdf)
+        return {"+": lambda: a + b, "-": lambda: a - b,
+                "*": lambda: a * b, "/": lambda: a / b}[op]()
+    if kind == "cmp":
+        _, op, a, b = node
+        a, b = _eval_node(a, pdf), _eval_node(b, pdf)
+        import operator as _op
+        return getattr(_op, op)(a, b)
+    if kind == "and":
+        return np.asarray(_eval_node(node[1], pdf)) & np.asarray(
+            _eval_node(node[2], pdf)
+        )
+    if kind == "or":
+        return np.asarray(_eval_node(node[1], pdf)) | np.asarray(
+            _eval_node(node[2], pdf)
+        )
+    if kind == "not":
+        return ~np.asarray(_eval_node(node[1], pdf))
+    raise ValueError(kind)
+
+
+def _compile_condition(cond_sql: str, var: str):
+    ast = _CondParser(_tokenize(cond_sql), var).parse()
+    return lambda pdf: np.asarray(_eval_node(ast, pdf)).astype(bool)
+
+
+_PATTERN_TOKEN_RE = re.compile(r"(\w+)(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?")
+
+_MAX_REPEAT = 64  # bounded Kleene, same guard as Pattern.one_or_more
+
+
+def _parse_pattern(pattern_sql: str, defines: dict[str, str]) -> Pattern:
+    toks = [
+        (m.group(1), m.group(2))
+        for m in _PATTERN_TOKEN_RE.finditer(pattern_sql)
+        if m.group(1)
+    ]
+    if not toks:
+        raise ValueError(f"empty PATTERN: {pattern_sql!r}")
+    pat: Pattern | None = None
+    for var, quant in toks:
+        if pat is None:
+            pat = Pattern.begin(var)
+        else:
+            pat = pat.next(var)  # MATCH_RECOGNIZE concatenation is strict
+        if var in defines:
+            pat = pat.where_mask(_compile_condition(defines[var], var))
+        if quant == "+":
+            pat = pat.one_or_more(_MAX_REPEAT)
+        elif quant == "*":
+            pat = pat.one_or_more(_MAX_REPEAT).optional()
+        elif quant == "?":
+            pat = pat.optional()
+        elif quant and quant.startswith("{"):
+            nums = re.findall(r"\d+", quant)
+            if "," in quant:
+                hi = int(nums[1]) if len(nums) > 1 else _MAX_REPEAT
+                pat = pat.times(int(nums[0]), hi)
+            else:
+                pat = pat.times(int(nums[0]))
+    return pat
+
+
+_MEASURE_RE = re.compile(
+    r"^(?:(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*)?"
+    r"(\w+)\.(\w+|\*)\s*\)?\s+AS\s+(\w+)$",
+    re.IGNORECASE,
+)
+
+
+def _parse_measures(measures_sql: str) -> list[tuple[str, str, str, str]]:
+    """Each measure → (func, var, col, out_name); func '' = first-row ref."""
+    out = []
+    for item in _split_args(measures_sql):
+        m = _MEASURE_RE.match(item.strip())
+        if not m:
+            raise NotImplementedError(
+                f"unsupported measure {item!r} (supported: [FIRST|LAST|COUNT|"
+                "SUM|AVG|MIN|MAX](Var.col) AS name, Var.col AS name)"
+            )
+        func = (m.group(1) or "").upper()
+        out.append((func, m.group(2), m.group(3), m.group(4)))
+    return out
+
+
+def _measure_type(func: str, col_type: str) -> str:
+    if func == "COUNT":
+        return "bigint"
+    if func == "AVG":
+        return "double"
+    if func == "SUM":
+        return "double" if col_type in ("double", "float") else "bigint"
+    return col_type
+
+
+_MR_HEAD_RE = re.compile(r"(\w+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
+
+
+def _find_balanced(q: str, open_idx: int) -> int:
+    depth = 0
+    for i in range(open_idx, len(q)):
+        if q[i] == "(":
+            depth += 1
+        elif q[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced MATCH_RECOGNIZE parentheses")
+
+
+def _clause(body: str, name: str, stop: str) -> str | None:
+    m = re.search(rf"{name}\s+(.*?)\s*(?={stop}|$)", body,
+                  re.IGNORECASE | re.DOTALL)
+    return m.group(1).strip() if m else None
+
+
+def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
+    m = _MR_HEAD_RE.search(q)
+    if not m:
+        return q
+    table = m.group(1)
+    open_idx = q.index("(", m.end() - 1)
+    close_idx = _find_balanced(q, open_idx)
+    body = q[open_idx + 1: close_idx]
+    # optional trailing alias: ") AS t" / ") t"
+    tail = q[close_idx + 1:]
+    alias_m = re.match(r"\s*(?:AS\s+)?(\w+)", tail)
+    consumed = close_idx + 1
+    if alias_m and alias_m.group(1).upper() not in (
+        "ORDER", "WHERE", "GROUP", "LIMIT", "UNION", "HAVING", "JOIN",
+    ):
+        consumed += alias_m.end()
+
+    stops = (r"ORDER\s+BY|MEASURES|ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|"
+             r"PATTERN|WITHIN|DEFINE")
+    part = _clause(body, r"PARTITION\s+BY", stops)
+    order = _clause(body, r"ORDER\s+BY", stops)
+    measures_sql = _clause(body, r"MEASURES", stops)
+    after = _clause(body, r"AFTER\s+MATCH", stops)
+    pattern_m = re.search(r"PATTERN\s*\(([^)]*)\)", body, re.IGNORECASE)
+    within_m = re.search(r"\)\s*(WITHIN\s+INTERVAL\s+'\d+'\s+\w+)", body,
+                         re.IGNORECASE)
+    define_sql = _clause(body, r"DEFINE", r"$")
+    if re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE):
+        raise NotImplementedError("ALL ROWS PER MATCH is not supported")
+    if not (part and order and measures_sql and pattern_m and define_sql):
+        raise ValueError(
+            "MATCH_RECOGNIZE requires PARTITION BY, ORDER BY, MEASURES, "
+            "PATTERN and DEFINE clauses"
+        )
+
+    key_cols = [c.strip() for c in part.split(",")]
+    order_cols = [c.strip() for c in order.split(",")]
+    defines = {}
+    for item in _split_args(define_sql):
+        dm = re.match(r"(\w+)\s+AS\s+(.*)$", item.strip(),
+                      re.IGNORECASE | re.DOTALL)
+        if not dm:
+            raise ValueError(f"cannot parse DEFINE item {item!r}")
+        defines[dm.group(1)] = dm.group(2).strip()
+
+    pat = _parse_pattern(pattern_m.group(1), defines)
+    if within_m:
+        pat = pat.within(timedelta(seconds=_interval_seconds(within_m.group(1))))
+
+    skip = SKIP_PAST_LAST_EVENT  # the SQL-standard default
+    if after:
+        a = re.sub(r"\s+", " ", after.upper())
+        if "SKIP TO NEXT ROW" in a:
+            skip = SKIP_TO_NEXT
+        elif "SKIP PAST LAST ROW" in a:
+            skip = SKIP_PAST_LAST_EVENT
+        elif "NO SKIP" in a:
+            skip = NO_SKIP
+        else:
+            raise NotImplementedError(f"AFTER MATCH strategy {after!r}")
+
+    df = spark.table(table)
+    types = dict(df.dtypes)
+    measures = _parse_measures(measures_sql)
+    out_fields = [f"{k} {types[k]}" for k in key_cols]
+    for func, var, col, name in measures:
+        col_t = "bigint" if col == "*" else types[col]
+        out_fields.append(f"{name} {_measure_type(func, col_t)}")
+    schema = ", ".join(out_fields)
+
+    def select(key, match):
+        row = dict(key)
+        for func, var, col, name in measures:
+            rows = match.get(var, [])
+            if func == "COUNT":
+                row[name] = len(rows)
+            elif not rows:
+                row[name] = None
+            elif func in ("", "FIRST"):
+                row[name] = rows[0][col]
+            elif func == "LAST":
+                row[name] = rows[-1][col]
+            else:
+                vals = [r[col] for r in rows]
+                row[name] = {
+                    "SUM": sum,
+                    "MIN": min,
+                    "MAX": max,
+                    "AVG": lambda v: sum(v) / len(v),
+                }[func](vals)
+        return row
+
+    out = match_pattern(
+        df,
+        pat,
+        key_cols=key_cols,
+        time_col=order_cols[0],
+        select=select,
+        output_schema=schema,
+        order_tiebreak=order_cols[1:],
+        skip_strategy=skip,
+    )
+    view = _fresh_view("mr")
+    out.createOrReplaceTempView(view)
+    return q[: m.start()] + view + q[consumed:]
+
+
+# --------------------------------------------------------------------------- #
+# Entry point
+# --------------------------------------------------------------------------- #
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    """``TableEnvironment.sqlQuery`` with the Flink grammar extensions.
+
+    ANSI queries pass straight through to ``spark.sql``; window TVFs,
+    ``FOR SYSTEM_TIME AS OF`` and ``MATCH_RECOGNIZE`` are lowered onto this
+    repo's operators and spliced back as temp views.
+    """
+    query = _rewrite_window_tvfs(spark, query)
+    query = _rewrite_temporal_join(spark, query)
+    query = _rewrite_match_recognize(spark, query)
+    return spark.sql(query)

@@ -1,0 +1,248 @@
+"""SQL-string extension surface (sqlext.py): window TVFs, FOR SYSTEM_TIME AS
+OF, MATCH_RECOGNIZE — each lowering checked against the equivalent DataFrame
+operator it compiles to, plus documented-unsupported clause errors.
+
+Reference behavior: flink-table/flink-sql-parser parserImpls.ftl (grammar),
+StreamExecMatch.java / StreamExecTemporalJoin.java (lowerings),
+MatchRecognizeITCase.scala (test model).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fries_flink_spark.catalog import register_tables
+from fries_flink_spark.operators.cep import Pattern, match_pattern, SKIP_TO_NEXT
+from fries_flink_spark.operators.joins import asof_join
+from fries_flink_spark.sqlext import sql as fsql
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumble_tvf_matches_native_window(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    got = fsql(
+        spark,
+        """
+        SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS ws,
+               count(*) AS n
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '600' SECOND))
+        GROUP BY window_start
+        """,
+    )
+    want = (
+        spark.table("events")
+        .groupBy(F.window("ts", "600 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "n")
+    )
+    assert _rows(got, "ws", "n") == _rows(want, "ws", "n")
+
+
+def test_hop_tvf_flink_arg_order(spark, sf_dir):
+    # HOP(TABLE t, DESCRIPTOR(ts), slide, size) — slide FIRST, per Flink.
+    register_tables(spark, sf_dir)
+    got = fsql(
+        spark,
+        """
+        SELECT count(*) AS n
+        FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),
+                       INTERVAL '300' SECOND, INTERVAL '600' SECOND))
+        """,
+    ).collect()[0]["n"]
+    # every row lands in exactly size/slide = 2 windows
+    n_events = spark.table("events").count()
+    assert got == 2 * n_events
+
+
+def test_session_tvf_microsecond_gap(spark):
+    # Two events 1800.5s apart: a whole-second implementation would merge
+    # them (truncated diff 1800 is not > 1800); true precision splits them.
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (1, base + timedelta(seconds=1800, microseconds=500_000)),
+        ],
+        "k int, ts timestamp",
+    )
+    df.createOrReplaceTempView("sess_edge")
+    out = fsql(
+        spark,
+        """
+        SELECT k, window_start, count(*) AS n
+        FROM TABLE(SESSION(TABLE sess_edge PARTITION BY k, DESCRIPTOR(ts),
+                           INTERVAL '1800' SECOND))
+        GROUP BY k, window_start
+        """,
+    ).collect()
+    assert len(out) == 2 and all(r["n"] == 1 for r in out)
+
+
+def test_cumulate_tvf_window_counts(spark):
+    # One event 10 min into the hour → member of windows ending :15 .. :60
+    # (4 windows with 15-min steps, 1-hour max).
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 10))], "k int, ts timestamp"
+    )
+    df.createOrReplaceTempView("cum_edge")
+    out = fsql(
+        spark,
+        """
+        SELECT CAST(unix_timestamp(window_end) AS BIGINT) AS we
+        FROM TABLE(CUMULATE(TABLE cum_edge, DESCRIPTOR(ts),
+                            INTERVAL '900' SECOND, INTERVAL '3600' SECOND))
+        """,
+    ).collect()
+    base = int(datetime(2024, 1, 1).timestamp())
+    assert sorted(r["we"] for r in out) == [base + 900 * k for k in (1, 2, 3, 4)]
+
+
+def test_temporal_join_matches_asof_join(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    spark.sql(
+        "SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'"
+    ).createOrReplaceTempView("tj_probe")
+    spark.sql(
+        "SELECT user_id, ts, event_id AS rate_id FROM events "
+        "WHERE event_type = 'signup'"
+    ).createOrReplaceTempView("tj_build")
+    got = fsql(
+        spark,
+        """
+        SELECT p.event_id, p.rate_id
+        FROM tj_probe p LEFT JOIN tj_build FOR SYSTEM_TIME AS OF p.ts AS b
+          ON p.user_id = b.user_id
+        """,
+    )
+    want = asof_join(
+        spark.table("tj_probe"),
+        spark.table("tj_build"),
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["rate_id"],
+        how="left",
+    )
+    assert _rows(got, "event_id", "rate_id") == _rows(want, "event_id", "rate_id")
+
+
+def test_match_recognize_matches_cep_operator(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    got = fsql(
+        spark,
+        """
+        SELECT user_id, a_id, b_id
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS a_id, B.event_id AS b_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B) WITHIN INTERVAL '1800' SECOND
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'purchase'
+        )
+        """,
+    )
+    pat = (
+        Pattern.begin("A")
+        .where_mask(lambda d: d["event_type"] == "click")
+        .next("B")
+        .where_mask(lambda d: d["event_type"] == "purchase")
+        .within(timedelta(seconds=1800))
+    )
+    want = match_pattern(
+        spark.table("events"),
+        pat,
+        key_cols=["user_id"],
+        time_col="ts",
+        select=lambda key, m: {
+            "user_id": key["user_id"],
+            "a_id": m["A"][0]["event_id"],
+            "b_id": m["B"][0]["event_id"],
+        },
+        output_schema="user_id long, a_id long, b_id long",
+        order_tiebreak=["event_id"],
+        skip_strategy=SKIP_TO_NEXT,
+    )
+    assert _rows(got, "user_id", "a_id", "b_id") == _rows(
+        want, "user_id", "a_id", "b_id"
+    )
+
+
+def test_match_recognize_measure_aggregates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, m), "error", float(m))
+            for m in (0, 1, 2)
+        ]
+        + [(1, datetime(2024, 1, 1, 0, 3), "ok", 9.0)],
+        "k int, ts timestamp, et string, v double",
+    )
+    df.createOrReplaceTempView("mr_agg")
+    out = fsql(
+        spark,
+        """
+        SELECT k, n, total, lo, hi, mean
+        FROM mr_agg MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES COUNT(E.*) AS n, SUM(E.v) AS total,
+                   MIN(E.v) AS lo, MAX(E.v) AS hi, AVG(E.v) AS mean
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (E{3})
+          DEFINE E AS E.et = 'error'
+        )
+        """,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n"], r["total"], r["lo"], r["hi"], r["mean"]) == (3, 3.0, 0.0, 2.0, 1.0)
+
+
+def test_ansi_passthrough(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    got = fsql(spark, "SELECT count(*) AS n FROM events").collect()[0]["n"]
+    assert got == spark.table("events").count()
+
+
+def test_all_rows_per_match_rejected(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    with pytest.raises(NotImplementedError, match="ALL ROWS"):
+        fsql(
+            spark,
+            """
+            SELECT * FROM events MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES A.event_id AS a_id
+              ALL ROWS PER MATCH
+              PATTERN (A) DEFINE A AS A.event_type = 'click'
+            )
+            """,
+        )
+
+
+def test_cross_variable_define_rejected(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    with pytest.raises(NotImplementedError, match="current-variable"):
+        fsql(
+            spark,
+            """
+            SELECT * FROM events MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES B.event_id AS b_id
+              ONE ROW PER MATCH
+              PATTERN (A B)
+              DEFINE A AS A.event_type = 'click',
+                     B AS B.value > A.value
+            )
+            """,
+        )
