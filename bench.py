@@ -77,14 +77,22 @@ def main() -> None:
         except Exception as e:  # warmup must never fail the bench
             print(f"  warmup {name} failed: {e}", file=sys.stderr)
 
+    # Median of REPEATS runs per query: single sf0.1 wall times carry ±2-4×
+    # noise on the heavy queries (GC/page-cache/scheduling), so one sample can
+    # misstate a query by an order of magnitude in either direction.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
-        t0 = time.time()
-        df = spec.fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.time()
+            df = spec.fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        print(f"  {name}: {timings[name]:.2f}s  {[round(s, 2) for s in samples]}",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

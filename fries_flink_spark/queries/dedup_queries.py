@@ -201,3 +201,84 @@ def dedup_embedding_cosine(spark, sf_dir):
         .select("a", "b", F.round("cos", 4).alias("cos"))
         .orderBy("a", "b")
     )
+
+
+_CAND_CTES = f"""
+    sh AS (SELECT doc_id, {_SH} AS s FROM documents),
+    sig AS (
+      SELECT doc_id,
+           {_MH_COLS}
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               WHEN 0 THEN md5(mh0 || '|' || mh1)
+               WHEN 1 THEN md5(mh2 || '|' || mh3)
+               WHEN 2 THEN md5(mh4 || '|' || mh5)
+               ELSE        md5(mh6 || '|' || mh7)
+             END AS key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+                               AND x.doc_id < y.doc_id
+    ),
+    edges AS (SELECT a AS u, b AS v FROM cand
+              UNION ALL
+              SELECT b AS u, a AS v FROM cand),
+    reach AS (
+      SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.v AS node, r.lab AS lab
+      FROM reach r JOIN edges e ON r.node = e.u
+    ),
+    cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CAND_CTES}
+    SELECT node AS doc_id, cluster_id FROM cc ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """LSH candidate pairs → connected components → (doc_id, cluster_id =
+    min id in component). Min-label propagation as a DELTA iteration
+    (frontier-only messages, reference DataSet.iterateDelta:1208 /
+    Gelly ConnectedComponents); rounds bounded by component diameter, which
+    for near-dup clusters is a small constant."""
+    from ..dedup.clusters import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_table(docs, "text", "doc_id")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    cc = connected_components(pairs, "a", "b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id").orderBy("doc_id")
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_CAND_CTES}
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM cc
+                      WHERE cc.node = d.doc_id AND cc.node <> cc.cluster_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_keep_canonical(spark, sf_dir):
+    """End-to-end near-dup removal: keep each cluster's minimum-id document
+    plus all never-candidate singletons — the full shingle → MinHash → LSH →
+    cluster → resolve pipeline as one plan (one anti-join against the
+    cluster members on the corpus side)."""
+    from ..dedup.clusters import connected_components, keep_canonical
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_table(docs, "text", "doc_id")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    cc = connected_components(pairs, "a", "b")
+    return keep_canonical(docs, cc, "doc_id").select("doc_id").orderBy("doc_id")

@@ -88,3 +88,40 @@ def test_salted_agg_matches_plain(spark):
     got = {r.event_type: (r.n, round(r.s, 6), r.mn, r.mx) for r in salted.collect()}
     want = {r.event_type: (r.n, round(r.s, 6), r.mn, r.mx) for r in plain.collect()}
     assert got == want
+
+
+# --------------------------------------------------------------------------- #
+# Connected-components cluster resolution (dedup/clusters.py)
+# --------------------------------------------------------------------------- #
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from fries_flink_spark.dedup.clusters import connected_components
+
+    # chain 1-2-3-4 (diameter 3, exercises multi-round propagation),
+    # triangle 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_keep_canonical_keeps_singletons(spark):
+    from fries_flink_spark.dedup.clusters import connected_components, keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 99)], "doc_id long, text string"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    cc = connected_components(edges)
+    kept = sorted(r["doc_id"] for r in keep_canonical(docs, cc).collect())
+    assert kept == [1, 99]

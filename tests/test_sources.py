@@ -51,3 +51,79 @@ def test_partitioned_write_prunes(spark, df, tmp_path):
 def test_values_source(spark):
     out = from_values(spark, [(1,), (2,)], "x long").agg(F.sum("x")).collect()
     assert out[0][0] == 3
+
+
+# --------------------------------------------------------------------------- #
+# Kafka / JDBC construction-level wiring (no connector jars in this image —
+# these assert the options our wrappers configure and the documented
+# env-gated failure mode; reference KafkaDynamicSource.java:67,
+# JdbcDynamicTableSource.java:44).
+# --------------------------------------------------------------------------- #
+
+
+def _capture_reader(monkeypatch, cls):
+    calls = {}
+
+    real_option = cls.option
+
+    def option(self, k, v):
+        calls[k] = v
+        return real_option(self, k, v)
+
+    monkeypatch.setattr(cls, "option", option)
+    monkeypatch.setattr(cls, "load", lambda self, *a, **kw: calls)
+    return calls
+
+
+def test_kafka_source_option_wiring(spark, monkeypatch):
+    from pyspark.sql.streaming.readwriter import DataStreamReader
+
+    from fries_flink_spark.streaming.sources import kafka_source
+
+    calls = _capture_reader(monkeypatch, DataStreamReader)
+    kafka_source(spark, "b1:9092,b2:9092", "events", starting_offsets="earliest")
+    assert calls["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert calls["subscribe"] == "events"
+    assert calls["startingOffsets"] == "earliest"
+
+
+def test_kafka_source_env_gated(spark):
+    import pytest as _pytest
+
+    from fries_flink_spark.streaming.sources import kafka_source
+
+    with _pytest.raises(Exception, match="kafka"):
+        kafka_source(spark, "localhost:9092", "t")
+
+
+def test_read_jdbc_partitioned_option_wiring(spark, monkeypatch):
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from fries_flink_spark.sources.connectors import read_jdbc
+
+    calls = _capture_reader(monkeypatch, DataFrameReader)
+    read_jdbc(
+        spark,
+        "jdbc:postgresql://h/db",
+        "orders",
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=16,
+        fetchsize="10000",
+    )
+    assert calls["url"] == "jdbc:postgresql://h/db"
+    assert calls["dbtable"] == "orders"
+    assert calls["partitionColumn"] == "o_orderkey"
+    assert (calls["lowerBound"], calls["upperBound"]) == ("0", "1000000")
+    assert calls["numPartitions"] == "16"
+    assert calls["fetchsize"] == "10000"
+
+
+def test_read_jdbc_env_gated(spark):
+    import pytest as _pytest
+
+    from fries_flink_spark.sources.connectors import read_jdbc
+
+    with _pytest.raises(Exception, match="[Dd]river"):
+        read_jdbc(spark, "jdbc:postgresql://h/db", "orders")

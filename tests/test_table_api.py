@@ -117,3 +117,19 @@ def test_over_window(spark):
     out = t.over_select("id", F.sum("v").over(spec).alias("run")).to_df()
     got = {r.id: r.run for r in out.collect()}
     assert got == {1: 10.0, 2: 30.0, 3: 5.0}
+
+
+def test_hint_passthrough_changes_join_strategy(spark, sf_dir):
+    """Table.hint (reference DataSet.java:793-995 join hints) forwards to
+    Catalyst hints: a merge hint must surface SortMergeJoin where the
+    optimizer would otherwise broadcast the small side."""
+    from fries_flink_spark.catalog import load_table
+    from fries_flink_spark.table import Table
+
+    orders = Table(load_table(spark, sf_dir, "orders"))
+    cust = Table(load_table(spark, sf_dir, "customer")).hint("merge")
+    joined = orders.join(
+        cust, orders.to_df()["o_custkey"] == cust.to_df()["c_custkey"]
+    )
+    plan = joined.to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
