@@ -65,10 +65,47 @@ def sim_range_search(spark, sf_dir):
     )
 
 
-@query("sim_topk_lsh")  # approximate → rows-only driver check; recall in pytest
+# The SRP hyperplanes are deterministic (md5-seeded, similarity/ann.
+# _hyperplanes), so the LSH query is exactly reproducible: the same plane
+# constants are embedded into the oracle as SQL literals and DuckDB recomputes
+# buckets + the Hamming<=1 probe in SQL (bit_count(xor(...))).
+def _bucket_sql_expr() -> str:
+    from ..similarity.ann import _hyperplanes
+
+    terms = []
+    for p, plane in enumerate(_hyperplanes(64, 8, 42)):
+        lits = ", ".join(repr(v) for v in plane)
+        terms.append(
+            "(CASE WHEN list_dot_product("
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)), "
+            f"[{lits}]) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "\n         + ".join(terms)
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+         {_bucket_sql_expr()} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4)
+             AS cos
+    FROM b e, q
+    WHERE e.vec_id <> 0 AND bit_count(xor(e.bucket, q.qb)) <= 1
+    ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
 def sim_topk_lsh(spark, sf_dir):
     """SRP-LSH bucketed approximate top-10 (similarity/ann.lsh_bucket_topk) —
-    the 100 TB path: bucket column doubles as a partition key."""
+    the 100 TB path: bucket column doubles as a partition key. Exactly
+    oracled: both engines derive identical buckets from the deterministic
+    hyperplanes and probe the same Hamming<=1 neighborhood."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     qv = _query_vec(spark, sf_dir)
     out = lsh_bucket_topk(emb, "embedding", "vec_id", qv, k=10)
@@ -77,11 +114,30 @@ def sim_topk_lsh(spark, sf_dir):
 
 @query("sim_topk_ivf")  # approximate → rows-only driver check; recall in pytest
 def sim_topk_ivf(spark, sf_dir):
-    """IVF-style two-stage approximate top-10 (similarity/ann.ivf_topk)."""
+    """IVF-style two-stage approximate top-10 (similarity/ann.ivf_topk).
+    Data-dependent k-means centroids are not reproducible in the oracle;
+    see sim_ivf_recall for the driver-visible quality band."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     out = ivf_topk(emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qv, k=10)
     return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
+@query(
+    "sim_ivf_recall",
+    oracle="SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
+)
+def sim_ivf_recall(spark, sf_dir):
+    """Driver-visible quality band for the IVF path (the agg_approx_distinct
+    pattern): recall of IVF top-10 vs exact brute-force top-10 must reach
+    0.5 with nprobe=4 of 16 cells. The sketch is engine-specific, the band
+    is not."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    ivf = ivf_topk(emb, "embedding", "vec_id", qv, k=10).select("vec_id")
+    brute = cosine_topk(emb, "embedding", "vec_id", qv, k=10).select("vec_id")
+    hits = ivf.join(brute, "vec_id").count()
+    return spark.createDataFrame([(10, hits >= 5)], "k long, recall_ok boolean")
 
 
 @query(
