@@ -1,0 +1,306 @@
+"""Training-data pipeline queries: sampling, packing, mixing, quantization,
+PII scrubbing (the beyond-the-reference operator surface, over documents /
+embeddings).
+
+Everything here is deterministic and engine-portable by construction — the
+sampling/mixing decisions hash row keys with md5 and compare hex prefixes,
+so the DuckDB oracles restate the identical predicate and match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..pipeline.mixing import mix_weighted
+from ..pipeline.packing import pack_sequences, pack_stats
+from ..pipeline.quantize import dequant_error, quantize_int8
+from ..pipeline.sampling import (
+    frac_to_hex,
+    sample_bernoulli,
+    sample_reservoir,
+    sample_stratified,
+    split_train_holdout,
+)
+from ..registry import query
+from ..text.pii import PII_PATTERNS, pii_total, redact
+
+_H = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+
+
+@query(
+    "sample_bernoulli",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_H} < '{frac_to_hex(0.1)}'
+    ORDER BY doc_id
+    """,
+)
+def q_sample_bernoulli(spark, sf_dir):
+    """Deterministic 10% Bernoulli sample keyed on doc_id (content-hash
+    threshold — reproducible across engines/partitionings, unlike
+    DataFrame.sample). pipeline/sampling.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_bernoulli(docs, "doc_id", 0.1).select("doc_id", "source").orderBy(
+        "doc_id"
+    )
+
+
+_STRAT = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_STRAT_DEFAULT = 0.05
+
+
+def _strat_case_sql() -> str:
+    whens = "\n           ".join(
+        f"WHEN source = '{s}' THEN '{frac_to_hex(f)}'"
+        for s, f in sorted(_STRAT.items())
+    )
+    return f"CASE {whens} ELSE '{frac_to_hex(_STRAT_DEFAULT)}' END"
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_H} < {_strat_case_sql()}
+    ORDER BY doc_id
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum keep fractions (src0 100%, src1 50%, src2 25%, rest 5%)
+    as one zero-exchange CASE filter. pipeline/sampling.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sample_stratified(docs, "doc_id", "source", _STRAT, _STRAT_DEFAULT)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_reservoir",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY {_H}, doc_id) <= 5
+    ORDER BY doc_id
+    """,
+)
+def q_sample_reservoir(spark, sf_dir):
+    """Fixed-size-5 deterministic reservoir per source (rank by content
+    hash; WindowGroupLimit keeps per-task top-5 before the shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sample_reservoir(docs, "doc_id", "source", 5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_train_holdout",
+    oracle=f"""
+    SELECT count(*) FILTER ({_H} >= '{frac_to_hex(0.2)}') AS n_train,
+           count(*) FILTER ({_H} < '{frac_to_hex(0.2)}')  AS n_holdout,
+           count(*) AS n_total
+    FROM documents
+    """,
+)
+def q_sample_train_holdout(spark, sf_dir):
+    """80/20 deterministic split: the two sides partition the input exactly
+    (same hash predicate, negated). pipeline/sampling.split_train_holdout."""
+    docs = load_table(spark, sf_dir, "documents")
+    train, hold = split_train_holdout(docs, "doc_id", 0.2)
+    return (
+        train.select(F.lit(1).alias("s"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_train"))
+        .crossJoin(hold.groupBy().agg(F.count(F.lit(1)).alias("n_holdout")))
+        .crossJoin(docs.groupBy().agg(F.count(F.lit(1)).alias("n_total")))
+    )
+
+
+# Token proxy: chars/4 heuristic, floored at 1 (same expression both engines).
+_TOK_SQL = "greatest(1, CAST(floor(n_chars / 4) AS BIGINT))"
+_PACK_BUDGET = 256
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOK_SQL} AS tokens FROM documents
+    ), b AS (
+      SELECT doc_id, source, tokens,
+             CAST(floor(coalesce(sum(tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+      FROM t
+    )
+    SELECT source, bin_id, count(*) AS n_docs, sum(tokens) AS tokens,
+           round(sum(tokens) / {float(_PACK_BUDGET)}, 6) AS fill_ratio
+    FROM b GROUP BY source, bin_id
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 256-token bins per source
+    (prefix-sum bin ids — pipeline/packing.py), reported as per-bin stats."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4)).cast("bigint").alias(
+            "tokens"
+        ),
+    )
+    packed = pack_sequences(docs, "tokens", "doc_id", _PACK_BUDGET, part_col="source")
+    return pack_stats(packed, "tokens", _PACK_BUDGET, part_col="source")
+
+
+_MIX_RATES = {"src0": 2.5, "src1": 0.25, "src2": 1.0}
+_MIX_DEFAULT = 0.1
+
+
+def _mix_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {float(r)}" for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"CASE {whens} ELSE {float(_MIX_DEFAULT)} END"
+
+
+def _mix_frac_hex_sql() -> str:
+    import math
+
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN '{frac_to_hex(r - math.floor(r))}'"
+        for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"CASE {whens} ELSE '{frac_to_hex(_MIX_DEFAULT)}' END"
+
+
+@query(
+    "mix_weighted",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source, {_mix_rate_sql()} AS rate, {_mix_frac_hex_sql()} AS fhex
+      FROM documents
+    ), reps AS (
+      SELECT doc_id, source, rate, fhex, g.rep
+      FROM rated CROSS JOIN generate_series(1, 3) AS g(rep)
+      WHERE g.rep <= greatest(CAST(ceil(rate) AS BIGINT), 1)
+    )
+    SELECT doc_id, source, CAST(rep AS BIGINT) AS rep
+    FROM reps
+    WHERE rep <= CAST(floor(rate) AS BIGINT)
+       OR substr(md5(concat(CAST(doc_id AS VARCHAR), '#', CAST(rep AS VARCHAR))), 1, 8)
+          < fhex
+    ORDER BY doc_id, rep
+    """,
+)
+def q_mix_weighted(spark, sf_dir):
+    """Deterministic mixture resampling: src0 x2.5 epochs, src1 x0.25,
+    src2 x1.0, rest x0.1 — upsampling via rowwise explode, fractional epochs
+    via per-(key, rep) hash Bernoulli. Zero exchanges. pipeline/mixing.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = mix_weighted(docs, "doc_id", "source", _MIX_RATES, _MIX_DEFAULT)
+    return mixed.select(
+        "doc_id", "source", F.col("rep").cast("bigint").alias("rep")
+    ).orderBy("doc_id", "rep")
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ), sc AS (
+      SELECT vec_id, x,
+             CASE WHEN list_max(list_transform(x, e -> abs(e))) = 0 THEN 1.0
+                  ELSE list_max(list_transform(x, e -> abs(e))) / 127.0
+             END AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, x, scale,
+             list_transform(x, e -> greatest(-127.0, least(127.0,
+                 CASE WHEN e / scale >= 0 THEN floor(e / scale + 0.5)
+                      ELSE -floor(-(e / scale) + 0.5) END))) AS qq
+      FROM sc
+    )
+    SELECT vec_id,
+           CAST(list_sum(qq) AS BIGINT) AS q_sum,
+           round(scale, 6) AS scale_r,
+           round(list_max(list_transform(generate_series(1, len(x)),
+                 i -> abs(x[i] - qq[i] * scale))), 6) AS max_err
+    FROM q ORDER BY vec_id
+    """,
+)
+def q_emb_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (pipeline/quantize.py): per-row
+    JVM array expressions, array<tinyint> output (4x smaller), checksummed
+    by component sum + reconstruction max-error."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = dequant_error(quantize_int8(emb, "embedding"), "embedding")
+    return qdf.select(
+        "vec_id",
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda s, x: s + x.cast("bigint")).alias(
+            "q_sum"
+        ),
+        F.round("q_scale", 6).alias("scale_r"),
+        F.round("max_err", 6).alias("max_err"),
+    ).orderBy("vec_id")
+
+
+def _pii_aug_sql() -> str:
+    """The synthesized-PII text expression (documents carry no real PII, so
+    both engines append identical doc_id-derived PII spans)."""
+    return (
+        "concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com"
+        " or 555-123-4567; host 10.0.0.1 ssn 123-45-6789.')"
+    )
+
+
+def _redact_chain_sql(expr: str) -> str:
+    out = expr
+    for pattern, repl in PII_PATTERNS.values():
+        out = f"regexp_replace({out}, '{pattern}', '{repl}', 'g')"
+    return out
+
+
+def _pii_total_sql(expr: str) -> str:
+    terms = []
+    cur = expr
+    for pattern, repl in PII_PATTERNS.values():
+        terms.append(f"len(regexp_extract_all({cur}, '{pattern}'))")
+        cur = f"regexp_replace({cur}, '{pattern}', '{repl}', 'g')"
+    return " + ".join(terms)
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_pii_aug_sql()} AS t FROM documents)
+    SELECT doc_id,
+           md5({_redact_chain_sql('t')}) AS redacted_md5,
+           CAST({_pii_total_sql('t')} AS BIGINT) AS n_pii
+    FROM aug ORDER BY doc_id
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (text/pii.py) over documents with deterministic
+    synthesized PII spans (email/phone/IP/SSN per doc); RE2-safe patterns run
+    verbatim in both engines. Output = md5 of scrubbed text + counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567; host 10.0.0.1 ssn 123-45-6789."),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.md5(redact(F.col("t"))).alias("redacted_md5"),
+        pii_total(F.col("t")).cast("bigint").alias("n_pii"),
+    ).orderBy("doc_id")

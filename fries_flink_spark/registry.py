@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
         iterate_queries,
         joins,
         multimodal_queries,
+        pipeline_queries,
         scalar_funcs,
         setops,
         similarity_queries,

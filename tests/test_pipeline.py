@@ -1,0 +1,164 @@
+"""Tests for the training-data pipeline operators (sampling, mixing,
+packing, quantization, PII scrubbing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fries_flink_spark.catalog import load_table
+from fries_flink_spark.pipeline.mixing import mix_weighted, mixture_stats
+from fries_flink_spark.pipeline.packing import pack_sequences, pack_stats
+from fries_flink_spark.pipeline.quantize import dequant_error, quantize_int8
+from fries_flink_spark.pipeline.sampling import (
+    frac_to_hex,
+    sample_bernoulli,
+    sample_reservoir,
+    sample_stratified,
+    split_train_holdout,
+)
+from fries_flink_spark.text.pii import PII_PATTERNS, pii_count, pii_total, redact
+
+
+def test_frac_to_hex_bounds():
+    assert frac_to_hex(0.0) == "00000000"
+    # exact endpoints: 0 keeps nothing, 1 keeps everything (threshold must
+    # sort after every 8-char hex prefix under STRING comparison)
+    assert frac_to_hex(1.0) > "ffffffff"
+    with pytest.raises(ValueError):
+        frac_to_hex(1.5)
+
+
+def test_sample_bernoulli_deterministic_and_calibrated(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    s1 = sample_bernoulli(docs, "doc_id", 0.3)
+    s2 = sample_bernoulli(docs.repartition(7), "doc_id", 0.3)
+    c1, c2 = s1.count(), s2.count()
+    assert c1 == c2  # partition-invariant, unlike DataFrame.sample
+    assert abs(c1 / n - 0.3) < 0.15  # calibrated within noise at sf0.001
+    # monotone nesting: the 10% sample is a subset of the 30% sample
+    s_small = sample_bernoulli(docs, "doc_id", 0.1)
+    assert s_small.join(s1, "doc_id", "left_anti").count() == 0
+
+
+def test_sample_stratified_respects_fractions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_stratified(docs, "doc_id", "source", {"src0": 1.0}, 0.0)
+    kept = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    all_src0 = docs.filter(F.col("source") == "src0").count()
+    assert kept.get("src0") == all_src0  # fraction 1.0 keeps everything
+    assert set(kept) == {"src0"}  # default 0.0 keeps nothing else
+
+
+def test_sample_reservoir_fixed_size_and_stable(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_reservoir(docs, "doc_id", "source", 3)
+    sizes = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    per_stratum = {
+        r["source"]: r["count"] for r in docs.groupBy("source").count().collect()
+    }
+    for src, available in per_stratum.items():
+        assert sizes[src] == min(3, available)
+    # deterministic under repartitioning
+    again = sample_reservoir(docs.repartition(5), "doc_id", "source", 3)
+    assert sorted(out.select("doc_id").toPandas()["doc_id"]) == sorted(
+        again.select("doc_id").toPandas()["doc_id"]
+    )
+
+
+def test_split_train_holdout_partitions_exactly(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    train, hold = split_train_holdout(docs, "doc_id", 0.25)
+    n = docs.count()
+    assert train.count() + hold.count() == n
+    assert train.join(hold, "doc_id", "inner").count() == 0
+
+
+def test_mix_weighted_replication_and_fractional(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 2.0, "src1": 0.5}
+    mixed = mix_weighted(docs, "doc_id", "source", rates, 0.0)
+    per = {r["source"]: r["count"] for r in mixed.groupBy("source").count().collect()}
+    n0 = docs.filter(F.col("source") == "src0").count()
+    n1 = docs.filter(F.col("source") == "src1").count()
+    assert per.get("src0") == 2 * n0  # integer rate: exact replication
+    assert 0 < per.get("src1", 0) < n1  # fractional rate: strict subsample
+    assert "src2" not in per  # default 0.0 drops unlisted strata
+    # rep index is 1-based and bounded by ceil(rate)
+    reps = mixed.filter(F.col("source") == "src0").select("rep").distinct()
+    assert sorted(r["rep"] for r in reps.collect()) == [1, 2]
+    # stats sum to 1
+    stats = mixture_stats(mixed, "source")
+    total_share = sum(r["share"] for r in stats.collect())
+    assert abs(total_share - 1.0) < 1e-4
+
+
+def test_pack_sequences_budget_and_order(spark):
+    rows = [(i, 10 * (i % 3 + 1)) for i in range(20)]  # tokens 10/20/30
+    df = spark.createDataFrame(rows, "id int, tokens int")
+    packed = pack_sequences(df, "tokens", "id", budget=50)
+    pdf = packed.orderBy("id").toPandas()
+    # bin ids are non-decreasing in layout order and start at 0
+    assert pdf["bin_id"].iloc[0] == 0
+    assert (pdf["bin_id"].diff().dropna() >= 0).all()
+    stats = pack_stats(packed, "tokens", 50).orderBy("bin_id").toPandas()
+    # every bin except possibly the last is filled near budget; none exceeds
+    # budget by more than one document's worth under concat-and-chunk
+    assert (stats["tokens"].iloc[:-1] > 0).all()
+    assert stats["n_docs"].sum() == 20
+
+
+def test_pack_oversized_doc_gets_own_overfull_bin(spark):
+    df = spark.createDataFrame([(1, 10), (2, 120), (3, 10)], "id int, tokens int")
+    packed = pack_sequences(df, "tokens", "id", budget=50).orderBy("id").collect()
+    bins = [r["bin_id"] for r in packed]
+    assert bins[1] != bins[0] or bins[0] == 0  # big doc placed by prefix sum
+    # doc 3 starts a fresh bin after the oversized one
+    assert bins[2] > bins[1] or packed[2]["bin_id"] != packed[1]["bin_id"]
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    q = dequant_error(quantize_int8(emb, "embedding"), "embedding")
+    rows = q.select("q", "q_scale", "max_err", "mse").collect()
+    for r in rows:
+        assert all(-127 <= v <= 127 for v in r["q"])
+        # max reconstruction error of symmetric int8 is scale/2 per component
+        assert r["max_err"] <= r["q_scale"] / 2 + 1e-9
+        assert r["mse"] >= 0
+
+
+def test_quantize_zero_vector_safe(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "id int, v array<double>")
+    out = quantize_int8(df, "v").collect()[0]
+    assert out["q_scale"] == 1.0
+    assert list(out["q"]) == [0, 0, 0]
+
+
+def test_pii_redact_and_count(spark):
+    text = (
+        "mail bob.smith+x@corp.example.org, call 555-123-4567, "
+        "ip 192.168.0.1, ssn 123-45-6789 end"
+    )
+    df = spark.createDataFrame([(text,)], "t string")
+    out = df.select(
+        redact(F.col("t")).alias("r"),
+        pii_total(F.col("t")).alias("n"),
+        *[pii_count(F.col("t"), k).alias(k) for k in PII_PATTERNS],
+    ).collect()[0]
+    assert "<EMAIL>" in out["r"] and "<PHONE>" in out["r"]
+    assert "<IP>" in out["r"] and "<SSN>" in out["r"]
+    assert "@" not in out["r"] and "192.168" not in out["r"]
+    assert out["n"] == 4
+    assert out["email"] == 1 and out["ipv4"] == 1
+    # phone/ssn shapes do not double count: the ssn is NOT also a phone
+    assert out["phone"] == 1 and out["ssn"] == 1
+
+
+def test_pii_clean_text_untouched(spark):
+    df = spark.createDataFrame([("no pii here at all",)], "t string")
+    out = df.select(redact(F.col("t")).alias("r"), pii_total(F.col("t")).alias("n"))
+    row = out.collect()[0]
+    assert row["r"] == "no pii here at all"
+    assert row["n"] == 0
