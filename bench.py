@@ -54,6 +54,11 @@ HEADLINE = [
     "text_langid",
     "sim_topk_bruteforce",
     "mm_image_features",
+    "sample_stratified",
+    "mix_weighted",
+    "pack_sequences",
+    "emb_quantize_int8",
+    "pii_scrub",
 ]
 
 
