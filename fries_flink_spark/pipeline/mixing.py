@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .sampling import frac_to_hex
@@ -85,9 +85,17 @@ def _frac_hex_expr(rates: dict[str, float], default_rate: float, stratum_col: st
 
 
 def mixture_stats(mixed: DataFrame, stratum_col: str) -> DataFrame:
-    """Achieved mixture: rows and share per stratum (one tiny aggregation)."""
-    total = F.sum(F.count(F.lit(1))).over(Window.partitionBy())
-    return mixed.groupBy(stratum_col).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.count(F.lit(1)) / total, 6).alias("share"),
+    """Achieved mixture: rows and share per stratum.
+
+    One aggregation for the per-stratum counts plus a broadcast join against
+    the grand total (re-aggregated from the tiny per-stratum result, not the
+    input) — avoids the single-partition global window a naive
+    ``sum() over ()`` would force on the stats rows.
+    """
+    per = mixed.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = per.agg(F.sum("n_rows").alias("__total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        stratum_col,
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
     )

@@ -339,3 +339,36 @@ def join_window(spark, sf_dir):
         )
         .orderBy("w_start", "user_id", "click_id", "purchase_id")
     )
+
+
+@query(
+    "join_runtime_filter",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def join_runtime_filter(spark, sf_dir):
+    """Fact-side runtime-filter pruning (operators/runtime_filter.py): the
+    lineitem probe is cut by a broadcast hash-bucket filter built from the
+    urgent-orders keys BEFORE any exchange, then exact-semi-joined. Result
+    is identical to the plain semi join (hash inequality => key inequality),
+    which is exactly what the oracle asserts."""
+    from ..operators.runtime_filter import runtime_filtered_semi
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    survivors = runtime_filtered_semi(
+        lineitem, orders, "l_orderkey", "o_orderkey", n_buckets=1 << 16
+    )
+    return (
+        survivors.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..pipeline.mixing import mix_weighted
+from ..pipeline.mixing import mix_weighted, mixture_stats
 from ..pipeline.packing import pack_sequences, pack_stats
 from ..pipeline.quantize import dequant_error, quantize_int8
 from ..pipeline.sampling import (
@@ -304,3 +304,70 @@ def q_pii_scrub(spark, sf_dir):
         F.md5(redact(F.col("t"))).alias("redacted_md5"),
         pii_total(F.col("t")).cast("bigint").alias("n_pii"),
     ).orderBy("doc_id")
+
+
+_ZBITS = 16
+
+
+def _zorder_sql(xcol: str, ycol: str, bits: int = _ZBITS) -> str:
+    """DuckDB rendition of sources/layout.zorder_key for two columns: bit i
+    of x -> output bit 2i, bit i of y -> output bit 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_key",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST({_zorder_sql('o_custkey', 'o_orderkey')} AS BIGINT) AS zkey
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_layout_zorder_key(spark, sf_dir):
+    """Morton (Z-order) interleave of (o_custkey, o_orderkey) — the cluster
+    key write_clustered sorts by so row-group min/max stats prune scans on
+    EITHER column (sources/layout.py). Pure shift/mask codegen, no UDF."""
+    from ..sources.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        zorder_key(["o_custkey", "o_orderkey"], _ZBITS).alias("zkey"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "mix_stats",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source, {_mix_rate_sql()} AS rate, {_mix_frac_hex_sql()} AS fhex
+      FROM documents
+    ), reps AS (
+      SELECT doc_id, source, rate, fhex, g.rep
+      FROM rated CROSS JOIN generate_series(1, 3) AS g(rep)
+      WHERE g.rep <= greatest(CAST(ceil(rate) AS BIGINT), 1)
+    ), mixed AS (
+      SELECT doc_id, source, rep FROM reps
+      WHERE rep <= CAST(floor(rate) AS BIGINT)
+         OR substr(md5(concat(CAST(doc_id AS VARCHAR), '#', CAST(rep AS VARCHAR))), 1, 8)
+            < fhex
+    )
+    SELECT source, count(*) AS n_rows,
+           round(count(*) * 1.0 / (SELECT count(*) FROM mixed), 6) AS share
+    FROM mixed GROUP BY source ORDER BY source
+    """,
+)
+def q_mix_stats(spark, sf_dir):
+    """Achieved-mixture report over mix_weighted's output: rows and corpus
+    share per source (pipeline/mixing.mixture_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = mix_weighted(docs, "doc_id", "source", _MIX_RATES, _MIX_DEFAULT)
+    stats = mixture_stats(mixed, "source")
+    return stats.select(
+        "source", "n_rows", F.round("share", 6).alias("share")
+    ).orderBy("source")

@@ -148,3 +148,60 @@ def text_lang_stats(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.avg("n_chars").alias("avg_chars"),
     )
+
+
+@query(
+    "text_vocab_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                w -> w <> '')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS n_occurrences
+    FROM toks GROUP BY token
+    ORDER BY n_occurrences DESC, token LIMIT 50
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Vocabulary head: top-50 tokens by global occurrence count
+    (text/vocab.py — explode + two-phase agg + TakeOrderedAndProject)."""
+    from ..text.vocab import vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_topk(docs, "text", 50)
+
+
+@query(
+    "text_doc_freq",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           w -> w <> ''))) AS token
+      FROM documents
+    ), df AS (
+      SELECT token, count(*) AS doc_freq FROM toks GROUP BY token
+    )
+    SELECT token, doc_freq,
+           round(ln(((SELECT count(*) FROM documents) + 1.0) / (doc_freq + 1.0))
+                 + 1.0, 6) AS idf_r
+    FROM df
+    WHERE doc_freq >= 50
+    ORDER BY doc_freq DESC, token
+    """,
+)
+def text_doc_freq(spark, sf_dir):
+    """Document frequency + smoothed IDF for common tokens (text/vocab.py —
+    per-row array_distinct dedup before the explode, so the aggregation is a
+    plain count, not a count_distinct shuffle)."""
+    from ..text.vocab import doc_frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        doc_frequency(docs, "text", "doc_id")
+        .filter(F.col("doc_freq") >= 50)
+        .select("token", "doc_freq", F.round("idf", 6).alias("idf_r"))
+        .orderBy(F.desc("doc_freq"), "token")
+    )
