@@ -59,6 +59,9 @@ HEADLINE = [
     "pack_sequences",
     "emb_quantize_int8",
     "pii_scrub",
+    "text_vocab_topk",
+    "text_decontaminate",
+    "join_runtime_filter",
 ]
 
 

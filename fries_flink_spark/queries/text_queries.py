@@ -205,3 +205,116 @@ def text_doc_freq(spark, sf_dir):
         .select("token", "doc_freq", F.round("idf", 6).alias("idf_r"))
         .orderBy(F.desc("doc_freq"), "token")
     )
+
+
+_NGRAM_LIST_SQL = (
+    r"list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w <> '')"
+)
+
+
+def _ngram_unnest_sql(n: int) -> str:
+    """DuckDB rendition of text/vocab.word_ngrams: slice+join over a start
+    index sequence (empty below n tokens)."""
+    return f"""
+      CASE WHEN len({_NGRAM_LIST_SQL}) >= {n}
+           THEN list_transform(generate_series(1, len({_NGRAM_LIST_SQL}) - {n - 1}),
+                               i -> array_to_string({_NGRAM_LIST_SQL}[i:i+{n - 1}], ' '))
+           ELSE [] END
+    """
+
+
+@query(
+    "text_ngram_topk",
+    oracle=f"""
+    WITH grams AS (
+      SELECT unnest({_ngram_unnest_sql(2)}) AS ngram FROM documents
+    )
+    SELECT ngram, count(*) AS n_occurrences
+    FROM grams GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram LIMIT 50
+    """,
+)
+def text_ngram_topk(spark, sf_dir):
+    """Top-50 word bigrams by global count (text/vocab.ngram_counts —
+    per-row slice/join array expressions, two-phase agg, TakeOrdered)."""
+    from ..text.vocab import ngram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_counts(docs, "text", 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(50)
+    )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                w -> w <> '')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ), idf AS (
+      SELECT token,
+             ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0)) + 1.0
+               AS idf
+      FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, tf.tf * idf.idf AS tfidf
+      FROM tf JOIN idf USING (token)
+    )
+    SELECT doc_id, token, tf, round(tfidf, 6) AS tfidf_r, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    ) WHERE rank <= 3 AND doc_id < 100
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 tf-idf terms (text/vocab.tfidf_top_terms), for the
+    first 100 docs to keep the driver compare small."""
+    from ..text.vocab import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "text", "doc_id", 3)
+    return (
+        out.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round("tfidf", 6).alias("tfidf_r"),
+            "rank",
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH bench AS (
+      SELECT doc_id, unnest(list_distinct({_ngram_unnest_sql(3)})) AS g
+      FROM documents WHERE source = 'src2'
+    ), train AS (
+      SELECT DISTINCT unnest(list_distinct({_ngram_unnest_sql(3)})) AS g
+      FROM documents WHERE source = 'src0'
+    )
+    SELECT DISTINCT doc_id FROM bench WHERE g IN (SELECT g FROM train)
+    ORDER BY doc_id
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Eval decontamination: src2 docs sharing any word trigram with the
+    src0 'training' corpus (text/vocab.contaminated_docs — distinct-gram
+    semi join, both shuffles on deduplicated keys)."""
+    from ..text.vocab import contaminated_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src2")
+    train = docs.filter(F.col("source") == "src0")
+    return contaminated_docs(bench, train, "text", "doc_id", 3).orderBy("doc_id")

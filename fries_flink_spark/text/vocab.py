@@ -71,3 +71,90 @@ def doc_frequency(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.log((F.col("__n") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
         ).alias("idf"),
     )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of word ``n``-grams (space-joined) from the normalized tokens.
+
+    Pure array expressions: transform over a start-index sequence + slice —
+    per-row, zero-shuffle, codegen. Rows with fewer than ``n`` tokens yield
+    an empty array.
+    """
+    toks = _norm_tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_counts(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Global n-gram -> occurrence count (two-phase hash aggregation)."""
+    return (
+        df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Per-document top-``k`` terms by tf·idf (ties: token asc).
+
+    Term frequencies aggregate once per (doc, token); the document-frequency
+    table is orders of magnitude smaller than the corpus (one row per
+    distinct token), so it joins back via broadcast-style hash join on the
+    token — no fact-sized shuffle beyond the tf aggregation itself. The
+    top-k filter is a WindowGroupLimit (per-task top-k before the exchange).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(_norm_tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = doc_frequency(df, text_col, id_col).select("token", "idf")
+    scored = tf.join(idf, "token").withColumn(
+        "tfidf", F.col("tf") * F.col("idf")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(id_col, "token", "tf", "tfidf", F.col("__rk").alias("rank"))
+    )
+
+
+def contaminated_docs(
+    benchmark: DataFrame,
+    train: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark documents sharing at least one word ``n``-gram with the
+    training corpus (eval decontamination).
+
+    Both sides reduce to DISTINCT n-gram sets before the join — the train
+    side one row per distinct n-gram (vocabulary-sized, not corpus-sized) —
+    then a semi join on the n-gram followed by a distinct on the benchmark
+    doc id. Two shuffles total, both on deduplicated keys.
+    """
+    bench_grams = benchmark.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    train_grams = train.select(
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g")
+    ).distinct()
+    return (
+        bench_grams.join(train_grams, "g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )

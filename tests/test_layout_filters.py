@@ -139,3 +139,42 @@ def test_doc_frequency_dedupes_within_doc(spark):
     assert rows["z"]["doc_freq"] == 2
     # smoothed IDF: rarer token has strictly higher idf
     assert rows["y"]["idf"] > rows["x"]["idf"] > 0
+
+
+def test_word_ngrams_and_counts(spark):
+    from fries_flink_spark.text.vocab import ngram_counts, word_ngrams
+
+    df = spark.createDataFrame([("a b c",), ("b c",), ("x",)], "text string")
+    grams = df.select(word_ngrams(F.col("text"), 2).alias("g")).collect()
+    assert sorted(map(list, (r["g"] for r in grams))) == [[], ["a b", "b c"], ["b c"]]
+    counts = {r["ngram"]: r["n_occurrences"] for r in ngram_counts(df, "text", 2).collect()}
+    assert counts == {"a b": 1, "b c": 2}
+
+
+def test_tfidf_top_terms_ranks(spark):
+    from fries_flink_spark.text.vocab import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "rare common common"), (2, "common"), (3, "common other")],
+        "doc_id int, text string",
+    )
+    out = tfidf_top_terms(df, "text", "doc_id", 1).collect()
+    top = {r["doc_id"]: r["token"] for r in out}
+    # 'rare' appears in 1/3 docs -> higher idf; tf 1 * idf(rare) > tf 2 * idf(common)?
+    # idf(common)=ln(4/4)+1=1, tf=2 -> 2.0 ; idf(rare)=ln(4/2)+1~1.693, tf=1 -> 1.693
+    assert top[1] == "common"  # tf dominates here
+    assert top[3] == "other"  # rarer term wins at equal tf
+
+
+def test_contaminated_docs(spark):
+    from fries_flink_spark.text.vocab import contaminated_docs
+
+    train = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id int, text string"
+    )
+    bench = spark.createDataFrame(
+        [(1, "a quick brown fox here"), (2, "totally different words entirely")],
+        "doc_id int, text string",
+    )
+    hit = contaminated_docs(bench, train, "text", "doc_id", 3).collect()
+    assert [r["doc_id"] for r in hit] == [1]
