@@ -83,3 +83,48 @@ def test_q21_single_fact_pass(spark, registry):
     js = join_strategies(df)
     assert js.get("BroadcastHashJoin", 0) >= 1, js
     assert has_partial_aggregation(df)
+
+
+def test_sampling_is_zero_exchange(spark, registry):
+    """Bernoulli/stratified sampling must fuse into the scan stage — a pure
+    filter, no exchange anywhere before the final order-by."""
+    df = registry["sample_stratified"](spark, SF)
+    # the only allowed exchange is the rangepartitioning of the orderBy;
+    # the md5 predicate can't push to parquet but must stay in codegen
+    assert exchange_count(df) <= 1
+    assert codegen_stage_count(df) >= 1
+
+
+def test_mix_weighted_zero_exchange(spark, registry):
+    """Mixture resampling is scan → explode → filter: no shuffle at all
+    before the result ordering."""
+    df = registry["mix_weighted"](spark, SF)
+    assert exchange_count(df) <= 1
+
+
+def test_vocab_two_phase_aggregation(spark, registry):
+    """Token counting must partial-aggregate map-side: the shuffle carries
+    distinct tokens per task, not raw occurrences."""
+    df = registry["text_vocab_topk"](spark, SF)
+    assert has_partial_aggregation(df)
+
+
+def test_runtime_filter_broadcasts_buckets(spark, registry):
+    """The bucket pre-filter must reach the probe as a broadcast semi join —
+    never a shuffled join of the fact table against the bucket list."""
+    df = registry["join_runtime_filter"](spark, SF)
+    js = join_strategies(df)
+    assert js.get("BroadcastHashJoin", 0) >= 1, js
+
+
+def test_zorder_key_is_pure_projection(spark, registry):
+    """The Morton key is shift/mask arithmetic in the scan's project — the
+    only exchange is the final order-by."""
+    df = registry["layout_zorder_key"](spark, SF)
+    assert exchange_count(df) <= 1
+    assert codegen_stage_count(df) >= 1
+
+
+def test_quantize_zero_exchange(spark, registry):
+    df = registry["emb_quantize_int8"](spark, SF)
+    assert exchange_count(df) <= 1
