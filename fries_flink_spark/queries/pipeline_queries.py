@@ -371,3 +371,19 @@ def q_mix_stats(spark, sf_dir):
     return stats.select(
         "source", "n_rows", F.round("share", 6).alias("share")
     ).orderBy("source")
+
+
+@query(
+    "pipeline_row_ids",
+    oracle="""
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_pipeline_row_ids(spark, sf_dir):
+    """Dense global 0-based ids in doc_id order (pipeline/ids.py — range
+    partition + per-partition counts + offset broadcast; no global window)."""
+    from ..pipeline.ids import assign_consecutive_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return assign_consecutive_ids(docs, "doc_id").orderBy("doc_id")

@@ -162,3 +162,22 @@ def test_pii_clean_text_untouched(spark):
     row = out.collect()[0]
     assert row["r"] == "no pii here at all"
     assert row["n"] == 0
+
+
+def test_assign_consecutive_ids_dense_and_ordered(spark, sf_dir):
+    from fries_flink_spark.pipeline.ids import assign_consecutive_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    out = assign_consecutive_ids(docs, "doc_id", n_partitions=5).collect()
+    ids = sorted(r["row_id"] for r in out)
+    assert ids == list(range(n))  # dense 0..N-1, no gaps or dupes
+    by_key = sorted(out, key=lambda r: r["doc_id"])
+    assert [r["row_id"] for r in by_key] == list(range(n))  # follows key order
+    # partition-count invariance
+    again = assign_consecutive_ids(
+        docs.repartition(13), "doc_id", n_partitions=3
+    ).collect()
+    assert {r["doc_id"]: r["row_id"] for r in again} == {
+        r["doc_id"]: r["row_id"] for r in out
+    }
