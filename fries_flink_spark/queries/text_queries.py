@@ -318,3 +318,35 @@ def text_decontaminate(spark, sf_dir):
     bench = docs.filter(F.col("source") == "src2")
     train = docs.filter(F.col("source") == "src0")
     return contaminated_docs(bench, train, "text", "doc_id", 3).orderBy("doc_id")
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_NGRAM_LIST_SQL} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest({_ngram_unnest_sql(2)}) AS g FROM documents
+    ), gmax AS (
+      SELECT doc_id, max(c) AS max_bigram_count FROM (
+        SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           CASE WHEN len(toks) > 0
+                THEN round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6)
+                ELSE 0.0 END AS dup_token_ratio,
+           coalesce(gmax.max_bigram_count, 0) AS max_bigram_count
+    FROM base b LEFT JOIN gmax ON b.doc_id = gmax.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Within-document repetition metrics (text/vocab.repetition_stats —
+    Gopher-style quality signals; linear formulation, see module docstring)."""
+    from ..text.vocab import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id").orderBy("doc_id")

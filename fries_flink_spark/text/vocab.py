@@ -158,3 +158,56 @@ def contaminated_docs(
         .select(id_col)
         .distinct()
     )
+
+
+def distinct_tokens_in_order(text: Column) -> Column:
+    """Order-preserving first-occurrence token sequence (within-document
+    repetition removal, the array analog of Gopher-style line dedup).
+
+    Pure array expressions: the indexed filter keeps token i iff it does not
+    appear in the prefix before i. Quadratic in DOCUMENT length only —
+    per-row compute that fuses into the scan stage, never a shuffle.
+    """
+    toks = _norm_tokens(text)
+    return F.filter(
+        toks,
+        lambda x, i: F.array_position(F.slice(toks, F.lit(1), i), x) == 0,
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style quality signals):
+    duplicate-token ratio and the occurrence count of the most repeated
+    bigram per document.
+
+    The token ratio is linear array arithmetic in the scan stage. The
+    per-doc bigram max is DELIBERATELY an explode + (doc, gram) aggregation
+    + (doc) max — linear with map-side partials — rather than the tempting
+    per-row ``transform(grams, g -> size(filter(grams, = g)))``, which is
+    quadratic in document length in Spark's interpreted HOF evaluator
+    (measured ~50x slower on the documents table at sf0.01).
+    """
+    toks = _norm_tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    base = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.when(n_tok > 0, F.round(1.0 - n_distinct / n_tok, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_ratio"),
+    )
+    gram_max = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("g"),
+        )
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("max_bigram_count"))
+    )
+    return base.join(gram_max, id_col, "left").withColumn(
+        "max_bigram_count", F.coalesce("max_bigram_count", F.lit(0))
+    )

@@ -178,3 +178,29 @@ def test_contaminated_docs(spark):
     )
     hit = contaminated_docs(bench, train, "text", "doc_id", 3).collect()
     assert [r["doc_id"] for r in hit] == [1]
+
+
+def test_repetition_stats_and_order_preserving_dedup(spark):
+    from fries_flink_spark.text.vocab import (
+        distinct_tokens_in_order,
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z"), (3, "")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    assert rows[1]["n_tokens"] == 6 and rows[1]["n_distinct"] == 2
+    assert abs(rows[1]["dup_token_ratio"] - (1 - 2 / 6)) < 1e-6
+    assert rows[1]["max_bigram_count"] == 3  # "a b" x3
+    assert rows[2]["dup_token_ratio"] == 0.0
+    assert rows[2]["max_bigram_count"] == 1
+    assert rows[3]["n_tokens"] == 0 and rows[3]["max_bigram_count"] == 0
+    deduped = df.select(
+        "doc_id", distinct_tokens_in_order(F.col("text")).alias("d")
+    ).collect()
+    got = {r["doc_id"]: list(r["d"]) for r in deduped}
+    assert got[1] == ["a", "b"]  # first occurrences, original order
+    assert got[2] == ["x", "y", "z"]
+    assert got[3] == []
