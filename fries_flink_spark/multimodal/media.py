@@ -164,13 +164,45 @@ def image_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            imgs = [
+                decode_syn_image(bytes(data)).reshape(-1)
+                for data in pdf[content_col]
+            ]
+            # Vectorized whole-batch path when every image in the Arrow batch
+            # has the same pixel count (the common fixed-resolution pipeline):
+            # one (n, pixels) matrix, histograms via a single bincount of
+            # row_index*n_bins + pixel_bin — no per-row numpy call overhead.
+            sizes = {a.size for a in imgs}
+            if len(sizes) == 1 and sizes != {0} and 256 % n_bins == 0:
+                flat = np.stack(imgs).astype(np.float64)
+                n, px = flat.shape
+                bin_idx = (flat.astype(np.int64) // (256 // n_bins)).clip(
+                    0, n_bins - 1
+                )
+                row_idx = np.repeat(np.arange(n), px)
+                hist = np.bincount(
+                    row_idx * n_bins + bin_idx.reshape(-1),
+                    minlength=n * n_bins,
+                ).reshape(n, n_bins) / px
+                feats = [list(map(float, h)) for h in hist]
+                means = flat.mean(axis=1)
+                stds = flat.std(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "features": feats,
+                        "mean_intensity": means,
+                        "std_intensity": stds,
+                    }
+                )
+                continue
             rows = []
-            for mid, data in zip(pdf[id_col], pdf[content_col]):
-                arr = decode_syn_image(bytes(data)).astype(np.float64)
-                hist = np.histogram(arr, bins=n_bins, range=(0, 256))[0]
-                hist = hist / max(arr.size, 1)
+            for mid, arr in zip(pdf[id_col], imgs):
+                a = arr.astype(np.float64)
+                hist = np.histogram(a, bins=n_bins, range=(0, 256))[0]
+                hist = hist / max(a.size, 1)
                 rows.append(
-                    (mid, [float(x) for x in hist], float(arr.mean()), float(arr.std()))
+                    (mid, [float(x) for x in hist], float(a.mean()), float(a.std()))
                 )
             yield pd.DataFrame(
                 rows, columns=[id_col, "features", "mean_intensity", "std_intensity"]
