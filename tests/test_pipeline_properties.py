@@ -70,3 +70,40 @@ def test_threshold_granularity(fraction):
     t = frac_to_hex(fraction)
     back = (HASH_SPACE if t == "g" else int(t, 16)) / HASH_SPACE
     assert abs(back - fraction) <= 1.0 / HASH_SPACE + 1e-12
+
+
+def _mix_kept_reps(key, rate: float) -> list[int]:
+    """Python mirror of the mix_weighted keep rule (same md5 predicate)."""
+    whole = math.floor(rate)
+    reps = []
+    for rep in range(1, max(math.ceil(rate), 1) + 1):
+        frac_thr = frac_to_hex(rate - whole)
+        h = hashlib.md5(f"{key}#{rep}".encode()).hexdigest()[:8]
+        if rep <= whole or h < frac_thr:
+            reps.append(rep)
+    return reps
+
+
+@given(key=st.integers(min_value=0, max_value=10**9),
+       rate=st.floats(min_value=0.0, max_value=4.0, allow_nan=False))
+def test_mix_rep_count_within_floor_ceil(key, rate):
+    """Every row yields floor(rate) or ceil(rate) replicas; integer rates
+    replicate exactly rate times."""
+    kept = _mix_kept_reps(key, rate)
+    assert math.floor(rate) <= len(kept) <= max(math.ceil(rate), 0) or (
+        rate == 0 and kept == []
+    )
+    if float(rate).is_integer():
+        assert len(kept) == int(rate)
+    # whole replicas always survive, in order
+    assert kept[: math.floor(rate)] == list(range(1, math.floor(rate) + 1))
+
+
+@given(rate=st.floats(min_value=0.0, max_value=3.0, allow_nan=False))
+@settings(max_examples=25)
+def test_mix_achieved_rate_calibrated(rate):
+    """Over a fixed key universe the mean replica count tracks the rate."""
+    n = 2000
+    total = sum(len(_mix_kept_reps(k, rate)) for k in range(n))
+    sigma = math.sqrt(max(rate % 1.0 * (1 - rate % 1.0), 1e-12) / n)
+    assert abs(total / n - rate) < max(4 * sigma, 0.03)
