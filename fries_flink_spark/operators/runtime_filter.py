@@ -63,7 +63,19 @@ def runtime_filtered_join(
     n_buckets: int = 1 << 20,
 ) -> DataFrame:
     """``probe JOIN build`` with the probe pre-pruned by a broadcast
-    hash-bucket runtime filter. Result is identical to the plain join."""
+    hash-bucket runtime filter. Result is identical to the plain join.
+
+    Only join types where dropping non-matching PROBE rows is
+    semantics-preserving are accepted: inner / left_semi / right /
+    cross. A left/full/left_anti join must keep (null-extend) probe rows
+    without a build match, which the pre-filter would silently drop.
+    """
+    allowed = {"inner", "left_semi", "semi", "leftsemi", "right", "right_outer", "cross"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"runtime_filtered_join: how={how!r} would drop probe rows the "
+            "join must retain; use a plain join or runtime-filter the build side"
+        )
     buckets = key_buckets(build, build_key, n_buckets)
     pruned = prune_probe(probe, probe_key, buckets, n_buckets)
     return pruned.join(build, pruned[probe_key] == build[build_key], how)

@@ -10,7 +10,11 @@ The scalable classic is two-pass:
 
 1. Range-partition and sort by the ordering key (the one exchange any global
    total order must pay; files written from this layout are also scan-prunable
-   on the key, cf. sources/layout.py).
+   on the key, cf. sources/layout.py), then PERSIST that layout — the count
+   job and the id job must observe the identical physical partitioning
+   (range boundaries are sampled with a per-execution seed, so re-running
+   the exchange could move rows between partitions), and the persist also
+   means the input is scanned once, not twice.
 2. Count rows per partition — a metadata-sized aggregation (n_partitions
    rows) — and prefix-sum it into per-partition start offsets on the driver.
 3. One Arrow pass per partition adds ``offset + local_index``; the per-batch
@@ -41,7 +45,10 @@ def assign_consecutive_ids(
 
     ``order_col`` must be duplicate-free for a deterministic result (the
     usual case: a primary key). ``n_partitions`` defaults to the session's
-    shuffle partitions.
+    shuffle partitions. The intermediate ranged layout stays persisted
+    (MEMORY_AND_DISK) while the returned DataFrame is alive; call
+    ``result.sparkSession.catalog.clearCache()`` or keep a handle and
+    ``unpersist()`` once the result is materialized if memory is tight.
     """
     n = n_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = (
@@ -49,6 +56,15 @@ def assign_consecutive_ids(
         .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
     )
+    # Pin the physical partitioning: repartitionByRange samples its range
+    # boundaries with a per-execution seed, so the counts job below and the
+    # mapInPandas id job would otherwise each re-plan the exchange and can
+    # assign rows to DIFFERENT partitions — duplicate/missing ids. Persisting
+    # makes both jobs read the same materialized layout (and pays for the
+    # second scan once, cf. the 100 TB note in the module docstring).
+    from pyspark import StorageLevel
+
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     # pass 1: per-partition counts -> driver prefix sum (n_partitions rows)
     counts = (
         ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()

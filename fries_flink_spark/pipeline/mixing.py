@@ -49,6 +49,12 @@ def mix_weighted(
     for value, r in rates.items():
         if r < 0:
             raise ValueError(f"rate for {value!r} must be >= 0, got {r}")
+    if "rep" in df.columns:
+        raise ValueError(
+            "mix_weighted adds a 'rep' replica-index column; the input already "
+            "has one — rename it first (withColumnRenamed) to avoid silently "
+            "overwriting it and skewing the per-(key, rep) hash decision"
+        )
 
     rate = F.lit(float(default_rate))
     for value, r in sorted(rates.items()):
@@ -94,8 +100,10 @@ def mixture_stats(mixed: DataFrame, stratum_col: str) -> DataFrame:
     """
     per = mixed.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_rows"))
     total = per.agg(F.sum("n_rows").alias("__total"))
+    # raw quotient — rounding is presentation, and count/count ratios can land
+    # exactly on decimal ties where engine round() modes disagree (portable.py)
     return per.crossJoin(F.broadcast(total)).select(
         stratum_col,
         "n_rows",
-        F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        (F.col("n_rows") / F.col("__total")).alias("share"),
     )

@@ -60,8 +60,13 @@ def pack_stats(
 ) -> DataFrame:
     """Per-bin packing statistics: document count, token total, fill ratio."""
     keys = ([part_col] if part_col else []) + ["bin_id"]
+    # No rounding on fill_ratio: tokens / 2^k budgets are binary-exact doubles,
+    # but their decimal expansion can terminate in ...5, and round(x, 6) then
+    # sits exactly on a decimal tie whose direction differs between engines
+    # (Spark HALF_UP vs some DuckDB builds HALF_EVEN). The raw quotient is
+    # bit-identical everywhere by IEEE-754 construction.
     return packed.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).alias("tokens"),
-        F.round(F.sum(token_col) / F.lit(float(budget)), 6).alias("fill_ratio"),
+        (F.sum(token_col) / F.lit(float(budget))).alias("fill_ratio"),
     )

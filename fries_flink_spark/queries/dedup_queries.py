@@ -19,6 +19,7 @@ from ..dedup.minhash import (
     minhash_table,
     simhash_table,
 )
+from ..portable import round_portable, round_portable_sql
 from ..registry import query
 
 # Shared DuckDB fragments (k=8 char shingles, 8 md5 "permutations")
@@ -119,8 +120,9 @@ def dedup_minhash_lsh(spark, sf_dir):
                                AND x.doc_id < y.doc_id
     )
     SELECT c.a, c.b,
-           round(len(list_intersect(sa.s, sb.s)) * 1.0
-                 / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+           {round_portable_sql(
+               'len(list_intersect(sa.s, sb.s)) * 1.0'
+               ' / len(list_distinct(list_concat(sa.s, sb.s)))', 6)} AS jaccard
     FROM cand c
     JOIN sh sa ON sa.doc_id = c.a
     JOIN sh sb ON sb.doc_id = c.b
@@ -141,9 +143,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     pairs = jaccard_pairs(
         docs, "text", "doc_id", k=8, threshold=0.2, candidates=cands
     )
-    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard")).orderBy(
-        "a", "b"
-    )
+    return pairs.select(
+        "a", "b", round_portable(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("a", "b")
 
 
 _SIMHASH_BIT = (

@@ -1,0 +1,214 @@
+"""Golden-file oracles for queries whose semantics aren't SQL-expressible.
+
+The driver's correctness gate compares each Spark query against a DuckDB
+oracle. Two registered queries (SYN image featurization, IVF approximate
+top-k) can't be restated in SQL, so they were rows-only checks. This module
+upgrades them to value-level oracles: an INDEPENDENT implementation — plain
+numpy/Python over the parquet files read through DuckDB, no Spark and no
+import of the operator modules under test — precomputes the expected result
+into a golden parquet, and the oracle is ``SELECT ... FROM read_parquet``.
+
+Exactness contract (why the compare can demand identical values):
+
+- mm_image_features: every quantity is dyadic-exact. Pixels are uint8; the
+  8-bin histogram is count/256; mean is sum/256; the variance's deviations
+  are m/256 with m <= 2^16, their squares m^2/65536 with m^2 <= 2^32, and
+  all partial sums stay under 2^53 — so every intermediate is an exact
+  double regardless of summation order, and sqrt is correctly rounded. The
+  histogram components are emitted as micro-units (floor(x*1e6 + 0.5) as
+  integers, also exact) to avoid engine float formatting entirely.
+- sim_topk_ivf: the final cosine is a SEQUENTIAL left-fold multiply-add
+  chain (similarity/ann.dot_lit); the golden replays the same fold in
+  Python doubles, which are the same IEEE-754 ops, and emits
+  floor(cos*1e4 + 0.5) micro-units. The k-means coarse quantizer is
+  replayed with the same deterministic algorithm (first-n seeds, Lloyd
+  iterations, spherical argmax assignment); cell assignment is robust to
+  sub-ulp centroid differences except at exact argmax ties, which the
+  synthetic embeddings don't produce (verified by regeneration at every
+  tested scale factor).
+
+Golden files are regenerated on demand per scale-factor directory — they are
+derived artifacts, safe to delete. The sf0.01 files are committed because
+the driver's oracle SQL references them by absolute path.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+GOLDEN_DIR = os.path.join(_REPO, "tests", "data", "golden")
+
+#: the sf dir the driver's oracle compare runs at (oracle SQL strings are
+#: static, so they reference this sf's golden path)
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def golden_path(name: str, sf_dir: str) -> str:
+    return os.path.join(GOLDEN_DIR, f"{name}_{_sf_name(sf_dir)}.parquet")
+
+
+def _write_parquet(path: str, table) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def _fetch(sf_dir: str, sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        return con.execute(sql.format(sf=sf_dir)).fetchall()
+    finally:
+        con.close()
+
+
+# --------------------------------------------------------------------------- #
+# mm_image_features
+# --------------------------------------------------------------------------- #
+
+_MICRO6 = 1_000_000.0
+
+
+def micro6(x: float) -> int:
+    return int(math.floor(x * _MICRO6 + 0.5))
+
+
+def ensure_mm_image_features(sf_dir: str, force: bool = False) -> str:
+    """Golden for queries/multimodal_queries.mm_image_features: doc text ->
+    256-pixel SYN image -> 8-bin histogram (micro-units) + mean/std."""
+    import pyarrow as pa
+
+    path = golden_path("mm_image_features", sf_dir)
+    if os.path.exists(path) and not force:
+        return path
+    rows = _fetch(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id")
+    ids, feats, means, stds = [], [], [], []
+    for doc_id, text in rows:
+        raw = np.frombuffer(text.encode("utf-8")[:256], dtype=np.uint8)
+        px = np.zeros(256, dtype=np.uint8)
+        px[: len(raw)] = raw
+        hist = np.bincount(px >> 5, minlength=8) / 256.0
+        a = px.astype(np.float64)
+        ids.append(int(doc_id))
+        feats.append("|".join(str(micro6(h)) for h in hist))
+        means.append(float(a.mean()))
+        stds.append(float(a.std()))
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "features_str": pa.array(feats, pa.string()),
+                "mean_intensity": pa.array(means, pa.float64()),
+                "std_intensity": pa.array(stds, pa.float64()),
+            }
+        ),
+    )
+    return path
+
+
+# --------------------------------------------------------------------------- #
+# sim_topk_ivf
+# --------------------------------------------------------------------------- #
+
+
+def _fold_dot(v, w) -> float:
+    """The exact left-fold of similarity/ann.dot_lit: ((v0*w0 + v1*w1) + ...)."""
+    acc = 0.0
+    for x, y in zip(v, w):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _cos_seq(v, q, qn: float) -> float:
+    return _fold_dot(v, q) / (math.sqrt(_fold_dot(v, v)) * qn)
+
+
+def ensure_sim_topk_ivf(
+    sf_dir: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iter: int = 2,
+    force: bool = False,
+) -> str:
+    """Golden for queries/similarity_queries.sim_topk_ivf: independent numpy
+    replay of the IVF probe (same deterministic k-means: first-n seeds by id,
+    spherical argmax assignment, mean update, empty cells keep previous)."""
+    import pyarrow as pa
+
+    path = golden_path("sim_topk_ivf", sf_dir)
+    if os.path.exists(path) and not force:
+        return path
+    rows = _fetch(
+        sf_dir,
+        "SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id",
+    )
+    qv = [float(x) for vid, emb in rows if vid == 0 for x in emb]
+    data = [(int(vid), [float(x) for x in emb]) for vid, emb in rows if vid != 0]
+    ids = [vid for vid, _ in data]
+    x = np.array([v for _, v in data], dtype=np.float64)
+
+    # k-means replay (same algorithm as similarity/ann.kmeans_centroids)
+    cents = x[:n_centroids].copy()
+    for _ in range(kmeans_iter):
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        assign = np.argmax(x @ (cents / norms).T, axis=1)
+        new = cents.copy()
+        for cid in range(n_centroids):
+            members = x[assign == cid]
+            if len(members):
+                new[cid] = members.mean(axis=0)
+        cents = new
+
+    qn = math.sqrt(sum(float(v) * float(v) for v in qv))
+    probe = sorted(
+        range(n_centroids),
+        key=lambda cid: -_cos_seq(cents[cid], qv, qn),
+    )[:nprobe]
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    assign = np.argmax(x @ (cents / norms).T, axis=1)
+    cands = [
+        (vid, _cos_seq(vec, qv, qn))
+        for (vid, vec), a in zip(data, assign)
+        if a in set(probe)
+    ]
+    cands.sort(key=lambda t: (-t[1], t[0]))
+    top = cands[:k]
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "vec_id": pa.array([int(v) for v, _ in top], pa.int64()),
+                "cos4": pa.array(
+                    [int(math.floor(c * 1e4 + 0.5)) for _, c in top], pa.int64()
+                ),
+            }
+        ),
+    )
+    return path
+
+
+def ensure_driver_goldens() -> None:
+    """Generate the goldens the static oracle SQL references (driver sf)."""
+    if os.path.isdir(DRIVER_SF_DIR):
+        try:
+            ensure_mm_image_features(DRIVER_SF_DIR)
+            ensure_sim_topk_ivf(DRIVER_SF_DIR)
+        except Exception:  # never break registry import on golden failure
+            pass

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..multimodal.media import IMAGE_MAGIC, image_features
 from ..registry import query
+from . import golden as _golden
 
 
 @query(
@@ -39,12 +40,24 @@ def mm_media_meta(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query("mm_image_features")  # rows-only check: fake-decode isn't SQL
+@query(
+    "mm_image_features",
+    # Value-level oracle via a golden parquet computed by an INDEPENDENT
+    # numpy implementation (queries/golden.py — no Spark, no reuse of
+    # multimodal/media.py). Every emitted quantity is dyadic-exact or an
+    # integer, so the compare is bit-identical by construction.
+    oracle=f"""
+    SELECT media_id, features_str, mean_intensity, std_intensity
+    FROM read_parquet('{_golden.golden_path("mm_image_features", _golden.DRIVER_SF_DIR)}')
+    ORDER BY media_id
+    """,
+)
 def mm_image_features(spark, sf_dir):
     """Full binary pipeline on a real table: pack each document's bytes into a
     deterministic 16x16 SYN image, then run the mapInPandas feature extractor
     (histogram + mean/std). Exercises binary column -> Arrow batch -> numpy ->
     fixed-width vector at table scale."""
+    _golden.ensure_mm_image_features(sf_dir)
     docs = load_table(spark, sf_dir, "documents")
 
     def to_syn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -67,17 +80,19 @@ def mm_image_features(spark, sf_dir):
     imgs = docs.mapInPandas(to_syn, schema="media_id long, content binary")
     feats = image_features(imgs)
     # Driver-hashable projection: the canonicalizer can't hash array<double>
-    # cells (unhashable ndarray), so flatten the vector to a '|'-joined string
-    # of rounded components and round the scalar stats.
+    # cells, so flatten the vector to '|'-joined INTEGER micro-units
+    # (floor(x*1e6+0.5) — exact for the dyadic k/256 histogram values; no
+    # engine float formatting involved). Mean/std are dyadic-exact or a
+    # correctly-rounded sqrt of an exact value, so they ship unrounded.
     return feats.select(
         "media_id",
         F.array_join(
             F.transform(
                 F.col("features"),
-                lambda x: F.format_number(F.round(x, 6), 6),
+                lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("string"),
             ),
             "|",
         ).alias("features_str"),
-        F.round("mean_intensity", 6).alias("mean_intensity"),
-        F.round("std_intensity", 6).alias("std_intensity"),
+        "mean_intensity",
+        "std_intensity",
     ).orderBy("media_id")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..pipeline.mixing import mix_weighted, mixture_stats
+from ..portable import round_portable, round_portable_sql
 from ..pipeline.packing import pack_sequences, pack_stats
 from ..pipeline.quantize import dequant_error, quantize_int8
 from ..pipeline.sampling import (
@@ -138,7 +139,7 @@ _PACK_BUDGET = 256
       FROM t
     )
     SELECT source, bin_id, count(*) AS n_docs, sum(tokens) AS tokens,
-           round(sum(tokens) / {float(_PACK_BUDGET)}, 6) AS fill_ratio
+           sum(tokens) / {float(_PACK_BUDGET)} AS fill_ratio
     FROM b GROUP BY source, bin_id
     """,
 )
@@ -358,7 +359,7 @@ def q_layout_zorder_key(spark, sf_dir):
             < fhex
     )
     SELECT source, count(*) AS n_rows,
-           round(count(*) * 1.0 / (SELECT count(*) FROM mixed), 6) AS share
+           {round_portable_sql('count(*) * 1.0 / (SELECT count(*) FROM mixed)', 6)} AS share
     FROM mixed GROUP BY source ORDER BY source
     """,
 )
@@ -369,7 +370,7 @@ def q_mix_stats(spark, sf_dir):
     mixed = mix_weighted(docs, "doc_id", "source", _MIX_RATES, _MIX_DEFAULT)
     stats = mixture_stats(mixed, "source")
     return stats.select(
-        "source", "n_rows", F.round("share", 6).alias("share")
+        "source", "n_rows", round_portable(F.col("share"), 6).alias("share")
     ).orderBy("source")
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import query
 from ..similarity.ann import cosine_lit, cosine_topk, ivf_topk, lsh_bucket_topk, _as_double
+from . import golden as _golden
 
 
 def _query_vec(spark, sf_dir):
@@ -112,15 +113,31 @@ def sim_topk_lsh(spark, sf_dir):
     return out.select("vec_id", F.round("cos", 4).alias("cos"))
 
 
-@query("sim_topk_ivf")  # approximate → rows-only driver check; recall in pytest
+@query(
+    "sim_topk_ivf",
+    # Value-level oracle via a golden parquet: an independent numpy replay of
+    # the deterministic IVF pipeline (queries/golden.py). The cosine is a
+    # sequential fold replayed bit-identically; emitted as integer
+    # micro-units so no float formatting/rounding mode is involved.
+    oracle=f"""
+    SELECT vec_id, cos4
+    FROM read_parquet('{_golden.golden_path("sim_topk_ivf", _golden.DRIVER_SF_DIR)}')
+    ORDER BY cos4 DESC, vec_id
+    """,
+)
 def sim_topk_ivf(spark, sf_dir):
-    """IVF-style two-stage approximate top-10 (similarity/ann.ivf_topk).
-    Data-dependent k-means centroids are not reproducible in the oracle;
-    see sim_ivf_recall for the driver-visible quality band."""
+    """IVF-style two-stage approximate top-10 (similarity/ann.ivf_topk),
+    oracled against an independent numpy replay of the same deterministic
+    algorithm (first-n k-means seeds, spherical assignment); see
+    sim_ivf_recall for the quality band vs exact brute force."""
+    _golden.ensure_sim_topk_ivf(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     out = ivf_topk(emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qv, k=10)
-    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+    return out.select(
+        "vec_id",
+        F.floor(F.col("cos") * F.lit(1e4) + F.lit(0.5)).cast("bigint").alias("cos4"),
+    )
 
 
 @query(

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..portable import round_portable, round_portable_sql
 from ..registry import query
 from ..text.analysis import (
     EN_STOPWORDS,
@@ -44,38 +45,52 @@ def text_token_count(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_PUNCT_RATIO_R = round_portable_sql(
+    "length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / length(text)", 6
+)
+_DIGIT_RATIO_R = round_portable_sql(
+    "length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)", 6
+)
+_MEAN_WLEN_R = round_portable_sql(
+    "list_sum(list_transform("
+    " list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''),"
+    " w -> length(w))) * 1.0"
+    " / len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''))",
+    6,
+)
+_STOPWORD_RATIO_R = round_portable_sql(
+    "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+    f"               w -> list_contains([{_SW}], w))) * 1.0"
+    " / len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+    "                   w -> w <> ''))",
+    6,
+)
+
+
 @query(
     "text_quality",
     oracle=f"""
     SELECT doc_id,
-           round(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
-                 * 1.0 / length(text), 6)                        AS punct_ratio,
-           round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                 * 1.0 / length(text), 6)                        AS digit_ratio,
-           round(list_sum(list_transform(
-                   list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''),
-                   w -> length(w))) * 1.0
-                 / len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                   w -> w <> '')), 6)            AS mean_word_len,
-           round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                                 w -> list_contains([{_SW}], w))) * 1.0
-                 / len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                                   w -> w <> '')), 6)            AS stopword_ratio
+           {_PUNCT_RATIO_R}    AS punct_ratio,
+           {_DIGIT_RATIO_R}    AS digit_ratio,
+           {_MEAN_WLEN_R}      AS mean_word_len,
+           {_STOPWORD_RATIO_R} AS stopword_ratio
     FROM documents ORDER BY doc_id
     """,
 )
 def text_quality(spark, sf_dir):
     """Quality-signal ratios (punct/digit/word-length/stopword) — rounded to 6
-    decimals on both sides for a stable hash."""
+    decimals on both sides with the tie-safe portable HALF_UP (portable.py:
+    count/count quotients can land exactly on decimal ties)."""
     docs = load_table(spark, sf_dir, "documents")
     from ..text.analysis import stopword_ratio, tokens
 
     return docs.select(
         "doc_id",
-        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(digit_ratio(F.col("text")), 6).alias("digit_ratio"),
-        F.round(mean_word_len(F.col("text")), 6).alias("mean_word_len"),
-        F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        round_portable(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        round_portable(digit_ratio(F.col("text")), 6).alias("digit_ratio"),
+        round_portable(mean_word_len(F.col("text")), 6).alias("mean_word_len"),
+        round_portable(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
     ).orderBy("doc_id")
 
 
@@ -336,7 +351,7 @@ def text_decontaminate(spark, sf_dir):
            len(toks) AS n_tokens,
            len(list_distinct(toks)) AS n_distinct,
            CASE WHEN len(toks) > 0
-                THEN round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6)
+                THEN {round_portable_sql('1.0 - len(list_distinct(toks)) * 1.0 / len(toks)', 6)}
                 ELSE 0.0 END AS dup_token_ratio,
            coalesce(gmax.max_bigram_count, 0) AS max_bigram_count
     FROM base b LEFT JOIN gmax ON b.doc_id = gmax.doc_id

@@ -62,5 +62,10 @@ def load_all() -> dict[str, QuerySpec]:
         tpch,
         windows_over,
     )
+    from .queries.golden import ensure_driver_goldens
+
+    # materialize the golden parquets the static oracle SQL references (cached
+    # on disk after the first call; never raises)
+    ensure_driver_goldens()
 
     return REGISTRY

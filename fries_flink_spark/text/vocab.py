@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..portable import round_portable
 from .analysis import tokens
 
 
@@ -194,7 +195,7 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
-        F.when(n_tok > 0, F.round(1.0 - n_distinct / n_tok, 6))
+        F.when(n_tok > 0, round_portable(1.0 - n_distinct / n_tok, 6))
         .otherwise(F.lit(0.0))
         .alias("dup_token_ratio"),
     )

@@ -121,3 +121,37 @@ def test_silence_features(spark):
     )
     r = audio_features(df, frame_len=50).collect()[0]
     assert r.frame_rms == [0.0, 0.0] and r.peak == 0.0
+
+
+def test_golden_mm_image_features_matches_spark(spark, sf_dir):
+    """The independent numpy golden (queries/golden.py) must equal the Spark
+    mapInPandas featurizer value-for-value — this is the driver's oracle."""
+    import duckdb
+
+    from fries_flink_spark.queries import golden as g
+    from fries_flink_spark.queries.multimodal_queries import mm_image_features
+
+    path = g.ensure_mm_image_features(sf_dir, force=True)
+    got = {
+        r["media_id"]: (r["features_str"], r["mean_intensity"], r["std_intensity"])
+        for r in mm_image_features(spark, sf_dir).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.sql(f"SELECT * FROM read_parquet('{path}')").fetchall()
+    }
+    assert got == want  # bit-identical doubles + identical micro-unit strings
+
+
+def test_golden_sim_topk_ivf_matches_spark(spark, sf_dir):
+    import duckdb
+
+    from fries_flink_spark.queries import golden as g
+    from fries_flink_spark.queries.similarity_queries import sim_topk_ivf
+
+    path = g.ensure_sim_topk_ivf(sf_dir, force=True)
+    got = [(r["vec_id"], r["cos4"]) for r in sim_topk_ivf(spark, sf_dir).collect()]
+    want = duckdb.sql(
+        f"SELECT vec_id, cos4 FROM read_parquet('{path}') ORDER BY cos4 DESC, vec_id"
+    ).fetchall()
+    assert got == [(int(a), int(b)) for a, b in want]

@@ -113,9 +113,9 @@ def test_pack_oversized_doc_gets_own_overfull_bin(spark):
     df = spark.createDataFrame([(1, 10), (2, 120), (3, 10)], "id int, tokens int")
     packed = pack_sequences(df, "tokens", "id", budget=50).orderBy("id").collect()
     bins = [r["bin_id"] for r in packed]
-    assert bins[1] != bins[0] or bins[0] == 0  # big doc placed by prefix sum
-    # doc 3 starts a fresh bin after the oversized one
-    assert bins[2] > bins[1] or packed[2]["bin_id"] != packed[1]["bin_id"]
+    # 10/120/10 tokens, budget 50: doc2 joins doc1's bin (cum_before=10),
+    # overfills it, and doc3 starts fresh at floor(130/50) = bin 2.
+    assert bins == [0, 0, 2]
 
 
 def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
@@ -181,3 +181,18 @@ def test_assign_consecutive_ids_dense_and_ordered(spark, sf_dir):
     assert {r["doc_id"]: r["row_id"] for r in again} == {
         r["doc_id"]: r["row_id"] for r in out
     }
+
+
+def test_assign_consecutive_ids_pins_partitioning(spark, sf_dir):
+    """The ranged layout must be persisted so the counts job and the id job
+    read the SAME physical partitioning (range boundaries are sampled with a
+    per-execution seed) — and the source is scanned once, not twice."""
+    from fries_flink_spark.pipeline.ids import assign_consecutive_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = assign_consecutive_ids(docs, "doc_id", n_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # id pass reads the persisted layout
+    n = docs.count()
+    assert sorted(r["row_id"] for r in out.collect()) == list(range(n))
+    spark.catalog.clearCache()

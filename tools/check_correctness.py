@@ -65,6 +65,23 @@ def main():
     from fries_flink_spark.session import get_spark
 
     registry = load_all()
+
+    # Golden-file oracles are registered with the driver's sf0.01 paths; when
+    # this harness runs at a different sf, regenerate for THIS sf and repoint.
+    from fries_flink_spark.queries import golden as _golden
+
+    if os.path.normpath(SF_DIR) != os.path.normpath(_golden.DRIVER_SF_DIR):
+        for gname, ensure in (
+            ("mm_image_features", _golden.ensure_mm_image_features),
+            ("sim_topk_ivf", _golden.ensure_sim_topk_ivf),
+        ):
+            spec = registry.get(gname)
+            if spec is not None and spec.oracle:
+                spec.oracle = spec.oracle.replace(
+                    _golden.golden_path(gname, _golden.DRIVER_SF_DIR),
+                    ensure(SF_DIR, force=True),
+                )
+
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 
     con = duckdb.connect()
