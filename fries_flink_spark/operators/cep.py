@@ -54,7 +54,12 @@ class _Stage:
     name: str
     contiguity: str  # 'begin' | 'strict' | 'relaxed' | 'relaxed_any'
     # OR of AND-groups: where() ANDs onto the last group, or_where() opens a
-    # new group (Pattern.where:209 / Pattern.or:175 semantics).
+    # new group (Pattern.where:209 / Pattern.or:175 semantics). Clause kinds:
+    # 'mask'  pdf -> bool array           (vectorized, match-state-free)
+    # 'row'   row dict -> bool            (per-row fallback, state-free)
+    # 'ctx'   pdf -> ((i, bound) -> bool) (match-state-DEPENDENT: conditions
+    #         referencing other pattern variables via LAST/FIRST — the
+    #         reference's MatchCodeGenerator.scala cross-variable DEFINEs)
     clauses: list[list[tuple[str, Callable]]] = field(default_factory=list)
     min_times: int = 1
     max_times: int = 1
@@ -63,7 +68,8 @@ class _Stage:
 
     def accepts(self, row: dict) -> bool:
         """Row-at-a-time evaluation (wrapper path; mask predicates get the
-        single row wrapped in a 1-row DataFrame)."""
+        single row wrapped in a 1-row DataFrame). ctx clauses are rejected
+        here — they need the whole batch + match state."""
         if not self.clauses:
             return True
         return any(
@@ -75,10 +81,16 @@ class _Stage:
     def _eval_row(kind: str, fn: Callable, row: dict) -> bool:
         if kind == "row":
             return bool(fn(row))
+        if kind == "ctx":
+            raise ValueError(
+                "match-state-dependent (ctx) predicates need the batch path"
+            )
         return bool(np.asarray(fn(pd.DataFrame([row]))).ravel()[0])
 
     def mask(self, pdf: pd.DataFrame, records: list[dict] | None) -> np.ndarray:
-        """Vectorized acceptance mask over the whole batch."""
+        """Vectorized acceptance mask over the whole batch. ctx clauses are
+        treated as True — the mask OVER-approximates; ``ctx_checker`` gives
+        the exact state-dependent test."""
         n = len(pdf)
         if not self.clauses:
             return np.ones(n, dtype=bool)
@@ -88,16 +100,44 @@ class _Stage:
             for kind, fn in group:
                 if kind == "mask":
                     g &= np.asarray(fn(pdf)).astype(bool)
-                else:  # row-dict predicate: per-row fallback
+                elif kind == "row":  # row-dict predicate: per-row fallback
                     g &= np.fromiter(
                         (bool(fn(r)) for r in records), dtype=bool, count=n
                     )
+                # 'ctx': over-approximate as True here
             out |= g
         return out
 
     @property
     def needs_records(self) -> bool:
         return any(kind == "row" for group in self.clauses for kind, _ in group)
+
+    @property
+    def has_ctx(self) -> bool:
+        return any(kind == "ctx" for group in self.clauses for kind, _ in group)
+
+    def ctx_checker(
+        self, pdf: pd.DataFrame, records: list[dict] | None
+    ) -> Callable | None:
+        """Exact acceptance test ``(i, bound) -> bool`` for stages with
+        state-dependent clauses; None when the static mask is already exact.
+        ``bound`` maps stage name -> indices mapped so far (EXCLUDING the
+        candidate row ``i``)."""
+        if not self.has_ctx:
+            return None
+        groups: list[list[Callable]] = []
+        for group in self.clauses:
+            fns: list[Callable] = []
+            for kind, fn in group:
+                if kind == "ctx":
+                    fns.append(fn(pdf))
+                elif kind == "mask":
+                    m = np.asarray(fn(pdf)).astype(bool)
+                    fns.append(lambda i, b, m=m: bool(m[i]))
+                else:
+                    fns.append(lambda i, b, fn=fn: bool(fn(records[i])))
+            groups.append(fns)
+        return lambda i, b: any(all(f(i, b) for f in g) for g in groups)
 
 
 class Pattern:
@@ -154,6 +194,28 @@ class Pattern:
     ) -> "Pattern":
         """OR-combined vectorized predicate (Pattern.or:175)."""
         self.stages[-1].clauses.append([("mask", pred)])
+        return self
+
+    def where_ctx(
+        self, factory: Callable[[pd.DataFrame], Callable]
+    ) -> "Pattern":
+        """AND-combined MATCH-STATE-DEPENDENT predicate: ``factory(pdf)``
+        returns ``(i, bound) -> bool`` where ``bound`` maps stage name ->
+        already-mapped row indices. This is how conditions referencing other
+        pattern variables (MATCH_RECOGNIZE ``LAST(A.x)``/``FIRST(A.x)``,
+        reference IterativeCondition.Context.getEventsForPattern) run: the
+        static mask over-approximates, the ctx test is exact."""
+        st = self.stages[-1]
+        if not st.clauses:
+            st.clauses.append([])
+        st.clauses[-1].append(("ctx", factory))
+        return self
+
+    def or_where_ctx(
+        self, factory: Callable[[pd.DataFrame], Callable]
+    ) -> "Pattern":
+        """OR-combined match-state-dependent predicate."""
+        self.stages[-1].clauses.append([("ctx", factory)])
         return self
 
     # -- positive contiguity ----------------------------------------------
@@ -235,12 +297,17 @@ def _solutions(
     accept_idx: list[list[int]],
     start: int,
     pattern: Pattern,
+    ctxs: list[Callable | None] | None = None,
 ) -> Iterator[dict[str, list[int]]]:
     """Yield every completed match (stage name -> consumed indices) whose
     first event is index ``start``, in earliest-first branch order.
 
     Backtracking NFA over precomputed per-stage acceptance masks/index lists;
     each relaxed step is a binary search, each strict step an O(1) probe.
+    ``ctxs`` (optional, per stage) are exact match-state-dependent tests
+    ``(i, bound) -> bool`` for stages whose static mask over-approximates
+    (cross-variable DEFINE conditions); bindings are threaded forward through
+    the walk so each test sees the rows mapped so far.
     """
     n = len(ts)
     stages = pattern.stages
@@ -266,63 +333,91 @@ def _solutions(
                 hi = mid
         return lo
 
-    def advance(si: int, pos: int) -> Iterator[dict[str, list[int]]]:
+    def ctx_at(si: int) -> Callable | None:
+        return ctxs[si] if ctxs is not None else None
+
+    def ok(si: int, i: int, bound: dict) -> bool:
+        if not masks[si][i]:
+            return False
+        c = ctx_at(si)
+        return c is None or c(i, bound)
+
+    def absent(si: int, lo: int, hi: int, bound: dict) -> bool:
+        """True iff NO acceptable event for (negated) stage si in [lo, hi)."""
+        c = ctx_at(si)
+        if c is None:
+            return not masks[si][lo:hi].any()
+        return not any(
+            c(int(i), bound) for i in np.flatnonzero(masks[si][lo:hi]) + lo
+        )
+
+    def advance(si: int, pos: int, bound: dict) -> Iterator[dict[str, list[int]]]:
         if si == len(stages):
-            yield {}
+            yield bound
             return
         stage = stages[si]
         mask = masks[si]
 
         if stage.negated:
             if stage.contiguity == "strict":  # not_next
-                if pos < n and mask[pos] and in_window(pos):
+                if pos < n and in_window(pos) and ok(si, pos, bound):
                     return
-                for rest in advance(si + 1, pos):
-                    yield {stage.name: [], **rest}
+                yield from advance(si + 1, pos, {**bound, stage.name: []})
                 return
             # not_followed_by
             if si == len(stages) - 1:
                 # terminal absence: nothing may match until the window closes
-                end = window_end(pos)
-                if any(mask[pos:end]):
-                    return
-                yield {stage.name: []}
+                if absent(si, pos, window_end(pos), bound):
+                    yield {**bound, stage.name: []}
                 return
-            for rest in advance(si + 1, pos):
-                first = _first_consumed(rest, stages, si + 1)
+            for full in advance(si + 1, pos, {**bound, stage.name: []}):
+                first = _first_consumed(full, stages, si + 1)
                 gap_end = first if first is not None else window_end(pos)
-                if not any(mask[pos:gap_end]):
-                    yield {stage.name: [], **rest}
+                if absent(si, pos, gap_end, full):
+                    yield full
             return
 
         # candidate positions for this stage's FIRST event
+        c = ctx_at(si)
         if si == 0:
-            starts = [start] if mask[start] else []
+            starts = [start] if ok(0, start, bound) else []
         elif stage.contiguity == "strict":
-            starts = [pos] if pos < n and mask[pos] and in_window(pos) else []
+            starts = (
+                [pos] if pos < n and in_window(pos) and ok(si, pos, bound) else []
+            )
         else:
             idx = accept_idx[si]
             j = bisect_left(idx, pos)
             if stage.contiguity == "relaxed_any":
-                starts = [i for i in idx[j:] if in_window(i)]
-            else:  # relaxed: first acceptable event only
-                starts = (
-                    [idx[j]] if j < len(idx) and in_window(idx[j]) else []
-                )
+                starts = [
+                    i for i in idx[j:] if in_window(i) and (c is None or c(i, bound))
+                ]
+            else:  # relaxed: first FULLY-acceptable event only
+                starts = []
+                for i in idx[j:]:
+                    if not in_window(i):
+                        break
+                    if c is None or c(i, bound):
+                        starts = [i]
+                        break
 
         if stage.min_times == 0:
-            for rest in advance(si + 1, pos):
-                yield {stage.name: [], **rest}
+            yield from advance(si + 1, pos, {**bound, stage.name: []})
 
         for s0 in starts:
             # extend the repetition run: contiguous run of matching events
-            # (Flink's default internal contiguity for looping states)
+            # (Flink's default internal contiguity for looping states); each
+            # extension sees the run so far as this stage's mapped rows
             run = [s0]
             while (
                 len(run) < stage.max_times
                 and run[-1] + 1 < n
                 and mask[run[-1] + 1]
                 and in_window(run[-1] + 1)
+                and (
+                    c is None
+                    or c(run[-1] + 1, {**bound, stage.name: run})
+                )
             ):
                 run.append(run[-1] + 1)
             lengths = (
@@ -334,10 +429,9 @@ def _solutions(
                 if ln == 0:
                     continue
                 taken = run[:ln]
-                for rest in advance(si + 1, taken[-1] + 1):
-                    yield {stage.name: taken, **rest}
+                yield from advance(si + 1, taken[-1] + 1, {**bound, stage.name: taken})
 
-    yield from advance(0, start)
+    yield from advance(0, start, {})
 
 
 def _first_consumed(
@@ -355,13 +449,14 @@ def _last_consumed(match: dict[str, list[int]]) -> int:
 
 def _build_masks(
     pattern: Pattern, pdf: pd.DataFrame
-) -> tuple[list[np.ndarray], list[list[int]]]:
+) -> tuple[list[np.ndarray], list[list[int]], list[Callable | None]]:
     records = None
     if any(st.needs_records for st in pattern.stages):
         records = pdf.to_dict("records")
     masks = [st.mask(pdf, records) for st in pattern.stages]
     accept_idx = [list(np.flatnonzero(m)) for m in masks]
-    return masks, accept_idx
+    ctxs = [st.ctx_checker(pdf, records) for st in pattern.stages]
+    return masks, accept_idx, ctxs
 
 
 def _match_from(
@@ -375,12 +470,17 @@ def _match_from(
     rows[start], as {stage_name: [event dicts]} — or None."""
     pattern._validate()
     ts = [r[time_col] for r in rows]
-    masks = [
-        np.fromiter((st.accepts(r) for r in rows), dtype=bool, count=len(rows))
-        for st in pattern.stages
-    ]
-    idx = [list(np.flatnonzero(m)) for m in masks]
-    for m in _solutions(ts, masks, idx, start, pattern):
+    if any(st.has_ctx for st in pattern.stages):
+        pdf = pd.DataFrame(rows)
+        masks, idx, ctxs = _build_masks(pattern, pdf)
+    else:
+        masks = [
+            np.fromiter((st.accepts(r) for r in rows), dtype=bool, count=len(rows))
+            for st in pattern.stages
+        ]
+        idx = [list(np.flatnonzero(m)) for m in masks]
+        ctxs = None
+    for m in _solutions(ts, masks, idx, start, pattern, ctxs):
         return {k: [rows[i] for i in v] for k, v in m.items()}
     return None
 
@@ -395,6 +495,7 @@ def match_pattern(
     order_tiebreak: list[str] | None = None,
     skip_strategy: str = NO_SKIP,
     emit: str = "first",
+    rows_per_match: str = "one",
 ) -> DataFrame:
     """CEP.pattern(stream.keyBy(...), pattern).select(...) analog.
 
@@ -407,8 +508,15 @@ def match_pattern(
     attempt starts after its last consumed event).
     ``emit``: 'first' (one match per start, Flink's head-branch) or 'all'
     (every branch per start — meaningful with followed_by_any).
+    ``rows_per_match``: 'one' (default — one output row per match) or 'all'
+    (MATCH_RECOGNIZE ``ALL ROWS PER MATCH``: ``select`` is instead called once
+    per MAPPED ROW as ``select(key, running_match, current_row, current_var)``
+    where ``running_match`` holds the mapped rows up to and including the
+    current one — RUNNING semantics for measures).
     """
     pattern._validate()
+    if rows_per_match not in ("one", "all"):
+        raise ValueError(f"rows_per_match must be 'one' or 'all', got {rows_per_match!r}")
     tiebreak = order_tiebreak or []
     out_cols = [c.strip().split()[0] for c in output_schema.split(",")]
 
@@ -419,7 +527,7 @@ def match_pattern(
         if not len(pdf):
             return pd.DataFrame([], columns=out_cols)
         key = {k: pdf[k].iloc[0] for k in key_cols}
-        masks, accept_idx = _build_masks(pattern, pdf)
+        masks, accept_idx, ctxs = _build_masks(pattern, pdf)
         ts = pdf[time_col].tolist()
         # event dicts built lazily, only for rows that appear in a match
         row_cache: dict[int, dict] = {}
@@ -429,15 +537,28 @@ def match_pattern(
                 row_cache[i] = {c: pdf[c].iloc[i] for c in pdf.columns}
             return row_cache[i]
 
+        def emit_match(out: list, m: dict[str, list[int]]) -> None:
+            if rows_per_match == "one":
+                out.append(
+                    select(key, {k: [row_at(i) for i in v] for k, v in m.items()})
+                )
+                return
+            # ALL ROWS PER MATCH: one output row per mapped input row, in
+            # order; measures see the match as mapped SO FAR (running).
+            pairs = sorted((i, nm) for nm, idxs in m.items() for i in idxs)
+            for i, nm in pairs:
+                running = {
+                    k2: [row_at(j) for j in v if j <= i] for k2, v in m.items()
+                }
+                out.append(select(key, running, row_at(i), nm))
+
         out = []
         barrier = 0  # skip_past_last_event frontier
         for start in accept_idx[0] if accept_idx else []:
             if skip_strategy == SKIP_PAST_LAST_EVENT and start < barrier:
                 continue
-            for m in _solutions(ts, masks, accept_idx, start, pattern):
-                out.append(
-                    select(key, {k: [row_at(i) for i in v] for k, v in m.items()})
-                )
+            for m in _solutions(ts, masks, accept_idx, start, pattern, ctxs):
+                emit_match(out, m)
                 if skip_strategy == SKIP_PAST_LAST_EVENT:
                     barrier = max(barrier, _last_consumed(m) + 1)
                 if emit == "first" or skip_strategy == SKIP_TO_NEXT:

@@ -361,3 +361,148 @@ def sql_mr_quantifier(spark, sf_dir):
         ORDER BY user_id, first_id
         """,
     )
+
+
+@query(
+    "sql_mr_prev_down",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value < lag(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS dn
+      FROM events
+    ), g AS (
+      SELECT *, sum(1 - dn) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM w
+    ), runs AS (
+      SELECT user_id, grp, value, event_id,
+             row_number() OVER
+               (PARTITION BY user_id, grp ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, grp) AS n
+      FROM g WHERE dn = 1
+    )
+    SELECT user_id,
+           max(CASE WHEN rn = 1 THEN event_id END) AS first_id,
+           max(CASE WHEN rn = 1 THEN value END)    AS first_v,
+           max(CASE WHEN rn = n THEN value END)    AS last_v,
+           count(*) AS n_down
+    FROM runs GROUP BY user_id, grp
+    ORDER BY user_id, first_id
+    """,
+)
+def sql_mr_prev_down(spark, sf_dir):
+    """MATCH_RECOGNIZE with a PREV() DEFINE — the canonical falling-run
+    pattern (value < PREV(value)), greedy D+ and SKIP PAST LAST ROW, so each
+    match is a MAXIMAL falling run (reference MatchCodeGenerator.scala PREV
+    navigation, MatchRecognizeITCase V-shape cases). The PREV comparison
+    compiles to a vectorized batch shift — no per-row Python. The oracle
+    restates the runs via gaps-and-islands window SQL."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id, first_id, first_v, last_v, n_down
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(D.event_id) AS first_id,
+                   FIRST(D.value)    AS first_v,
+                   LAST(D.value)     AS last_v,
+                   COUNT(D.*)        AS n_down
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D+)
+          DEFINE D AS D.value < PREV(D.value)
+        )
+        ORDER BY user_id, first_id
+        """,
+    )
+
+
+@query(
+    "sql_mr_all_rows",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value < lag(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS dn
+      FROM events
+    ), g AS (
+      SELECT *, sum(1 - dn) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM w
+    )
+    SELECT user_id, event_id, value, 'D' AS cls,
+           row_number() OVER
+             (PARTITION BY user_id, grp ORDER BY ts, event_id) AS nd
+    FROM g WHERE dn = 1
+    ORDER BY user_id, event_id
+    """,
+)
+def sql_mr_all_rows(spark, sf_dir):
+    """ALL ROWS PER MATCH: one output row per MAPPED row with running
+    measures (CLASSIFIER, running COUNT) — reference StreamExecMatch allRows
+    path. Same falling-run pattern as sql_mr_prev_down, so the oracle is the
+    per-row rendition of the same gaps-and-islands SQL."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id, event_id, value, cls, nd
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES CLASSIFIER() AS cls, COUNT(D.*) AS nd
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D+)
+          DEFINE D AS D.value < PREV(D.value)
+        )
+        ORDER BY user_id, event_id
+        """,
+    )
+
+
+@query(
+    "sql_mr_cross_var",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v1,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS id1
+      FROM events)
+    SELECT user_id, event_id AS a_id, id1 AS b_id,
+           value AS a_v, v1 AS b_v
+    FROM w
+    WHERE event_type = 'click' AND v1 > value * 2
+    ORDER BY user_id, a_id
+    """,
+)
+def sql_mr_cross_var(spark, sf_dir):
+    """DEFINE condition referencing ANOTHER pattern variable (B.value >
+    A.value * 2, i.e. LAST(A.value)) — the reference's cross-variable
+    IterativeCondition path (MatchCodeGenerator.scala); compiles to an exact
+    match-state test threaded through the NFA walk. SKIP TO NEXT ROW makes
+    every qualifying adjacent pair a match, which the lead() oracle restates."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id, a_id, b_id, a_v, b_v
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS a_id, B.event_id AS b_id,
+                   A.value AS a_v, B.value AS b_v
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B)
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.value > A.value * 2
+        )
+        ORDER BY user_id, a_id
+        """,
+    )

@@ -32,10 +32,17 @@ Scale notes:
   evaluated once per Arrow batch as numpy masks.
 
 Supported subset (documented, enforced with clear errors): single TVF /
-single temporal join / single MATCH_RECOGNIZE per query; DEFINE conditions
-reference only the current pattern variable (Flink allows LAST(A.x) etc. —
-those raise); measures FIRST/LAST/bare column plus COUNT/SUM/AVG/MIN/MAX;
-ONE ROW PER MATCH; AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW.
+single temporal join / single MATCH_RECOGNIZE per query. DEFINE conditions
+may reference the current variable, physical predecessors via
+``PREV(V.col [, n])`` (vectorized as a batch shift — the price<PREV(price)
+idiom stays on the mask hot path), and other pattern variables via
+``LAST(X.col [, n])`` / ``FIRST(X.col [, n])`` / bare ``X.col`` (= LAST),
+which compile to exact match-state tests threaded through the NFA walk.
+Measures: FIRST/LAST/bare column, COUNT/SUM/AVG/MIN/MAX, CLASSIFIER().
+Output modes: ONE ROW PER MATCH (default) and ALL ROWS PER MATCH (running
+measure semantics). AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | NO SKIP.
+Still unsupported (raise): PREV over another variable, NEXT(), MATCH_NUMBER(),
+FINAL/RUNNING keywords, SUBSET, permute/alternation pattern syntax.
 """
 
 from __future__ import annotations
@@ -389,18 +396,49 @@ class _CondParser:
             return ("lit", float(t))
         if re.fullmatch(r"\d+", t):
             return ("lit", int(t))
+        if t.upper() in ("PREV", "FIRST", "LAST") and self.peek() == "(":
+            return self._navigation(t.upper())
         if "." in t:
             var, col = t.split(".", 1)
-            if var.upper() != self.var.upper():
-                raise NotImplementedError(
-                    f"DEFINE for {self.var} references {var}.{col}: only "
-                    "current-variable references are supported (Flink's "
-                    "LAST()/cross-variable conditions are not)"
-                )
-            return ("col", col)
+            if var.upper() == self.var.upper():
+                return ("col", col)
+            # cross-variable reference: value of the LAST row mapped to that
+            # variable so far (Flink MatchCodeGenerator resolves bare
+            # other-variable refs to LAST(var.col, 0))
+            return ("nav", "LAST", var, col, 0)
         if t.upper() in ("TRUE", "FALSE"):
             return ("lit", t.upper() == "TRUE")
         return ("col", t)
+
+    def _navigation(self, fname: str):
+        """PREV(A.col [, n]) — physical predecessor row (offset n, default 1);
+        FIRST/LAST(V.col [, n]) — n-th row mapped to pattern variable V
+        (reference MatchCodeGenerator.scala navigation calls)."""
+        self.take()  # '('
+        ref = self.take()
+        if ref is None or ref.startswith("'"):
+            raise ValueError(f"{fname}() needs a column reference")
+        if "." in ref:
+            var, col = ref.split(".", 1)
+        else:
+            var, col = self.var, ref
+        offset = 1 if fname == "PREV" else 0
+        if self.peek() == ",":
+            self.take()
+            off_t = self.take()
+            if not re.fullmatch(r"\d+", off_t or ""):
+                raise ValueError(f"{fname}() offset must be an integer literal")
+            offset = int(off_t)
+        if self.take() != ")":
+            raise ValueError(f"unbalanced parens in {fname}()")
+        if fname == "PREV":
+            if var.upper() != self.var.upper():
+                raise NotImplementedError(
+                    f"PREV over another pattern variable ({var}) is not "
+                    "supported (same restriction as the reference)"
+                )
+            return ("prev", col, offset)
+        return ("nav", fname, var, col, offset)
 
 
 def _eval_node(node, pdf):
@@ -411,6 +449,9 @@ def _eval_node(node, pdf):
         return pdf[node[1]]
     if kind == "col_np":  # pre-bound numpy column (internal)
         return node[1]
+    if kind == "prev":  # physical predecessor: vectorized shift
+        _, col, off = node
+        return pdf[col].shift(off)
     if kind == "arith":
         _, op, a, b = node
         a, b = _eval_node(a, pdf), _eval_node(b, pdf)
@@ -420,7 +461,16 @@ def _eval_node(node, pdf):
         _, op, a, b = node
         a, b = _eval_node(a, pdf), _eval_node(b, pdf)
         import operator as _op
-        return getattr(_op, op)(a, b)
+        res = getattr(_op, op)(a, b)
+        # SQL three-valued logic: NULL (NaN/NaT from shift or the data) in
+        # either operand makes the comparison unknown -> False (matters for
+        # '<>' where pandas would yield True against NaN)
+        res = np.asarray(res)
+        import pandas as _pd
+        for s in (a, b):
+            if isinstance(s, _pd.Series):
+                res = res & s.notna().to_numpy()
+        return res
     if kind == "and":
         return np.asarray(_eval_node(node[1], pdf)) & np.asarray(
             _eval_node(node[2], pdf)
@@ -434,9 +484,91 @@ def _eval_node(node, pdf):
     raise ValueError(kind)
 
 
+def _has_nav(node) -> bool:
+    """Does the AST reference match state (FIRST/LAST/cross-variable)?"""
+    if not isinstance(node, tuple):
+        return False
+    if node[0] == "nav":
+        return True
+    return any(_has_nav(c) for c in node[1:] if isinstance(c, tuple))
+
+
+def _eval_scalar(node, cols, i, bound, var):
+    """Scalar evaluation at row ``i`` given match state ``bound`` (stage name
+    -> mapped indices so far, candidate row excluded). None = SQL NULL."""
+    kind = node[0]
+    if kind == "lit":
+        return node[1]
+    if kind == "col":
+        return cols[node[1]][i]
+    if kind == "prev":
+        _, col, off = node
+        return cols[col][i - off] if i - off >= 0 else None
+    if kind == "nav":
+        _, fname, v, col, off = node
+        if v.upper() == var.upper():
+            # running semantics: the candidate row is tentatively mapped to
+            # the current variable, so LAST(V.col, 0) == current row
+            seq = list(_bound_lookup(bound, v)) + [i]
+        else:
+            seq = list(_bound_lookup(bound, v))
+        j = len(seq) - 1 - off if fname == "LAST" else off
+        return cols[col][seq[j]] if 0 <= j < len(seq) else None
+    if kind == "arith":
+        _, op, a, b = node
+        a = _eval_scalar(a, cols, i, bound, var)
+        b = _eval_scalar(b, cols, i, bound, var)
+        if a is None or b is None:
+            return None
+        return {"+": lambda: a + b, "-": lambda: a - b,
+                "*": lambda: a * b, "/": lambda: a / b}[op]()
+    if kind == "cmp":
+        _, op, a, b = node
+        a = _eval_scalar(a, cols, i, bound, var)
+        b = _eval_scalar(b, cols, i, bound, var)
+        if a is None or b is None or (isinstance(a, float) and a != a) or (
+            isinstance(b, float) and b != b
+        ):
+            return False
+        import operator as _op
+        return bool(getattr(_op, op)(a, b))
+    if kind == "and":
+        return bool(_eval_scalar(node[1], cols, i, bound, var)) and bool(
+            _eval_scalar(node[2], cols, i, bound, var)
+        )
+    if kind == "or":
+        return bool(_eval_scalar(node[1], cols, i, bound, var)) or bool(
+            _eval_scalar(node[2], cols, i, bound, var)
+        )
+    if kind == "not":
+        return not bool(_eval_scalar(node[1], cols, i, bound, var))
+    raise ValueError(kind)
+
+
+def _bound_lookup(bound, v):
+    if v in bound:
+        return bound[v]
+    for k, idxs in bound.items():  # case-insensitive fallback
+        if k.upper() == v.upper():
+            return idxs
+    return ()
+
+
 def _compile_condition(cond_sql: str, var: str):
+    """Compile a DEFINE condition. Returns ('mask', pdf -> bool array) when
+    the condition is match-state-free (current-variable cols, PREV shifts) —
+    the fully vectorized hot path — or ('ctx', factory) when it references
+    other pattern variables (FIRST/LAST/cross-var), where ``factory(pdf)``
+    yields the exact per-candidate test ``(i, bound) -> bool``."""
     ast = _CondParser(_tokenize(cond_sql), var).parse()
-    return lambda pdf: np.asarray(_eval_node(ast, pdf)).astype(bool)
+    if _has_nav(ast):
+        def factory(pdf, _ast=ast, _var=var):
+            cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+            return lambda i, bound: bool(
+                _eval_scalar(_ast, cols, i, bound, _var)
+            )
+        return ("ctx", factory)
+    return ("mask", lambda pdf: np.asarray(_eval_node(ast, pdf)).astype(bool))
 
 
 _PATTERN_TOKEN_RE = re.compile(r"(\w+)(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?")
@@ -459,18 +591,21 @@ def _parse_pattern(pattern_sql: str, defines: dict[str, str]) -> Pattern:
         else:
             pat = pat.next(var)  # MATCH_RECOGNIZE concatenation is strict
         if var in defines:
-            pat = pat.where_mask(_compile_condition(defines[var], var))
+            kind, fn = _compile_condition(defines[var], var)
+            pat = pat.where_mask(fn) if kind == "mask" else pat.where_ctx(fn)
+        # SQL-standard quantifiers are GREEDY by default (the reference's
+        # MatchRecognizeITCase greedy cases); exact {n} needs no preference
         if quant == "+":
-            pat = pat.one_or_more(_MAX_REPEAT)
+            pat = pat.one_or_more(_MAX_REPEAT).greedy()
         elif quant == "*":
-            pat = pat.one_or_more(_MAX_REPEAT).optional()
+            pat = pat.one_or_more(_MAX_REPEAT).optional().greedy()
         elif quant == "?":
             pat = pat.optional()
         elif quant and quant.startswith("{"):
             nums = re.findall(r"\d+", quant)
             if "," in quant:
                 hi = int(nums[1]) if len(nums) > 1 else _MAX_REPEAT
-                pat = pat.times(int(nums[0]), hi)
+                pat = pat.times(int(nums[0]), hi).greedy()
             else:
                 pat = pat.times(int(nums[0]))
     return pat
@@ -483,15 +618,25 @@ _MEASURE_RE = re.compile(
 )
 
 
+_CLASSIFIER_RE = re.compile(
+    r"^CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)$", re.IGNORECASE
+)
+
+
 def _parse_measures(measures_sql: str) -> list[tuple[str, str, str, str]]:
     """Each measure → (func, var, col, out_name); func '' = first-row ref."""
     out = []
     for item in _split_args(measures_sql):
+        cm = _CLASSIFIER_RE.match(item.strip())
+        if cm:
+            out.append(("CLASSIFIER", "", "", cm.group(1)))
+            continue
         m = _MEASURE_RE.match(item.strip())
         if not m:
             raise NotImplementedError(
                 f"unsupported measure {item!r} (supported: [FIRST|LAST|COUNT|"
-                "SUM|AVG|MIN|MAX](Var.col) AS name, Var.col AS name)"
+                "SUM|AVG|MIN|MAX](Var.col) AS name, Var.col AS name, "
+                "CLASSIFIER() AS name)"
             )
         func = (m.group(1) or "").upper()
         out.append((func, m.group(2), m.group(3), m.group(4)))
@@ -556,8 +701,11 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
     within_m = re.search(r"\)\s*(WITHIN\s+INTERVAL\s+'\d+'\s+\w+)", body,
                          re.IGNORECASE)
     define_sql = _clause(body, r"DEFINE", r"$")
-    if re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE):
-        raise NotImplementedError("ALL ROWS PER MATCH is not supported")
+    rows_mode = (
+        "all"
+        if re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE)
+        else "one"
+    )
     if not (part and order and measures_sql and pattern_m and define_sql):
         raise ValueError(
             "MATCH_RECOGNIZE requires PARTITION BY, ORDER BY, MEASURES, "
@@ -593,33 +741,87 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
     df = spark.table(table)
     types = dict(df.dtypes)
     measures = _parse_measures(measures_sql)
-    out_fields = [f"{k} {types[k]}" for k in key_cols]
-    for func, var, col, name in measures:
-        col_t = "bigint" if col == "*" else types[col]
-        out_fields.append(f"{name} {_measure_type(func, col_t)}")
-    schema = ", ".join(out_fields)
+    stage_order = [st.name for st in pat.stages]
 
-    def select(key, match):
-        row = dict(key)
-        for func, var, col, name in measures:
-            rows = match.get(var, [])
-            if func == "COUNT":
-                row[name] = len(rows)
-            elif not rows:
-                row[name] = None
-            elif func in ("", "FIRST"):
-                row[name] = rows[0][col]
-            elif func == "LAST":
-                row[name] = rows[-1][col]
-            else:
-                vals = [r[col] for r in rows]
-                row[name] = {
-                    "SUM": sum,
-                    "MIN": min,
-                    "MAX": max,
-                    "AVG": lambda v: sum(v) / len(v),
-                }[func](vals)
-        return row
+    def measure_field(func, col, name):
+        if func == "CLASSIFIER":
+            return f"{name} string"
+        col_t = "bigint" if col == "*" else types[col]
+        return f"{name} {_measure_type(func, col_t)}"
+
+    if rows_mode == "one":
+        out_fields = [f"{k} {types[k]}" for k in key_cols]
+        out_fields += [measure_field(f, c, n) for f, _v, c, n in measures]
+        schema = ", ".join(out_fields)
+
+        def select(key, match):
+            row = dict(key)
+            for func, var, col, name in measures:
+                rows = match.get(var, [])
+                if func == "CLASSIFIER":
+                    # stages match left-to-right in index order, so the last
+                    # mapped row belongs to the last non-empty stage
+                    row[name] = next(
+                        (s for s in reversed(stage_order) if match.get(s)), None
+                    )
+                elif func == "COUNT":
+                    row[name] = len(rows)
+                elif not rows:
+                    row[name] = None
+                elif func in ("", "FIRST"):
+                    row[name] = rows[0][col]
+                elif func == "LAST":
+                    row[name] = rows[-1][col]
+                else:
+                    vals = [r[col] for r in rows]
+                    row[name] = {
+                        "SUM": sum,
+                        "MIN": min,
+                        "MAX": max,
+                        "AVG": lambda v: sum(v) / len(v),
+                    }[func](vals)
+            return row
+
+    else:
+        # ALL ROWS PER MATCH: one output row per mapped input row — all input
+        # columns pass through, measures use RUNNING semantics (aggregates
+        # over the rows mapped up to and including the current row; bare and
+        # LAST refs resolve to the latest mapped row so far — SQL-standard
+        # running semantics, reference StreamExecMatch allRows path)
+        in_cols = df.columns
+        for _f, _v, _c, name in measures:
+            if name in in_cols:
+                raise ValueError(
+                    f"ALL ROWS PER MATCH measure {name!r} collides with an "
+                    "input column"
+                )
+        out_fields = [f"{c} {types[c]}" for c in in_cols]
+        out_fields += [measure_field(f, c, n) for f, _v, c, n in measures]
+        schema = ", ".join(out_fields)
+
+        def select(key, running, cur_row, cur_var):
+            row = {c: cur_row[c] for c in in_cols}
+            for func, var, col, name in measures:
+                rows = running.get(var, [])
+                if func == "CLASSIFIER":
+                    row[name] = cur_var
+                elif func == "COUNT":
+                    row[name] = len(rows)
+                elif not rows:
+                    row[name] = None
+                elif func == "FIRST":
+                    row[name] = rows[0][col]
+                elif func in ("", "LAST"):
+                    row[name] = rows[-1][col]
+                else:
+                    vals = [r[col] for r in rows]
+                    row[name] = {
+                        "SUM": sum,
+                        "MIN": min,
+                        "MAX": max,
+                        "AVG": lambda v: sum(v) / len(v),
+                    }[func](vals)
+            return row
 
     out = match_pattern(
         df,
@@ -630,6 +832,7 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         output_schema=schema,
         order_tiebreak=order_cols[1:],
         skip_strategy=skip,
+        rows_per_match=rows_mode,
     )
     view = _fresh_view("mr")
     out.createOrReplaceTempView(view)

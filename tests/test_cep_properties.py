@@ -206,7 +206,7 @@ def test_followed_by_any_enumerates_all_branches(events):
     if not rows:
         return
     pdf = pd.DataFrame(rows)
-    masks, idx = _build_masks(pat, pdf)
+    masks, idx, _ctxs = _build_masks(pat, pdf)
     ts = [r["t"] for r in rows]
     got = []
     for s in range(len(rows)):

@@ -214,35 +214,94 @@ def test_ansi_passthrough(spark, sf_dir):
     assert got == spark.table("events").count()
 
 
-def test_all_rows_per_match_rejected(spark, sf_dir):
-    register_tables(spark, sf_dir)
-    with pytest.raises(NotImplementedError, match="ALL ROWS"):
-        fsql(
-            spark,
-            """
-            SELECT * FROM events MATCH_RECOGNIZE (
-              PARTITION BY user_id ORDER BY ts
-              MEASURES A.event_id AS a_id
-              ALL ROWS PER MATCH
-              PATTERN (A) DEFINE A AS A.event_type = 'click'
-            )
-            """,
-        )
+def _mk_prices(spark, prices, name="mr_px"):
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, m), float(p)) for m, p in enumerate(prices)],
+        "k int, ts timestamp, price double",
+    )
+    df.createOrReplaceTempView(name)
+    return df
 
 
-def test_cross_variable_define_rejected(spark, sf_dir):
-    register_tables(spark, sf_dir)
-    with pytest.raises(NotImplementedError, match="current-variable"):
-        fsql(
-            spark,
-            """
-            SELECT * FROM events MATCH_RECOGNIZE (
-              PARTITION BY user_id ORDER BY ts
-              MEASURES B.event_id AS b_id
-              ONE ROW PER MATCH
-              PATTERN (A B)
-              DEFINE A AS A.event_type = 'click',
-                     B AS B.value > A.value
-            )
-            """,
+def test_define_prev_price_drop(spark):
+    """price < PREV(price) — the canonical MATCH_RECOGNIZE idiom (reference
+    MatchRecognizeITCase V-pattern); PREV stays on the vectorized mask path."""
+    _mk_prices(spark, [10, 9, 8, 9, 7, 6, 8])
+    out = fsql(
+        spark,
+        """
+        SELECT k, first_p, last_p, n_down
+        FROM mr_px MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES FIRST(D.price) AS first_p, LAST(D.price) AS last_p,
+                   COUNT(D.*) AS n_down
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D+)
+          DEFINE D AS D.price < PREV(D.price)
         )
+        ORDER BY first_p DESC
+        """,
+    ).collect()
+    # falling runs (greedy +): [9,8] from 10, [7,6] after the rise, [8]? no —
+    # 8 > 6 is a rise, so exactly two runs
+    assert [(r["first_p"], r["last_p"], r["n_down"]) for r in out] == [
+        (9.0, 8.0, 2),
+        (7.0, 6.0, 2),
+    ]
+
+
+def test_define_cross_variable_last(spark):
+    """DEFINE referencing another pattern variable (B.price > A.price means
+    LAST(A.price)) — the reference's IterativeCondition context path."""
+    _mk_prices(spark, [5, 3, 4, 9, 2])
+    out = fsql(
+        spark,
+        """
+        SELECT k, a_p, b_p
+        FROM mr_px MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES A.price AS a_p, B.price AS b_p
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B)
+          DEFINE A AS A.price < 6,
+                 B AS B.price > A.price + 1
+        )
+        ORDER BY a_p
+        """,
+    ).collect()
+    # strict adjacency: (5,3)x (3,4)x? 4 > 3+1 is false... 4 > 4 false;
+    # (4,9): 9 > 5 true -> match; next attempt starts at 2 (last row, no B)
+    assert [(r["a_p"], r["b_p"]) for r in out] == [(4.0, 9.0)]
+
+
+def test_all_rows_per_match_running_measures(spark):
+    _mk_prices(spark, [10, 9, 8, 9, 7])
+    out = fsql(
+        spark,
+        """
+        SELECT k, ts, price, cls, nd
+        FROM mr_px MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES CLASSIFIER() AS cls, COUNT(D.*) AS nd
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S D+)
+          DEFINE D AS D.price < PREV(D.price)
+        )
+        ORDER BY ts
+        """,
+    ).collect()
+    got = [(r["price"], r["cls"], r["nd"]) for r in out]
+    # match 1: rows 10(S),9(D),8(D); match 2: rows 9(S),7(D) — running counts
+    assert got == [
+        (10.0, "S", 0),
+        (9.0, "D", 1),
+        (8.0, "D", 2),
+        (9.0, "S", 0),
+        (7.0, "D", 1),
+    ]
