@@ -62,6 +62,8 @@ HEADLINE = [
     "text_vocab_topk",
     "text_decontaminate",
     "join_runtime_filter",
+    "cep_branchy_any",
+    "sql_mr_all_rows",
 ]
 
 

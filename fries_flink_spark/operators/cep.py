@@ -520,24 +520,21 @@ def match_pattern(
     tiebreak = order_tiebreak or []
     out_cols = [c.strip().split()[0] for c in output_schema.split(",")]
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([time_col, *tiebreak], kind="mergesort").reset_index(
-            drop=True
-        )
-        if not len(pdf):
-            return pd.DataFrame([], columns=out_cols)
+    def run_group(pdf: pd.DataFrame, out: list) -> None:
+        """NFA sweep over ONE key group (rows already time-sorted)."""
         key = {k: pdf[k].iloc[0] for k in key_cols}
         masks, accept_idx, ctxs = _build_masks(pattern, pdf)
         ts = pdf[time_col].tolist()
+        cols_np = {c: pdf[c].to_numpy() for c in pdf.columns}
         # event dicts built lazily, only for rows that appear in a match
         row_cache: dict[int, dict] = {}
 
         def row_at(i: int) -> dict:
             if i not in row_cache:
-                row_cache[i] = {c: pdf[c].iloc[i] for c in pdf.columns}
+                row_cache[i] = {c: a[i] for c, a in cols_np.items()}
             return row_cache[i]
 
-        def emit_match(out: list, m: dict[str, list[int]]) -> None:
+        def emit_match(m: dict[str, list[int]]) -> None:
             if rows_per_match == "one":
                 out.append(
                     select(key, {k: [row_at(i) for i in v] for k, v in m.items()})
@@ -552,19 +549,55 @@ def match_pattern(
                 }
                 out.append(select(key, running, row_at(i), nm))
 
-        out = []
         barrier = 0  # skip_past_last_event frontier
         for start in accept_idx[0] if accept_idx else []:
             if skip_strategy == SKIP_PAST_LAST_EVENT and start < barrier:
                 continue
             for m in _solutions(ts, masks, accept_idx, start, pattern, ctxs):
-                emit_match(out, m)
+                emit_match(m)
                 if skip_strategy == SKIP_PAST_LAST_EVENT:
                     barrier = max(barrier, _last_consumed(m) + 1)
                 if emit == "first" or skip_strategy == SKIP_TO_NEXT:
                     break
-        return pd.DataFrame(out, columns=out_cols)
 
-    return df.groupBy(*key_cols).applyInPandas(
-        lambda pdf: run(pdf), schema=output_schema
+    def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Sweep every key group in the partition from as few Python calls as
+        possible. Rows arrive globally sorted by (keys, time, tiebreak) — the
+        sort ran JVM-side in sortWithinPartitions — so groups are contiguous;
+        a group that spans Arrow batch boundaries is carried forward whole."""
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for k in key_cols:
+                a = pdf[k].to_numpy()
+                change[1:] |= a[1:] != a[:-1]
+            starts = np.flatnonzero(change)
+            # the final group may continue in the next batch: hold it back
+            carry = pdf.iloc[starts[-1]:]
+            out: list = []
+            for lo, hi in zip(starts[:-1], starts[1:]):
+                run_group(pdf.iloc[lo:hi].reset_index(drop=True), out)
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
+        if carry is not None and len(carry):
+            out = []
+            run_group(carry.reset_index(drop=True), out)
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
+
+    # One shuffle on the keys (the reference's keyBy before CEP.pattern); the
+    # time sort happens INSIDE the exchange, JVM-side — the Python worker does
+    # zero sorting and is invoked per Arrow batch, not per key group, so
+    # high-cardinality keys (the 100 TB case: millions of tiny groups) cost
+    # one pass, not one UDF call each.
+    shuffled = df.repartition(*key_cols).sortWithinPartitions(
+        *key_cols, time_col, *tiebreak
     )
+    return shuffled.mapInPandas(run_partition, schema=output_schema)

@@ -280,3 +280,73 @@ def cep_or_where(spark, sf_dir):
         order_tiebreak=["event_id"],
     )
     return out.orderBy("user_id", "a_id")
+
+
+@query(
+    "cep_branchy_any",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), err AS (
+      SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS isl
+      FROM o WHERE event_type = 'error'
+    ), err2 AS (
+      SELECT user_id, event_id, ts, rn, isl,
+             row_number() OVER (PARTITION BY user_id, isl ORDER BY rn) AS pos
+      FROM err
+    ), clicks AS (
+      SELECT user_id, event_id AS a_id, ts AS a_ts, rn AS a_rn
+      FROM o WHERE event_type = 'click'
+    ), pairs AS (
+      SELECT c.user_id, c.a_id, c.a_ts, e.event_id AS b_id, e.isl, e.pos
+      FROM clicks c JOIN err2 e
+        ON e.user_id = c.user_id AND e.rn > c.a_rn
+       AND e.ts <= c.a_ts + INTERVAL 30 MINUTE
+    ), capped AS (
+      SELECT p.user_id, p.a_id, p.b_id,
+             (SELECT count(*) FROM err2 x
+              WHERE x.user_id = p.user_id AND x.isl = p.isl
+                AND x.pos >= p.pos
+                AND x.ts <= p.a_ts + INTERVAL 30 MINUTE) AS k_max
+      FROM pairs p
+    )
+    SELECT user_id, a_id, b_id, CAST(g.k AS BIGINT) AS n_err
+    FROM capped CROSS JOIN generate_series(1, 64) AS g(k)
+    WHERE g.k <= k_max
+    ORDER BY user_id, a_id, b_id, n_err
+    """,
+)
+def cep_branchy_any(spark, sf_dir):
+    """ADVERSARIAL branch enumeration: click followed-by-ANY error run, every
+    branch emitted (Pattern.followedByAny + oneOrMore + NO_SKIP + all
+    branches) — each later in-window error is a branch start and every run
+    prefix is a distinct match. This is the worst case for the NFA's Python
+    match expansion (the engine's documented throughput ceiling, PERF.md);
+    the oracle restates it as gaps-and-islands + correlated run caps."""
+    events = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("a")
+        .where_mask(lambda d: d["event_type"] == "click")
+        .followed_by_any("b")
+        .where_mask(lambda d: d["event_type"] == "error")
+        .one_or_more(64)
+        .within(timedelta(minutes=30))
+    )
+    out = match_pattern(
+        events,
+        pat,
+        key_cols=["user_id"],
+        time_col="ts",
+        select=lambda key, m: {
+            "user_id": key["user_id"],
+            "a_id": m["a"][0]["event_id"],
+            "b_id": m["b"][0]["event_id"],
+            "n_err": len(m["b"]),
+        },
+        output_schema="user_id long, a_id long, b_id long, n_err long",
+        order_tiebreak=["event_id"],
+        emit="all",
+    )
+    return out.orderBy("user_id", "a_id", "b_id", "n_err")
