@@ -201,13 +201,16 @@ def func_datetime(spark, sf_dir):
                 ELSE 'low' END                            AS bucket,
            coalesce(nullif(o_orderstatus, 'O'), 'open')   AS status2,
            CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent,
-           if(o_totalprice > 200000, 'big', 'small')      AS size_label
+           if(o_totalprice > 200000, 'big', 'small')      AS size_label,
+           greatest(o_custkey, o_orderkey % 1000, 7)      AS g3,
+           least(o_custkey, o_orderkey, 100000)           AS l3
     FROM orders WHERE o_orderkey < 500
     ORDER BY o_orderkey
     """,
 )
 def func_conditional(spark, sf_dir):
-    """CASE/COALESCE/NULLIF/IF (SURVEY §2.9 row 1)."""
+    """CASE/COALESCE/NULLIF/IF/GREATEST/LEAST (SURVEY §2.9 row 1;
+    reference FlinkSqlOperatorTable GREATEST/LEAST)."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     return orders.select(
         "o_orderkey",
@@ -224,6 +227,10 @@ def func_conditional(spark, sf_dir):
         F.when(F.col("o_totalprice") > 200000, "big")
         .otherwise("small")
         .alias("size_label"),
+        F.greatest(F.col("o_custkey"), F.col("o_orderkey") % 1000, F.lit(7)).alias(
+            "g3"
+        ),
+        F.least("o_custkey", "o_orderkey", F.lit(100000)).alias("l3"),
     ).orderBy("o_orderkey")
 
 

@@ -506,3 +506,50 @@ def sql_mr_cross_var(spark, sf_dir):
         ORDER BY user_id, a_id
         """,
     )
+
+
+@query(
+    "sql_session_dynamic",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'error' THEN 600 ELSE 1800 END AS gap_s
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, value, gap_s,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w)
+                       > lag(gap_s) OVER w
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def sql_session_dynamic(spark, sf_dir):
+    """SESSION window TVF with a DYNAMIC per-row gap expression (reference
+    DynamicEventTimeSessionWindows / Flink's session gap extractor): error
+    events shorten the gap to 10 minutes. The sqlext lowering sessionizes
+    with lag+cumsum where the PREVIOUS row's gap decides the session extent
+    — same operator as win_session_dynamic, driven from SQL."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id,
+               CAST(unix_timestamp(window_start) AS BIGINT) AS session_start,
+               count(*) AS n, round(sum(value), 4) AS total
+        FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts),
+                           CASE WHEN event_type = 'error' THEN 600 ELSE 1800 END))
+        GROUP BY user_id, window_start
+        ORDER BY user_id, session_start
+        """,
+    )

@@ -181,29 +181,42 @@ def _window_tvf_df(spark: SparkSession, kind: str, argstr: str) -> DataFrame:
     elif kind == "SESSION":
         if not part:
             raise ValueError("SESSION TVF requires PARTITION BY (Flink grammar)")
-        # Microsecond epoch, not unix_timestamp: second-truncation could merge
-        # two sessions whose true gap is fractionally over the threshold.
-        gap_us = _interval_seconds(args[2]) * 1_000_000
         keys = [k.strip() for k in part.split(",")]
         target = dict(df.dtypes)[ts]
         wk = Window.partitionBy(*keys).orderBy(F.col(ts))
+        # Microsecond epoch, not unix_timestamp: second-truncation could merge
+        # two sessions whose true gap is fractionally over the threshold.
         # unix_micros requires TIMESTAMP; cast covers TIMESTAMP_NTZ inputs
         # (round-trips through timestamp_micros().cast(target) below).
         us = F.unix_micros(F.col(ts).cast("timestamp"))
         prev = F.lag(us).over(wk)
-        new_s = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+        if re.match(r"\s*INTERVAL\b", args[2], re.IGNORECASE):
+            # constant gap: session extends while distance <= gap
+            gap_us = F.lit(_interval_seconds(args[2]) * 1_000_000)
+            prev_gap = gap_us
+        else:
+            # DYNAMIC gap (reference DynamicEventTimeSessionWindows / the
+            # Flink gap-extractor form of the SESSION TVF): the third arg is
+            # a per-row SECONDS expression over the input columns; the gap
+            # set by the PREVIOUS row decides how far its session extends.
+            gap_us = (F.expr(args[2]) * 1_000_000).cast("long")
+            prev_gap = F.lag(gap_us).over(wk)
+        new_s = F.when(prev.isNull() | ((us - prev) > prev_gap), 1).otherwise(0)
         sid = F.sum(new_s).over(wk.rowsBetween(Window.unboundedPreceding, 0))
         ws = Window.partitionBy(*keys, "__sid")
-        out = df.withColumn("__sid", sid)
+        out = df.withColumn("__gap_us", gap_us).withColumn("__sid", sid)
+        # session end = last event's ts + that event's gap (max struct picks
+        # the latest row, then its gap rides along)
+        last_row = F.max(F.struct(us.alias("u"), F.col("__gap_us").alias("g"))).over(ws)
         return out.select(
             "*",
             F.timestamp_micros(F.min(us).over(ws)).cast(target).alias(
                 "window_start"
             ),
-            F.timestamp_micros(F.max(us).over(ws) + gap_us).cast(target).alias(
+            F.timestamp_micros(last_row["u"] + last_row["g"]).cast(target).alias(
                 "window_end"
             ),
-        ).drop("__sid")
+        ).drop("__sid", "__gap_us")
     else:  # pragma: no cover
         raise ValueError(kind)
 

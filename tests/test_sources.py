@@ -127,3 +127,33 @@ def test_read_jdbc_env_gated(spark):
 
     with _pytest.raises(Exception, match="[Dd]river"):
         read_jdbc(spark, "jdbc:postgresql://h/db", "orders")
+
+
+def test_catalog_managed_table_sql_surface(spark, tmp_path):
+    """Catalog-table smoke test (reference HiveCatalog / catalog DDL surface,
+    SURVEY §2.1): Spark's session catalog provides the same CREATE TABLE /
+    INSERT / SELECT / partition DDL path without a metastore service — the
+    Hive metastore is a deployment choice (enableHiveSupport), not an
+    operator; the SQL surface below is identical under either catalog."""
+    spark.sql("DROP TABLE IF EXISTS cat_smoke")
+    spark.sql(
+        f"""
+        CREATE TABLE cat_smoke (k INT, part STRING, v DOUBLE)
+        USING parquet PARTITIONED BY (part)
+        LOCATION '{tmp_path}/cat_smoke'
+        """
+    )
+    try:
+        # partition columns move to the end of the table schema: (k, v, part)
+        spark.sql(
+            "INSERT INTO cat_smoke VALUES (1, 1.5, 'a'), (2, 2.5, 'a'), (3, 9.0, 'b')"
+        )
+        assert spark.sql("SELECT sum(v) AS s FROM cat_smoke").collect()[0]["s"] == 13.0
+        # partition pruning is visible in the catalog: one partition dropped
+        parts = {r[0] for r in spark.sql("SHOW PARTITIONS cat_smoke").collect()}
+        assert parts == {"part=a", "part=b"}
+        spark.sql("ALTER TABLE cat_smoke DROP PARTITION (part='b')")
+        assert spark.sql("SELECT count(*) AS n FROM cat_smoke").collect()[0]["n"] == 2
+        assert "cat_smoke" in [t.name for t in spark.catalog.listTables()]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cat_smoke")
