@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
         streaming_batch,
         text_queries,
         tpch,
+        trigger_queries,
         windows_over,
     )
     from .queries.golden import ensure_driver_goldens
