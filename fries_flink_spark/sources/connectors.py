@@ -49,13 +49,13 @@ def read_file(
         options.setdefault("header", "true")
     try:
         return reader.options(**options).load(path)
-    except Exception as e:  # avro is an external Spark module (flink-avro parity)
+    except Exception as e:
         if fmt == "avro" and "avro" in str(e).lower():
-            raise NotImplementedError(
-                "avro support requires the spark-avro module "
-                "(org.apache.spark:spark-avro_2.13 on the classpath / "
-                "--packages); it is not bundled in this environment"
-            ) from e
+            # spark-avro module absent → from-spec pure-Python OCF reader
+            # (sources/avro.py; flink-avro parity, null codec)
+            from .avro import read_avro
+
+            return read_avro(spark, path)
         raise
 
 
@@ -91,13 +91,20 @@ def write_file(
         writer = writer.partitionBy(*partition_by)
     try:
         writer.options(**options).save(path)
-    except Exception as e:  # avro is an external Spark module (flink-avro parity)
+    except Exception as e:
         if fmt == "avro" and "avro" in str(e).lower():
-            raise NotImplementedError(
-                "avro support requires the spark-avro module "
-                "(org.apache.spark:spark-avro_2.13 on the classpath / "
-                "--packages); it is not bundled in this environment"
-            ) from e
+            # spark-avro module absent → from-spec pure-Python OCF writer
+            # (sources/avro.py; null codec, one file per partition). The
+            # partition_by directory layout needs the JVM module — reject
+            # rather than silently flattening.
+            if partition_by:
+                raise NotImplementedError(
+                    "partitioned avro layout requires the spark-avro module"
+                ) from e
+            from .avro import write_avro
+
+            write_avro(df, path, mode=mode)
+            return
         raise
 
 
