@@ -365,3 +365,68 @@ def text_repetition(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_stats(docs, "text", "doc_id").orderBy("doc_id")
+
+
+_CHUNK_LINES_SQL = """
+    WITH __words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    __chunks AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS line_no, w
+      FROM __words
+    ),
+    lines AS (
+      SELECT doc_id, line_no,
+             array_to_string(w[(line_no * 10 + 1):(line_no * 10 + 10)], ' ') AS line
+      FROM __chunks
+    )
+"""
+
+
+@query(
+    "text_line_dedup",
+    oracle=_CHUNK_LINES_SQL
+    + """
+    SELECT min_by(doc_id, doc_id * 1000000 + line_no) AS doc_id,
+           min_by(line_no, doc_id * 1000000 + line_no) AS line_no,
+           line
+    FROM lines GROUP BY line
+    """,
+)
+def text_line_dedup(spark, sf_dir):
+    """C4-style exact line dedup, keep-first (text/lines.line_dedup_keep_first):
+    10-word pseudo-lines (the synthetic docs are single-line), one hash
+    shuffle on the line value, struct-min instead of a window sort."""
+    from ..text.lines import chunk_lines, line_dedup_keep_first
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = chunk_lines(docs, "text", "doc_id", words_per_line=10)
+    return line_dedup_keep_first(lines).select("doc_id", "line_no", "line")
+
+
+@query(
+    "text_boilerplate_strip",
+    oracle=_CHUNK_LINES_SQL
+    + """
+    , bp AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+      ) WHERE nd >= 3
+    )
+    SELECT l.doc_id,
+           sum(CASE WHEN bp.line IS NULL THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN bp.line IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+           coalesce(string_agg(CASE WHEN bp.line IS NULL THEN l.line END, ' '
+                               ORDER BY l.line_no), '') AS cleaned
+    FROM lines l LEFT JOIN bp ON l.line = bp.line
+    GROUP BY l.doc_id
+    """,
+)
+def text_boilerplate_strip(spark, sf_dir):
+    """Boilerplate removal (text/lines.strip_boilerplate): pseudo-lines in
+    >= 3 distinct docs are stripped from every doc, which is re-assembled
+    from its surviving lines in order. Broadcast anti-join against the
+    vocabulary-sized boilerplate set; one doc-id shuffle to re-assemble."""
+    from ..text.lines import strip_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_boilerplate(docs, "text", "doc_id", min_docs=3, words_per_line=10)

@@ -1,0 +1,80 @@
+"""Line-level corpus cleanup ops (text/lines.py) on multi-line fixtures."""
+
+from __future__ import annotations
+
+from fries_flink_spark.text.lines import (
+    boilerplate_lines,
+    chunk_lines,
+    line_dedup_keep_first,
+    split_lines,
+    strip_boilerplate,
+)
+
+
+def _docs(spark):
+    banner = "accept cookies to continue"
+    rows = [
+        (1, f"{banner}\nunique first line\nshared quote here"),
+        (2, f"{banner}\nshared quote here\nanother unique line"),
+        (3, f"{banner}\ntotally distinct content"),
+        (4, "no banner at all\nshared quote here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_split_lines_positions(spark):
+    lines = split_lines(_docs(spark), "text", "doc_id")
+    got = {(r.doc_id, r.line_no): r.line for r in lines.collect()}
+    assert got[(1, 0)] == "accept cookies to continue"
+    assert got[(4, 1)] == "shared quote here"
+    assert len(got) == 10
+
+
+def test_line_dedup_keep_first(spark):
+    lines = split_lines(_docs(spark), "text", "doc_id")
+    kept = line_dedup_keep_first(lines)
+    got = {r.line: (r.doc_id, r.line_no) for r in kept.collect()}
+    # the banner keeps only its (1, 0) occurrence; the quote keeps (1, 2)
+    assert got["accept cookies to continue"] == (1, 0)
+    assert got["shared quote here"] == (1, 2)
+    assert len(got) == 6  # 10 lines, 2 dup banners + 2 dup quotes removed
+
+
+def test_boilerplate_detection_threshold(spark):
+    lines = split_lines(_docs(spark), "text", "doc_id")
+    # banner: docs 1,2,3; quote: docs 1,2,4 — both reach 3 distinct docs
+    bp3 = {r.line for r in boilerplate_lines(lines, 3).collect()}
+    assert bp3 == {"accept cookies to continue", "shared quote here"}
+    assert boilerplate_lines(lines, 4).count() == 0
+
+
+def test_strip_boilerplate_reassembles_in_order(spark):
+    # words_per_line chosen so each real line = one pseudo-line is NOT the
+    # case here — use newline docs rebuilt through the chunk path instead:
+    # single-line docs of 4 words each, boilerplate = the repeated chunk
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d keep one two three"),
+            (2, "a b c d other words kept here"),
+            (3, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_kept, r.n_removed, r.cleaned)
+        for r in strip_boilerplate(docs, "text", "doc_id", min_docs=3, words_per_line=4).collect()
+    }
+    assert out[1] == (1, 1, "keep one two three")
+    assert out[2] == (1, 1, "other words kept here")
+    assert out[3] == (0, 1, "")  # fully-boilerplate doc -> empty, caller drops
+
+
+def test_chunk_lines_covers_all_words(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(23)))], "doc_id long, text string"
+    )
+    lines = chunk_lines(docs, "text", "doc_id", words_per_line=10).orderBy("line_no")
+    got = [r.line for r in lines.collect()]
+    assert len(got) == 3
+    assert got[2] == "20 21 22"  # trailing short chunk, no padding
+    assert " ".join(got) == docs.collect()[0].text
