@@ -204,11 +204,79 @@ def ensure_sim_topk_ivf(
     return path
 
 
+
+
+# --------------------------------------------------------------------------- #
+# pq_codes
+# --------------------------------------------------------------------------- #
+
+
+def ensure_pq_codes(
+    sf_dir: str,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 2,
+    force: bool = False,
+) -> str:
+    """Golden for queries/similarity_queries.pq_codes: independent numpy
+    replay of PQ training (first-ksub seeds by id, Lloyd means per subspace,
+    empty clusters keep previous, lowest-index argmin ties) + encoding.
+    Codes are integers, robust to sub-ulp centroid differences except at
+    exact argmin ties, which the synthetic embeddings don't produce."""
+    import pyarrow as pa
+
+    path = golden_path("pq_codes", sf_dir)
+    if os.path.exists(path) and not force:
+        return path
+    rows = _fetch(
+        sf_dir,
+        "SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id",
+    )
+    ids = [int(vid) for vid, _ in rows]
+    x = np.array([[float(v) for v in emb] for _, emb in rows], dtype=np.float64)
+    dim = x.shape[1]
+    dsub = dim // m
+    books = np.ascontiguousarray(
+        x[:ksub].reshape(ksub, m, dsub).transpose(1, 0, 2)
+    )
+
+    def codes_for(X, B):
+        Xs = X.reshape(len(X), m, dsub)
+        dots = np.einsum("nmd,mkd->nmk", Xs, B)
+        cnorm = (B**2).sum(axis=2)
+        return np.argmin(cnorm[None, :, :] - 2.0 * dots, axis=2)
+
+    for _ in range(n_iter):
+        codes = codes_for(x, books)
+        new = books.copy()
+        Xs = x.reshape(len(x), m, dsub)
+        for s in range(m):
+            for c in range(ksub):
+                members = Xs[codes[:, s] == c, s]
+                if len(members):
+                    new[s, c] = members.mean(axis=0)
+        books = new
+    codes = codes_for(x, books)
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "codes_str": pa.array(
+                    ["-".join(str(int(c)) for c in row) for row in codes], pa.string()
+                ),
+            }
+        ),
+    )
+    return path
+
+
 def ensure_driver_goldens() -> None:
     """Generate the goldens the static oracle SQL references (driver sf)."""
     if os.path.isdir(DRIVER_SF_DIR):
         try:
             ensure_mm_image_features(DRIVER_SF_DIR)
             ensure_sim_topk_ivf(DRIVER_SF_DIR)
+            ensure_pq_codes(DRIVER_SF_DIR)
         except Exception:  # never break registry import on golden failure
             pass

@@ -177,3 +177,60 @@ def sim_label_centroids(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(comp_sum), 4).alias("avg_component_sum"),
     )
+
+
+@query(
+    "pq_codes",
+    # Golden-parquet oracle: independent numpy replay of the deterministic PQ
+    # train+encode (queries/golden.ensure_pq_codes). Codes are integers —
+    # no float formatting in the compare; see similarity/pq.py determinism
+    # contract.
+    oracle=f"""
+    SELECT vec_id, codes_str
+    FROM read_parquet('{_golden.golden_path("pq_codes", _golden.DRIVER_SF_DIR)}')
+    ORDER BY vec_id
+    """,
+)
+def pq_codes(spark, sf_dir):
+    """Product-quantization codes (similarity/pq.py): 64-dim vectors -> 8
+    subspaces x 16-centroid codebooks trained with two Lloyd iterations
+    (one mapInPandas assignment pass + tiny mean aggregate each), encoded by
+    a single vectorized pandas_udf. Emitted dash-joined so the compare is
+    representation-proof."""
+    from ..similarity.pq import pq_encode, pq_train
+
+    _golden.ensure_pq_codes(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, "embedding", "vec_id", dim=64, m=8, ksub=16, n_iter=2)
+    codes = pq_encode(emb, "embedding", "vec_id", books)
+    return codes.select(
+        "vec_id", F.array_join(F.col("codes"), "-").alias("codes_str")
+    ).orderBy("vec_id")
+
+
+@query(
+    "pq_adc_recall",
+    oracle="SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
+)
+def pq_adc_recall(spark, sf_dir):
+    """Quality band for the PQ search pipeline (the sim_ivf_recall pattern):
+    L2-normalize -> PQ(16x32) encode -> ADC shortlist(50) -> exact rerank;
+    top-10 must recover >= 7 of the exact cosine top-10 (observed: 10/10).
+    The compressed-domain score is engine-specific; the band is not."""
+    import math
+
+    from ..similarity.pq import l2_normalize, pq_encode, pq_shortlist_rerank, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    qn = math.sqrt(sum(x * x for x in qv))
+    qvn = [x / qn for x in qv]
+    nemb = l2_normalize(emb, "embedding", "vec_id")
+    books = pq_train(nemb, "embedding", "vec_id", dim=64, m=16, ksub=32, n_iter=2)
+    codes = pq_encode(nemb, "embedding", "vec_id", books)
+    reranked = pq_shortlist_rerank(
+        emb, codes, "embedding", "vec_id", books, qvn, k=10, shortlist=50
+    ).select("vec_id")
+    brute = cosine_topk(emb, "embedding", "vec_id", qv, k=10).select("vec_id")
+    hits = reranked.join(brute, "vec_id").count()
+    return spark.createDataFrame([(10, hits >= 7)], "k long, recall_ok boolean")
