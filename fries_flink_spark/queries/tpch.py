@@ -758,11 +758,15 @@ def tpch_q21(spark, sf_dir):
            round(sum(c_acctbal), 4) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     GROUP BY 1 ORDER BY 1
     """,
 )
 def tpch_q22(spark, sf_dir):
+    # adapted: every synthetic customer has orders, so the classic "never
+    # ordered" anti-join is vacuously empty — "no high-value order" keeps the
+    # anti-join + scalar-subquery shape with a non-trivial result
     cust, orders = _t(spark, sf_dir, "customer", "orders")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("ab")
@@ -770,11 +774,247 @@ def tpch_q22(spark, sf_dir):
     return (
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(
+            orders.filter(F.col("o_totalprice") > 300000),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
         .groupBy((F.col("c_nationkey") % 7).alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q2 (adapted: lineitem as the part-supplier price relation — the synthetic
+# schema has no partsupp): minimum-cost supplier per part, the correlated
+# MIN subquery the reference decorrelates into an agg+join
+# (flink-table-planner .../rules/logical/subquery rewrites).
+@query(
+    "tpch_q2",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey AS b_partkey, min(unit_cost) AS best_cost
+      FROM cost GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           round(unit_cost, 6) AS unit_cost
+    FROM cost
+    JOIN best     ON b_partkey = l_partkey AND unit_cost = best_cost
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    WHERE p_size BETWEEN 10 AND 20 AND r_name = 'ASIA'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    li, part, sup, nat, reg = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    cost = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    dims = (
+        sup.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    return (
+        cost.join(
+            best,
+            (F.col("b_partkey") == F.col("l_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_size").between(10, 20))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(dims), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q9 (adapted: p_retailprice stands in for ps_supplycost): product-type
+# profit by nation and year — the widest join tree in the suite
+# (lineitem⋈orders⋈supplier⋈nation⋈part) + agg on derived columns.
+@query(
+    "tpch_q9",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * 0.1), 4) AS sum_profit
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN part     ON p_partkey = l_partkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    li, orders, sup, nat, part = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation", "part"
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q11 (adapted: lineitem value per part for one nation's suppliers): grouped
+# value with a HAVING against a scalar fraction of the GLOBAL total — the
+# scalar-subquery-in-HAVING the reference plans as a broadcast nested loop.
+@query(
+    "tpch_q11",
+    oracle="""
+    WITH vals AS (
+      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(value, 4) AS value
+    FROM vals
+    WHERE value > (SELECT sum(value) * 0.003 FROM vals)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    li, sup, nat = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat3 = nat.filter(F.col("n_name") == "NATION_3")
+    vals = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat3), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    threshold = vals.agg((F.sum("value") * 0.003).alias("thr"))
+    return (
+        vals.join(F.broadcast(threshold), F.col("value") > F.col("thr"))
+        .select("l_partkey", F.round("value", 4).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q16 (adapted: order-count per part attributes, excluding flagged
+# suppliers): NOT IN subquery (null-safe anti join) + COUNT DISTINCT.
+@query(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    li, part, sup = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    flagged = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#1")
+                    & F.col("p_size").isin(5, 10, 15, 20, 25)
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(flagged),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q20 (adapted: shipped-volume threshold in place of availqty): suppliers
+# whose first-half-1996 shipped volume of '%1%' parts exceeds a threshold —
+# nested IN subqueries decorrelated to agg + semi joins.
+@query(
+    "tpch_q20",
+    oracle="""
+    WITH vol AS (
+      SELECT l_suppkey, sum(l_quantity) AS half_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM vol WHERE half_qty > 50)
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    li, part, sup, nat = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    wanted_parts = part.filter(F.col("p_name").like("%blue%")).select("p_partkey")
+    vol = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-07-01'"))
+        )
+        .join(F.broadcast(wanted_parts), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("half_qty"))
+        .filter(F.col("half_qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(F.broadcast(vol), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )
