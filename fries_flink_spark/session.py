@@ -35,6 +35,13 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce to the advisory size instead of defending initial parallelism:
+    # post-shuffle stages get data-proportional task counts, which removes
+    # 20-30% of wall on small-shuffle queries (A/B in PERF.md §11) and is the
+    # right policy at 100 TB too — a 1 GB shuffle still fans out to ~32 tasks
+    # at 32 MB advisory, while KB-sized shuffles stop paying 32 task launches.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

@@ -128,3 +128,45 @@ def test_zorder_key_is_pure_projection(spark, registry):
 def test_quantize_zero_exchange(spark, registry):
     df = registry["emb_quantize_int8"](spark, SF)
     assert exchange_count(df) <= 1
+
+
+def test_line_dedup_single_exchange(spark, registry):
+    """text_line_dedup: explode is narrow; the ONLY exchange is the hash
+    shuffle on the line value for the struct-min aggregate."""
+    df = registry["text_line_dedup"](spark, SF)
+    assert exchange_count(df) == 1
+    assert has_partial_aggregation(df)
+
+
+def test_boilerplate_strip_broadcasts_bp_set(spark, registry):
+    """text_boilerplate_strip: the boilerplate line set joins broadcast —
+    the corpus must not shuffle for the strip."""
+    df = registry["text_boilerplate_strip"](spark, SF)
+    assert "broadcast" in " ".join(join_strategies(df)).lower()
+
+
+def test_trigger_fires_single_exchange(spark, registry):
+    """trig_count_fires: over-window running aggs + fire filter pay exactly
+    the one (window, key) hash exchange a plain windowed agg pays."""
+    df = registry["trig_count_fires"](spark, SF)
+    assert exchange_count(df) == 1
+
+
+def test_evictor_aggs_single_exchange(spark, registry):
+    """count/time/delta evictors: rank/max/last filters ride the same
+    exchange as the final aggregate (AQE may reuse it; never more than 2)."""
+    for name in ("evict_count", "evict_time", "evict_delta"):
+        df = registry[name](spark, SF)
+        assert exchange_count(df) <= 2, name
+
+
+def test_pq_encode_zero_exchange(spark, registry):
+    """PQ encoding (the scan-side of pq_codes before its output sort) is a
+    pure projection: scan -> pandas_udf -> project, no exchange."""
+    from fries_flink_spark.catalog import load_table
+    from fries_flink_spark.similarity.pq import pq_encode
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    books = np.zeros((8, 16, 8))
+    assert exchange_count(pq_encode(emb, "embedding", "vec_id", books)) == 0
