@@ -388,3 +388,25 @@ def q_pipeline_row_ids(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return assign_consecutive_ids(docs, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5('1|' || CAST(doc_id AS VARCHAR)),
+                      lpad(CAST(doc_id AS VARCHAR), 20, '0')
+           ) - 1 AS shuffle_pos
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_pipeline_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-1 training shuffle (pipeline/shuffle.py): position
+    = rank under the salted content hash, computed with the range-exchange +
+    offset scheme of pipeline/ids.py — reproducible, balanced regardless of
+    key skew, no global window."""
+    from ..pipeline.shuffle import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", epoch=1).orderBy("doc_id")

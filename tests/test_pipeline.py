@@ -196,3 +196,19 @@ def test_assign_consecutive_ids_pins_partitioning(spark, sf_dir):
     n = docs.count()
     assert sorted(r["row_id"] for r in out.collect()) == list(range(n))
     spark.catalog.clearCache()
+
+
+def test_epoch_shuffle_properties(spark):
+    """Different epochs give different orders; same epoch is reproducible;
+    positions are a dense permutation."""
+    from fries_flink_spark.pipeline.shuffle import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    e1 = {r.k: r.shuffle_pos for r in deterministic_shuffle(df, "k", epoch=1).collect()}
+    e1b = {r.k: r.shuffle_pos for r in deterministic_shuffle(df, "k", epoch=1).collect()}
+    e2 = {r.k: r.shuffle_pos for r in deterministic_shuffle(df, "k", epoch=2).collect()}
+    assert e1 == e1b                       # reproducible
+    assert sorted(e1.values()) == list(range(200))  # dense permutation
+    assert e1 != e2                        # epochs decorrelate
+    # not the identity order (hash actually shuffles)
+    assert [e1[i] for i in range(200)] != list(range(200))
