@@ -122,3 +122,52 @@ def lookup_join(
 ) -> DataFrame:
     """Dimension lookup join: broadcast the dim snapshot (no fact shuffle)."""
     return fact.join(F.broadcast(dim), on, how)
+
+
+def interval_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lower_s: int,
+    upper_s: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join with TIME-BUCKET co-partitioning — the hot-key-safe plan.
+
+    The plain equi-key formulation (``interval_join``) lets Spark emit EVERY
+    key-equal pair before the band filter: a key with n left and m right rows
+    costs n·m regardless of how narrow the band is — quadratic on hot keys
+    (the reference avoids this in streaming by keyed state pruned to the
+    band, TimeIntervalJoin.java:51; batch Spark has no such pruning).
+
+    Here both sides also join on a time bucket of width W = upper_s -
+    lower_s (one explode of the LEFT row into the <= 2 buckets its band can
+    touch; the right side buckets exactly once), so the join key becomes
+    (key, bucket) and each candidate pair is generated at most once — pair
+    (l, r) meets only in r's bucket. Per-(key, bucket) cost is
+    |band-neighborhood| not |key history|: linear in matches at any key
+    skew, the batch analog of the reference's banded state.
+
+    ``lower_s``/``upper_s`` are seconds (right_time - left_time band).
+    """
+    w = max(upper_s - lower_s, 1)
+    lsec = F.unix_timestamp(F.col(left_time))
+    lo = F.floor((lsec + lower_s) / w)
+    hi = F.floor((lsec + upper_s) / w)
+    lb = left.withColumn(
+        "__bkt", F.explode(F.sequence(lo.cast("long"), hi.cast("long")))
+    )
+    rb = right.withColumn(
+        "__bkt", F.floor(F.unix_timestamp(F.col(right_time)) / w).cast("long")
+    )
+    lt = F.unix_timestamp(lb[left_time])
+    rt = F.unix_timestamp(rb[right_time])
+    cond = (
+        (lb[key] == rb[key])
+        & (lb["__bkt"] == rb["__bkt"])
+        & (rt >= lt + lower_s)
+        & (rt <= lt + upper_s)
+    )
+    return lb.join(rb, cond, how).drop("__bkt")

@@ -372,3 +372,38 @@ def join_runtime_filter(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "join_interval_binned",
+    oracle="""
+    SELECT a.user_id, a.event_id AS signup_event, b.event_id AS purchase_event
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id
+      AND a.event_type = 'signup' AND b.event_type = 'purchase'
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    ORDER BY a.user_id, signup_event, purchase_event
+    """,
+)
+def join_interval_binned(spark, sf_dir):
+    """Interval join via time-bucket co-partitioning (operators/joins.
+    interval_join_binned): identical result to join_interval, but the join
+    key is (user, bucket) so a hot user costs its band neighborhood, not its
+    whole history — the batch analog of the reference's banded keyed state
+    (TimeIntervalJoin.java:51)."""
+    from ..operators.joins import interval_join_binned
+
+    ev, = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_event"), F.col("ts").alias("a_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event"), F.col("ts").alias("b_ts")
+    )
+    joined = interval_join_binned(
+        signups, purchases, key="user_id",
+        left_time="a_ts", right_time="b_ts", lower_s=0, upper_s=1800,
+    )
+    return joined.select(
+        signups["user_id"].alias("user_id"), "signup_event", "purchase_event"
+    ).orderBy("user_id", "signup_event", "purchase_event")

@@ -125,3 +125,36 @@ def test_keep_canonical_keeps_singletons(spark):
     cc = connected_components(edges)
     kept = sorted(r["doc_id"] for r in keep_canonical(docs, cc).collect())
     assert kept == [1, 99]
+
+
+def test_interval_join_binned_equals_plain_on_hot_key(spark):
+    """One mega-key (every row same user): the binned variant must return
+    exactly the plain variant's pairs while only generating band-local
+    candidates (the plain plan emits all n*m key-equal pairs first)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from fries_flink_spark.operators.joins import interval_join, interval_join_binned
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, i, base + timedelta(seconds=i * 60)) for i in range(300)],
+        "k long, lid long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, j, base + timedelta(seconds=j * 45 + 7)) for j in range(300)],
+        "k long, rid long, rt timestamp",
+    )
+    plain = interval_join(
+        left, right.withColumnRenamed("k", "k2"),
+        key=F.col("k") == F.col("k2"),
+        left_time="lt", right_time="rt", lower="0 SECOND", upper="5 MINUTE",
+    ).select("lid", "rid")
+    binned = interval_join_binned(
+        left, right, key="k", left_time="lt", right_time="rt",
+        lower_s=0, upper_s=300,
+    ).select("lid", "rid")
+    a = sorted((r.lid, r.rid) for r in plain.collect())
+    b = sorted((r.lid, r.rid) for r in binned.collect())
+    assert a == b and len(a) > 500  # non-trivial match set
