@@ -271,6 +271,83 @@ def ensure_pq_codes(
     return path
 
 
+# --------------------------------------------------------------------------- #
+# mm_video_frames / mm_audio_features
+# --------------------------------------------------------------------------- #
+
+
+def ensure_mm_video_frames(sf_dir: str, force: bool = False) -> str:
+    """Golden for mm_video_frames: doc text -> 4-frame 8x8 SYN video ->
+    stride-2 frame sample -> per-frame mean (sum/64, dyadic-exact) and peak."""
+    import pyarrow as pa
+
+    path = golden_path("mm_video_frames", sf_dir)
+    if os.path.exists(path) and not force:
+        return path
+    rows = _fetch(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id")
+    ids, fidx, means, peaks = [], [], [], []
+    for doc_id, text in rows:
+        raw = np.frombuffer(text.encode("utf-8")[:256], dtype=np.uint8)
+        px = np.zeros(256, dtype=np.uint8)
+        px[: len(raw)] = raw
+        frames = px.reshape(4, 8, 8)
+        for fi in range(0, 4, 2):
+            f = frames[fi].astype(np.float64)
+            ids.append(int(doc_id))
+            fidx.append(fi)
+            means.append(float(f.sum() / 64.0))
+            peaks.append(int(f.max()))
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "mean_intensity": pa.array(means, pa.float64()),
+                "peak": pa.array(peaks, pa.int64()),
+            }
+        ),
+    )
+    return path
+
+
+def ensure_mm_audio_features(sf_dir: str, force: bool = False) -> str:
+    """Golden for mm_audio_features: doc text -> 512-sample int16 SYN audio
+    ((byte-128)*256), frame_len=128 -> 4 RMS values (micro-units) + peak.
+    Every intermediate is an exact double (squares of k/2^15 summed over a
+    power-of-two frame); sqrt is correctly rounded, so the replay is
+    bit-identical."""
+    import pyarrow as pa
+
+    path = golden_path("mm_audio_features", sf_dir)
+    if os.path.exists(path) and not force:
+        return path
+    rows = _fetch(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id")
+    ids, rms_strs, peaks = [], [], []
+    for doc_id, text in rows:
+        raw = np.frombuffer(text.encode("utf-8")[:512], dtype=np.uint8)
+        b = np.zeros(512, dtype=np.uint8)
+        b[: len(raw)] = raw
+        samples = (b.astype(np.int16) - 128) * 256
+        x = samples.astype(np.float64) / 32768.0
+        frames = x.reshape(4, 128)
+        rms = np.sqrt((frames**2).mean(axis=1))
+        ids.append(int(doc_id))
+        rms_strs.append("|".join(str(micro6(v)) for v in rms))
+        peaks.append(float(np.abs(x).max()))
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "rms_str": pa.array(rms_strs, pa.string()),
+                "peak": pa.array(peaks, pa.float64()),
+            }
+        ),
+    )
+    return path
+
+
 def ensure_driver_goldens() -> None:
     """Generate the goldens the static oracle SQL references (driver sf)."""
     if os.path.isdir(DRIVER_SF_DIR):
@@ -278,5 +355,7 @@ def ensure_driver_goldens() -> None:
             ensure_mm_image_features(DRIVER_SF_DIR)
             ensure_sim_topk_ivf(DRIVER_SF_DIR)
             ensure_pq_codes(DRIVER_SF_DIR)
+            ensure_mm_video_frames(DRIVER_SF_DIR)
+            ensure_mm_audio_features(DRIVER_SF_DIR)
         except Exception:  # never break registry import on golden failure
             pass

@@ -96,3 +96,99 @@ def mm_image_features(spark, sf_dir):
         "mean_intensity",
         "std_intensity",
     ).orderBy("media_id")
+
+
+@query(
+    "mm_video_frames",
+    oracle=f"""
+    SELECT media_id, frame_idx, mean_intensity, peak
+    FROM read_parquet('{_golden.golden_path("mm_video_frames", _golden.DRIVER_SF_DIR)}')
+    ORDER BY media_id, frame_idx
+    """,
+)
+def mm_video_frames(spark, sf_dir):
+    """Video pipeline on a real table: pack each document's bytes into a
+    deterministic 4-frame 8x8 SYN video, stride-2 frame sampling
+    (multimodal/media.sample_frames — the explode-shaped transform), then
+    per-frame mean (sum/64, dyadic-exact) and peak. Golden-parquet oracle
+    from an independent numpy replay."""
+    from ..multimodal.media import VIDEO_MAGIC, sample_frames
+
+    _golden.ensure_mm_video_frames(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def to_syn_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8")[:256], dtype=np.uint8)
+                px = np.zeros(256, dtype=np.uint8)
+                px[: len(raw)] = raw
+                rows.append(
+                    (did, VIDEO_MAGIC + _struct.pack(">HHH", 8, 8, 4) + px.tobytes())
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    vids = docs.mapInPandas(to_syn_video, schema="media_id long, content binary")
+    frames = sample_frames(vids, every_nth=2)
+
+    def frame_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..multimodal.media import decode_syn_image
+
+        for pdf in batches:
+            rows = []
+            for mid, fi, data in zip(pdf["media_id"], pdf["frame_idx"], pdf["content"]):
+                arr = decode_syn_image(bytes(data)).astype(np.float64)
+                rows.append((mid, fi, float(arr.sum() / 64.0), int(arr.max())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "mean_intensity", "peak"]
+            )
+
+    return frames.mapInPandas(
+        frame_stats,
+        schema="media_id long, frame_idx int, mean_intensity double, peak long",
+    ).orderBy("media_id", "frame_idx")
+
+
+@query(
+    "mm_audio_features",
+    oracle=f"""
+    SELECT media_id, rms_str, peak
+    FROM read_parquet('{_golden.golden_path("mm_audio_features", _golden.DRIVER_SF_DIR)}')
+    ORDER BY media_id
+    """,
+)
+def mm_audio_features(spark, sf_dir):
+    """Audio pipeline on a real table: doc bytes -> deterministic 512-sample
+    int16 SYN audio, then multimodal/media.audio_features (frame RMS + peak,
+    frame_len=128 -> 4 frames). RMS ships as '|'-joined integer micro-units
+    (every intermediate is an exact double; see golden.ensure_mm_audio_features)."""
+    from ..multimodal.media import audio_features, encode_syn_audio
+
+    _golden.ensure_mm_audio_features(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def to_syn_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8")[:512], dtype=np.uint8)
+                b = np.zeros(512, dtype=np.uint8)
+                b[: len(raw)] = raw
+                samples = (b.astype(np.int16) - 128) * 256
+                rows.append((did, encode_syn_audio(samples, 16000)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    clips = docs.mapInPandas(to_syn_audio, schema="media_id long, content binary")
+    feats = audio_features(clips, frame_len=128)
+    return feats.select(
+        "media_id",
+        F.array_join(
+            F.transform(
+                F.col("frame_rms"),
+                lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("string"),
+            ),
+            "|",
+        ).alias("rms_str"),
+        "peak",
+    ).orderBy("media_id")
