@@ -596,8 +596,12 @@ def match_pattern(
     # time sort happens INSIDE the exchange, JVM-side — the Python worker does
     # zero sorting and is invoked per Arrow batch, not per key group, so
     # high-cardinality keys (the 100 TB case: millions of tiny groups) cost
-    # one pass, not one UDF call each.
-    shuffled = df.repartition(*key_cols).sortWithinPartitions(
+    # one pass, not one UDF call each. The partition COUNT is pinned
+    # explicitly: AQE's byte-proportional coalescing (session.RUNTIME_CONFS)
+    # would fold this CPU-bound, small-bytes Python stage into one task —
+    # NFA cost scales with rows, not bytes, so parallelism must follow cores.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    shuffled = df.repartition(n_parts, *key_cols).sortWithinPartitions(
         *key_cols, time_col, *tiebreak
     )
     return shuffled.mapInPandas(run_partition, schema=output_schema)

@@ -242,6 +242,16 @@ def cosine_pairs(
             b = np.maximum(lids[ii], rids[jj])
         return pd.DataFrame({"a": a, "b": b, "cos": cc})
 
+    # Pin the exchange width: the cogroup's cost is GEMM FLOPs, not shuffle
+    # bytes, so AQE's byte-proportional coalescing (session.RUNTIME_CONFS)
+    # must not fold the tile grid into a few tasks. An explicit repartition
+    # on the cogroup keys is reused by the cogroup exchange and is exempt
+    # from AQE coalescing.
+    n_parts = min(
+        n_blocks * (n_blocks + 1) // 2, spark.sparkContext.defaultParallelism * 2
+    )
+    left = left.repartition(n_parts, "bi", "bj")
+    right = right.repartition(n_parts, "bi", "bj")
     return (
         left.groupBy("bi", "bj")
         .cogroup(right.groupBy("bi", "bj"))
