@@ -410,3 +410,42 @@ def q_pipeline_epoch_shuffle(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return deterministic_shuffle(docs, "doc_id", epoch=1).orderBy("doc_id")
+
+
+@query(
+    "pipeline_validate",
+    oracle=f"""
+    WITH agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN value >= 0 AND value <= 1000000 THEN 0 ELSE 1 END) AS v_value_range,
+             sum(CASE WHEN event_type IN ('click','view','purchase','signup','error')
+                      THEN 0 ELSE 1 END) AS v_known_type,
+             sum(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END) AS v_ts_not_null,
+             sum(CASE WHEN user_id > 0 THEN 0 ELSE 1 END) AS v_user_positive
+      FROM events
+    )
+    SELECT rule, n AS n_rows, v AS n_violations,
+           {round_portable_sql('v * 1.0 / n', 6)} AS violation_rate
+    FROM agg, LATERAL (VALUES
+      ('value_range', v_value_range), ('known_type', v_known_type),
+      ('ts_not_null', v_ts_not_null), ('user_positive', v_user_positive)
+    ) AS t(rule, v)
+    ORDER BY rule
+    """,
+)
+def q_pipeline_validate(spark, sf_dir):
+    """Declarative data-quality expectations over events (pipeline/validate.
+    summarize): one aggregate pass emits per-rule violation counts + rates
+    (deequ-style checks re-expressed as plain conditional aggregates)."""
+    from ..pipeline.validate import summarize
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = {
+        "value_range": F.col("value").between(0, 1_000_000),
+        "known_type": F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        ),
+        "ts_not_null": F.col("ts").isNotNull(),
+        "user_positive": F.col("user_id") > 0,
+    }
+    return summarize(ev, rules).orderBy("rule")

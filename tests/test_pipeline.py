@@ -212,3 +212,28 @@ def test_epoch_shuffle_properties(spark):
     assert e1 != e2                        # epochs decorrelate
     # not the identity order (hash actually shuffles)
     assert [e1[i] for i in range(200)] != list(range(200))
+
+
+def test_validate_annotate_and_uniqueness(spark):
+    from pyspark.sql import functions as F
+
+    from fries_flink_spark.pipeline.validate import (
+        annotate,
+        summarize,
+        uniqueness_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -1.0, "b"), (2, 3.0, None), (4, 50.0, "a")],
+        "id long, v double, tag string",
+    )
+    rules = {"v_nonneg": F.col("v") >= 0, "tag_set": F.col("tag").isin("a", "b")}
+    ann = annotate(df, rules)
+    got = {(r.id, r.v): (r.ok_v_nonneg, r.ok_tag_set, r.all_ok) for r in ann.collect()}
+    assert got[(2, -1.0)] == (False, True, False)
+    assert got[(2, 3.0)] == (True, False, False)   # NULL tag counts as violation
+    assert got[(1, 5.0)] == (True, True, True)
+    s = {r.rule: (r.n_rows, r.n_violations) for r in summarize(df, rules).collect()}
+    assert s == {"v_nonneg": (4, 1), "tag_set": (4, 1)}
+    u = uniqueness_violations(df, ["id"]).collect()
+    assert [(r.id, r.n) for r in u] == [(2, 2)]
