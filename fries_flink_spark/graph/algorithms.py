@@ -1,0 +1,410 @@
+"""Gelly-parity graph algorithms over DataFrame edge lists.
+
+Reference surface (flink-libraries/flink-gelly/.../graph/library/):
+
+- vertex degrees            -> metric/directed|undirected VertexMetrics
+- triangle_listing          -> TriangleEnumerator.java,
+                               clustering/undirected/TriangleListing.java
+- clustering coefficients   -> clustering/undirected/{Local,Global,Average}
+                               ClusteringCoefficient.java
+- single_source_shortest_paths -> SingleSourceShortestPaths.java (scatter-
+                               gather min-distance propagation)
+- label_propagation         -> LabelPropagation.java (adopt most frequent
+                               neighbor label, ties -> min label)
+- hits                      -> linkanalysis/HITS.java
+- jaccard_index             -> similarity/JaccardIndex.java
+- adamic_adar               -> similarity/AdamicAdar.java
+- connected components      -> ConnectedComponents.java — already provided by
+                               ``dedup/clusters.connected_components`` (frontier
+                               delta iteration); PageRank by
+                               ``queries/iterate_queries.iter_pagerank``.
+
+Conventions: an *undirected* graph is an edge list canonicalized to
+``(a, b)`` with ``a < b`` and no self-loops; a *directed* graph is ``(src,
+dst[, weight])``. Vertex ids are integral.
+
+Scale design (100 TB / billions of edges):
+
+- **Triangle enumeration is degree-ordered**: each undirected edge is
+  oriented from its lower-(degree, id) endpoint to the higher one before the
+  wedge self-join, so wedges are generated only at each edge's *low-degree*
+  endpoint. This is the standard O(m^{3/2}) bound (Gelly's TriangleListing
+  does the same re-ordering) — without it one celebrity vertex of degree d
+  generates d² wedge candidates.
+- **Similarity scores are wedge-joins, not all-pairs**: Jaccard/Adamic-Adar
+  only emit vertex pairs that share ≥1 neighbor, produced by a self-join on
+  the *neighbor* key. The per-neighbor fan-out is deg(z)²/2; a hub cap
+  (``max_neighbor_degree``) bounds it exactly like Gelly's
+  ``JaccardIndex.setMaximumScore`` group-limit mitigation and LSH's hot
+  bucket cap — capped vertices are dropped with a documented semantic, not
+  silently exploded.
+- **Iterative algorithms** (SSSP, label propagation, HITS) run a driver loop
+  with per-step lineage truncation (operators/iterate.iterate); each
+  superstep is one shuffle of messages on the destination key. SSSP work is
+  proportional to the improved frontier when run via iterate_delta-style
+  min-merge; label counts use a two-phase (partial+final) aggregation that
+  Catalyst provides automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.iterate import iterate
+
+__all__ = [
+    "adamic_adar",
+    "clustering_coefficients",
+    "hits",
+    "jaccard_index",
+    "label_propagation",
+    "local_clustering_coefficient",
+    "single_source_shortest_paths",
+    "triangle_listing",
+    "vertex_degrees",
+]
+
+
+def _symmetrize(und: DataFrame) -> DataFrame:
+    """Undirected (a<b) edge list -> both-direction (u, v) adjacency."""
+    return und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def vertex_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex (id, out_degree, in_degree, degree) for a directed edge list.
+
+    Gelly: graph/library/metric/directed/VertexMetrics.java (degree
+    annotations). One shuffle per direction, two-phase counts; the full-outer
+    merge is co-partitioned on the id.
+    """
+    outd = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
+    ind = edges.groupBy(F.col(dst).alias("id")).agg(F.count(F.lit(1)).alias("in_degree"))
+    return (
+        outd.join(ind, "id", "full")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+        .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
+    )
+
+
+def triangle_listing(und: DataFrame) -> DataFrame:
+    """All triangles (a < b < c) of an undirected graph.
+
+    Gelly: TriangleEnumerator.java / clustering/undirected/TriangleListing.java.
+    Degree-ordered enumeration: orient every edge from its lower-(deg, id)
+    endpoint, build wedges at the low end, close them against oriented edges.
+    """
+    deg = (
+        _symmetrize(und)
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient each edge low-(deg,id) -> high-(deg,id).
+    e = (
+        und.join(deg.withColumnRenamed("id", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("id", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("o")
+        )
+        .select(F.col("o.lo").alias("lo"), F.col("o.hi").alias("hi"))
+    )
+    # Wedges at the low-degree apex: (apex -> x, apex -> y), ordered x < y.
+    e1 = e.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
+    e2 = e.select(F.col("lo").alias("apex"), F.col("hi").alias("y"))
+    wedges = e1.join(e2, "apex").filter(F.col("x") < F.col("y"))
+    # Close the wedge: the x–y edge exists (in either orientation — both
+    # endpoints outrank the apex, so orientation between x and y is unknown).
+    closer = e.select(
+        F.least("lo", "hi").alias("x2"), F.greatest("lo", "hi").alias("y2")
+    ).distinct()
+    tri = wedges.join(
+        closer, (F.col("x") == F.col("x2")) & (F.col("y") == F.col("y2"))
+    ).select("apex", "x", "y")
+    # Canonical (a<b<c) output regardless of which vertex was the apex.
+    return tri.select(
+        F.least("apex", "x", "y").alias("a"),
+        F.when(
+            (F.col("x") > F.least("apex", "x", "y")) & (F.col("x") < F.greatest("apex", "x", "y")),
+            F.col("x"),
+        )
+        .when(
+            (F.col("y") > F.least("apex", "x", "y")) & (F.col("y") < F.greatest("apex", "x", "y")),
+            F.col("y"),
+        )
+        .otherwise(F.col("apex"))
+        .alias("b"),
+        F.greatest("apex", "x", "y").alias("c"),
+    )
+
+
+def local_clustering_coefficient(und: DataFrame) -> DataFrame:
+    """(id, degree, triangle_count, coefficient) per vertex; coefficient =
+    2·tri / (d·(d−1)), 0 when d < 2.
+
+    Gelly: clustering/undirected/LocalClusteringCoefficient.java.
+    """
+    deg = (
+        _symmetrize(und)
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_listing(und)
+    per_vertex = (
+        tri.select(F.col("a").alias("id"))
+        .unionByName(tri.select(F.col("b").alias("id")))
+        .unionByName(tri.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangle_count"))
+    )
+    return (
+        deg.join(per_vertex, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("triangle_count", F.lit(0)).alias("triangle_count"),
+        )
+        .withColumn(
+            "coefficient",
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("triangle_count") / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def clustering_coefficients(und: DataFrame) -> DataFrame:
+    """One-row global metrics: triangle_count, global coefficient
+    (3·triangles / open+closed triplets) and average local coefficient.
+
+    Gelly: clustering/undirected/{Global,Average}ClusteringCoefficient.java,
+    TriadicCensus.java (triplet counting).
+    """
+    lcc = local_clustering_coefficient(und)
+    return lcc.agg(
+        (F.sum("triangle_count") / 3).cast("long").alias("triangle_count"),
+        (
+            F.sum("triangle_count")
+            / F.sum(F.col("degree") * (F.col("degree") - 1) / 2.0)
+        ).alias("global_coefficient"),
+        F.avg("coefficient").alias("average_coefficient"),
+    )
+
+
+def single_source_shortest_paths(
+    edges: DataFrame,
+    source_id: int,
+    steps: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Bellman–Ford distance propagation from ``source_id`` for a fixed number
+    of supersteps; returns (id, distance) for vertices reached so far.
+
+    Gelly: SingleSourceShortestPaths.java — scatter-gather where each vertex
+    relaxes ``min(d(v), min_u d(u)+w(u,v))`` per superstep. ``steps`` bounds
+    the hop count exactly like Gelly's ``maxIterations``; a run to the graph
+    diameter yields exact distances. Each superstep is one shuffle of
+    candidate distances on the destination key, merged by min — work shrinks
+    to the improving frontier under iterate's lineage truncation.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    )
+    nodes = e.select(F.col("u").alias("id")).unionByName(
+        e.select(F.col("v").alias("id"))
+    ).distinct()
+    dist0 = nodes.select(
+        "id",
+        F.when(F.col("id") == source_id, F.lit(0)).alias("distance"),
+    )
+
+    def step(dist: DataFrame, _i: int) -> DataFrame:
+        cand = (
+            e.join(dist.filter(F.col("distance").isNotNull()), e["u"] == dist["id"])
+            .select(F.col("v").alias("id"), (F.col("distance") + F.col("w")).alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        return (
+            dist.join(cand, "id", "left")
+            .select("id", F.least("distance", "nd").alias("distance"))
+        )
+
+    out = iterate(dist0, step, max_iterations=steps)
+    return out.filter(F.col("distance").isNotNull())
+
+
+def label_propagation(und: DataFrame, iterations: int) -> DataFrame:
+    """Synchronous label propagation for community detection: every superstep
+    each vertex adopts the most frequent label among its neighbors, ties
+    broken toward the smallest label. Returns (id, label).
+
+    Gelly: LabelPropagation.java (min-label tie break, fixed iteration
+    count). Deterministic by construction — integer labels, count-desc /
+    label-asc ordering — so results are engine-exact. Superstep cost: one
+    shuffle of (neighbor, label) messages + a two-phase count; the argmax is
+    a per-vertex WindowGroupLimit, not a global sort.
+    """
+    sym = _symmetrize(und)
+    labels0 = sym.select(F.col("u").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("label").asc())
+
+    def step(labels: DataFrame, _i: int) -> DataFrame:
+        counts = (
+            sym.join(labels, sym["u"] == labels["id"])
+            .select(F.col("v").alias("id"), "label")
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "label")
+        )
+
+    return iterate(labels0, step, max_iterations=iterations)
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Hubs-and-authorities: per superstep authority(v) = Σ hub(u) over in-
+    edges then L2-normalize, hub(u) = Σ authority(v) over out-edges then
+    L2-normalize. Returns (id, hub, authority).
+
+    Gelly: linkanalysis/HITS.java (same mutual-recurrence with score
+    normalization per iteration). The L2 norm is a scalar aggregate
+    broadcast back into the next projection — no driver-side data movement
+    beyond one double per superstep.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().persist()
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+    state0 = nodes.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        # The raw-score frames are consumed twice (norm scalar + projection):
+        # pin them so each superstep's joins run once, not per downstream use.
+        auth = (
+            e.join(state, e["u"] == state["id"])
+            .select(F.col("v").alias("id"), F.col("hub"))
+            .groupBy("id")
+            .agg(F.sum("hub").alias("a_raw"))
+            .localCheckpoint(eager=True)
+        )
+        a_norm = auth.agg(F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw")))).first()[0]
+        auth = auth.select("id", (F.col("a_raw") / F.lit(a_norm)).alias("authority"))
+        hub = (
+            e.join(auth, e["v"] == auth["id"])
+            .select(F.col("u").alias("id"), F.col("authority"))
+            .groupBy("id")
+            .agg(F.sum("authority").alias("h_raw"))
+            .localCheckpoint(eager=True)
+        )
+        h_norm = hub.agg(F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw")))).first()[0]
+        hub = hub.select("id", (F.col("h_raw") / F.lit(h_norm)).alias("hub"))
+        return (
+            nodes.join(hub, "id", "left")
+            .join(auth, "id", "left")
+            .select(
+                "id",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            )
+        )
+
+    out = iterate(state0, step, max_iterations=iterations)
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def _common_neighbors(und: DataFrame, max_neighbor_degree: int | None) -> DataFrame:
+    """(x, y, z) — pairs x<y sharing neighbor z, the wedge join both
+    similarity scores build on. Optionally drops hub apexes with degree >
+    ``max_neighbor_degree`` (fan-out is deg(z)²/2 per apex)."""
+    sym = _symmetrize(und)
+    if max_neighbor_degree is not None:
+        deg = sym.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") <= max_neighbor_degree).select("id")
+        sym = sym.join(keep, sym["u"] == keep["id"]).drop("id")
+    n1 = sym.select(F.col("u").alias("z"), F.col("v").alias("x"))
+    n2 = sym.select(F.col("u").alias("z"), F.col("v").alias("y"))
+    return n1.join(n2, "z").filter(F.col("x") < F.col("y"))
+
+
+def jaccard_index(und: DataFrame, max_neighbor_degree: int | None = None) -> DataFrame:
+    """(x, y, shared, jaccard) for all vertex pairs with ≥1 common neighbor;
+    jaccard = |N(x)∩N(y)| / |N(x)∪N(y)|.
+
+    Gelly: similarity/JaccardIndex.java. Wedge join on the shared-neighbor
+    key — never an all-pairs product; see module docstring for the hub cap.
+    """
+    deg = (
+        _symmetrize(und)
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    shared = (
+        _common_neighbors(und, max_neighbor_degree)
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(deg.select(F.col("id").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("id").alias("y"), F.col("d").alias("dy")), "y")
+        .select(
+            "x",
+            "y",
+            "shared",
+            (
+                F.col("shared") / (F.col("dx") + F.col("dy") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def adamic_adar(und: DataFrame, max_neighbor_degree: int | None = None) -> DataFrame:
+    """(x, y, score) with score = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg(z)) — common
+    neighbors weighted inversely by their (log) popularity.
+
+    Gelly: similarity/AdamicAdar.java. Same wedge-join shape as Jaccard; the
+    per-apex weight 1/ln(d(z)) is attached before the pair aggregation so
+    the score is a plain sum.
+    """
+    deg = (
+        _symmetrize(und)
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = _common_neighbors(und, max_neighbor_degree)
+    return (
+        wedges.join(deg.select(F.col("id").alias("z"), F.col("d")), "z")
+        .filter(F.col("d") > 1)
+        .select("x", "y", (F.lit(1.0) / F.log(F.col("d"))).alias("w"))
+        .groupBy("x", "y")
+        .agg(F.sum("w").alias("score"))
+    )

@@ -1,0 +1,303 @@
+"""Graph library queries (Gelly parity — SURVEY §2 Gelly row).
+
+Reference: flink-libraries/flink-gelly/.../graph/library/ — degrees
+(metric/), TriangleListing + clustering coefficients (clustering/
+undirected/), SingleSourceShortestPaths.java, LabelPropagation.java,
+linkanalysis/HITS.java, similarity/{JaccardIndex,AdamicAdar}.java.
+ConnectedComponents / PageRank are covered by ``dedup_clusters`` /
+``iter_pagerank``.
+
+The graph is derived deterministically from ``orders``: directed edges
+``src = o_custkey % 60 → dst = o_orderkey % 60`` (distinct, no self-loops),
+sparsified to ~20% density by the hash predicate ``(src*13 + dst*17) % 5 = 0``
+so degrees/communities are non-trivial at every scale factor, with integer
+weight ``(src*3 + dst*7) % 5 + 1``; the undirected graph is the canonicalized
+``(least, greatest)`` pair set. Iterative algorithms
+(SSSP / label propagation / HITS) run a fixed number of supersteps and the
+oracle unrolls the same supersteps as chained CTEs, so the comparison is
+exact (integer algorithms) or 6-decimal rounded on both engines (HITS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..graph.algorithms import (
+    adamic_adar,
+    clustering_coefficients,
+    hits,
+    jaccard_index,
+    label_propagation,
+    single_source_shortest_paths,
+    triangle_listing,
+    vertex_degrees,
+)
+from ..registry import query
+
+_MOD = 60
+
+# Shared SQL prologue: the deterministic graph.
+_G = f"""
+e AS (
+  SELECT DISTINCT o_custkey % {_MOD} AS src, o_orderkey % {_MOD} AS dst,
+         ((o_custkey % {_MOD}) * 3 + (o_orderkey % {_MOD}) * 7) % 5 + 1 AS weight
+  FROM orders WHERE o_custkey % {_MOD} <> o_orderkey % {_MOD}
+    AND ((o_custkey % {_MOD}) * 13 + (o_orderkey % {_MOD}) * 17) % 5 = 0),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+sym AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und),
+nodes AS (SELECT DISTINCT u AS id FROM sym)
+"""
+
+
+def _edges(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            (F.col("o_custkey") % _MOD).alias("src"),
+            (F.col("o_orderkey") % _MOD).alias("dst"),
+        )
+        .where(
+            (F.col("src") != F.col("dst"))
+            & ((F.col("src") * 13 + F.col("dst") * 17) % 5 == 0)
+        )
+        .distinct()
+        .withColumn("weight", (F.col("src") * 3 + F.col("dst") * 7) % 5 + 1)
+    )
+
+
+def _und(spark, sf_dir):
+    return (
+        _edges(spark, sf_dir)
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_degrees",
+    oracle=f"""
+WITH {_G},
+outd AS (SELECT src AS id, count(*) AS c FROM e GROUP BY src),
+ind  AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY dst),
+ids  AS (SELECT id FROM outd UNION SELECT id FROM ind)
+SELECT ids.id,
+       coalesce(outd.c, 0) AS out_degree,
+       coalesce(ind.c, 0) AS in_degree,
+       coalesce(outd.c, 0) + coalesce(ind.c, 0) AS degree
+FROM ids LEFT JOIN outd USING (id) LEFT JOIN ind USING (id)
+ORDER BY ids.id
+""",
+)
+def graph_degrees(spark, sf_dir):
+    """Directed in/out/total vertex degrees (Gelly metric/directed
+    VertexMetrics)."""
+    return vertex_degrees(_edges(spark, sf_dir)).orderBy("id")
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+WITH {_G}
+SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM und e1
+JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+ORDER BY a, b, c
+""",
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle listing via degree-ordered wedge enumeration
+    (TriangleEnumerator.java); each triangle exactly once, (a<b<c)."""
+    return triangle_listing(_und(spark, sf_dir)).orderBy("a", "b", "c")
+
+
+@query(
+    "graph_clustering",
+    oracle=f"""
+WITH {_G},
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+deg AS (SELECT u AS id, count(*) AS d FROM sym GROUP BY u),
+pv AS (
+  SELECT id, count(*) AS t FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY id),
+lcc AS (
+  SELECT deg.id, deg.d, coalesce(pv.t, 0) AS t,
+         CASE WHEN deg.d >= 2 THEN 2.0 * coalesce(pv.t, 0) / (deg.d * (deg.d - 1))
+              ELSE 0.0 END AS coeff
+  FROM deg LEFT JOIN pv USING (id))
+SELECT CAST(sum(t) / 3 AS BIGINT) AS triangle_count,
+       round(sum(t) / sum(d * (d - 1) / 2.0), 6) AS global_coefficient,
+       round(avg(coeff), 6) AS average_coefficient
+FROM lcc
+""",
+)
+def graph_clustering(spark, sf_dir):
+    """Global + average clustering coefficient and triangle count
+    (clustering/undirected/{Global,Average}ClusteringCoefficient.java)."""
+    return clustering_coefficients(_und(spark, sf_dir)).select(
+        "triangle_count",
+        F.round("global_coefficient", 6).alias("global_coefficient"),
+        F.round("average_coefficient", 6).alias("average_coefficient"),
+    )
+
+
+_SSSP_STEPS = 6
+_SSSP_SRC = 1
+
+_SSSP_STEP = """
+d{i} AS (
+  SELECT d.id, least(d.dist, m.nd) AS dist
+  FROM d{p} d LEFT JOIN (
+    SELECT e.dst AS id, min(d2.dist + e.weight) AS nd
+    FROM e JOIN d{p} d2 ON d2.id = e.src AND d2.dist IS NOT NULL
+    GROUP BY e.dst) m ON m.id = d.id)"""
+
+
+def _sssp_oracle() -> str:
+    steps = ",".join(_SSSP_STEP.format(i=i, p=i - 1) for i in range(1, _SSSP_STEPS + 1))
+    return f"""
+WITH {_G},
+d0 AS (SELECT id, CASE WHEN id = {_SSSP_SRC} THEN 0 END AS dist FROM nodes),
+{steps}
+SELECT id, dist AS distance FROM d{_SSSP_STEPS} WHERE dist IS NOT NULL ORDER BY id
+"""
+
+
+@query("graph_sssp", oracle=_sssp_oracle())
+def graph_sssp(spark, sf_dir):
+    """Single-source shortest paths, {n} Bellman–Ford supersteps from vertex
+    {s} (SingleSourceShortestPaths.java); integer weights so the comparison
+    is exact.""".format(n=_SSSP_STEPS, s=_SSSP_SRC)
+    out = single_source_shortest_paths(
+        _edges(spark, sf_dir), source_id=_SSSP_SRC, steps=_SSSP_STEPS
+    )
+    return out.orderBy("id")
+
+
+_LP_ITERS = 3
+
+_LP_STEP = """
+l{i} AS (
+  SELECT id, label FROM (
+    SELECT s.v AS id, l.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY s.v
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM sym s JOIN l{p} l ON l.id = s.u
+    GROUP BY s.v, l.label) t
+  WHERE rn = 1)"""
+
+
+def _lp_oracle() -> str:
+    steps = ",".join(_LP_STEP.format(i=i, p=i - 1) for i in range(1, _LP_ITERS + 1))
+    return f"""
+WITH {_G},
+l0 AS (SELECT id, id AS label FROM nodes),
+{steps}
+SELECT id, label FROM l{_LP_ITERS} ORDER BY id
+"""
+
+
+@query("graph_label_prop", oracle=_lp_oracle())
+def graph_label_prop(spark, sf_dir):
+    """Synchronous label propagation, 3 supersteps, min-label tie break
+    (LabelPropagation.java) — integer labels, engine-exact."""
+    return label_propagation(_und(spark, sf_dir), iterations=_LP_ITERS).orderBy("id")
+
+
+_HITS_ITERS = 3
+
+# MATERIALIZED: DuckDB inlines CTEs by default, so without it every norm
+# scalar subquery re-expands the whole upstream superstep chain
+# (exponential re-evaluation — observed 156 s vs <1 s materialized).
+_HITS_STEP = """
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(s{p}.hub) AS a_raw
+  FROM e JOIN s{p} ON s{p}.id = e.src GROUP BY e.dst),
+a{i} AS MATERIALIZED (
+  SELECT id, a_raw / (SELECT sqrt(sum(a_raw * a_raw)) FROM ar{i}) AS authority
+  FROM ar{i}),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS id, sum(a{i}.authority) AS h_raw
+  FROM e JOIN a{i} ON a{i}.id = e.dst GROUP BY e.src),
+h{i} AS MATERIALIZED (
+  SELECT id, h_raw / (SELECT sqrt(sum(h_raw * h_raw)) FROM hr{i}) AS hub
+  FROM hr{i}),
+s{i} AS MATERIALIZED (
+  SELECT n.id, coalesce(h{i}.hub, 0.0) AS hub,
+         coalesce(a{i}.authority, 0.0) AS authority
+  FROM nodes n LEFT JOIN h{i} ON h{i}.id = n.id
+  LEFT JOIN a{i} ON a{i}.id = n.id)"""
+
+
+def _hits_oracle() -> str:
+    steps = ",".join(_HITS_STEP.format(i=i, p=i - 1) for i in range(1, _HITS_ITERS + 1))
+    return f"""
+WITH {_G},
+s0 AS (SELECT id, 1.0 AS hub, 1.0 AS authority FROM nodes),
+{steps}
+SELECT id, round(hub, 6) AS hub, round(authority, 6) AS authority
+FROM s{_HITS_ITERS} ORDER BY id
+"""
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark, sf_dir):
+    """HITS hubs/authorities, 3 L2-normalized supersteps
+    (linkanalysis/HITS.java); 6-decimal rounding on both engines."""
+    out = hits(_edges(spark, sf_dir), iterations=_HITS_ITERS)
+    return out.select(
+        "id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    ).orderBy("id")
+
+
+@query(
+    "graph_jaccard",
+    oracle=f"""
+WITH {_G},
+deg AS (SELECT u AS id, count(*) AS d FROM sym GROUP BY u),
+shared AS (
+  SELECT n1.v AS x, n2.v AS y, count(*) AS shared
+  FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v
+  GROUP BY n1.v, n2.v)
+SELECT s.x, s.y, s.shared,
+       s.shared * 1.0 / (dx.d + dy.d - s.shared) AS jaccard
+FROM shared s JOIN deg dx ON dx.id = s.x JOIN deg dy ON dy.id = s.y
+ORDER BY s.x, s.y
+""",
+)
+def graph_jaccard(spark, sf_dir):
+    """Jaccard neighborhood similarity for pairs sharing ≥1 neighbor
+    (similarity/JaccardIndex.java) — wedge join, never all-pairs. Exact:
+    integer operands, one double division."""
+    return jaccard_index(_und(spark, sf_dir)).orderBy("x", "y")
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+WITH {_G},
+deg AS (SELECT u AS id, count(*) AS d FROM sym GROUP BY u),
+wedge AS (
+  SELECT n1.u AS z, n1.v AS x, n2.v AS y
+  FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v)
+SELECT w.x, w.y, round(sum(1.0 / ln(deg.d)), 6) AS score
+FROM wedge w JOIN deg ON deg.id = w.z
+WHERE deg.d > 1
+GROUP BY w.x, w.y
+ORDER BY w.x, w.y
+""",
+)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link-prediction score (similarity/AdamicAdar.java);
+    6-decimal rounding on both engines (ln + sum are float)."""
+    out = adamic_adar(_und(spark, sf_dir))
+    return out.select("x", "y", F.round("score", 6).alias("score")).orderBy("x", "y")

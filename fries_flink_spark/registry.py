@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
         cep_queries,
         changelog_queries,
         dedup_queries,
+        graph_queries,
         iterate_queries,
         joins,
         multimodal_queries,

@@ -1,0 +1,155 @@
+"""Graph library (Gelly parity) unit tests on hand-checkable graphs.
+
+Reference semantics: flink-libraries/flink-gelly/.../graph/library/
+{TriangleEnumerator,SingleSourceShortestPaths,LabelPropagation,HITS}.java,
+clustering/undirected/LocalClusteringCoefficient.java,
+similarity/{JaccardIndex,AdamicAdar}.java.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fries_flink_spark.graph import (
+    adamic_adar,
+    clustering_coefficients,
+    hits,
+    jaccard_index,
+    label_propagation,
+    local_clustering_coefficient,
+    single_source_shortest_paths,
+    triangle_listing,
+    vertex_degrees,
+)
+
+
+def _und(spark, pairs):
+    return spark.createDataFrame(pairs, "a int, b int")
+
+
+def _dir(spark, triples):
+    return spark.createDataFrame(triples, "src int, dst int, weight int")
+
+
+def test_vertex_degrees(spark):
+    e = _dir(spark, [(1, 2, 1), (1, 3, 1), (2, 3, 1), (4, 1, 1)])
+    rows = {r["id"]: r for r in vertex_degrees(e).collect()}
+    assert rows[1]["out_degree"] == 2 and rows[1]["in_degree"] == 1
+    assert rows[3]["out_degree"] == 0 and rows[3]["in_degree"] == 2
+    assert rows[4]["out_degree"] == 1 and rows[4]["in_degree"] == 0
+    assert all(r["degree"] == r["out_degree"] + r["in_degree"] for r in rows.values())
+
+
+def test_triangle_listing_exact(spark):
+    # K4 on {1,2,3,4} plus a pendant 5: C(4,3)=4 triangles, none through 5.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    tri = sorted(
+        tuple(r) for r in triangle_listing(_und(spark, k4 + [(4, 5)])).collect()
+    )
+    assert tri == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_local_clustering_coefficient(spark):
+    # Triangle 1-2-3 with pendant 4 on vertex 3.
+    lcc = {
+        r["id"]: r
+        for r in local_clustering_coefficient(
+            _und(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        ).collect()
+    }
+    assert lcc[1]["coefficient"] == 1.0  # deg 2, 1 triangle
+    assert lcc[3]["triangle_count"] == 1 and lcc[3]["degree"] == 3
+    assert lcc[3]["coefficient"] == pytest.approx(1 / 3)
+    assert lcc[4]["coefficient"] == 0.0
+
+
+def test_global_clustering(spark):
+    row = clustering_coefficients(
+        _und(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    ).first()
+    assert row["triangle_count"] == 1
+    # triplets: sum d(d-1)/2 = 1+1+3+0 = 5; global = 3*1/5
+    assert row["global_coefficient"] == pytest.approx(0.6)
+    assert row["average_coefficient"] == pytest.approx((1 + 1 + 1 / 3 + 0) / 4)
+
+
+def test_sssp_exact_distances(spark):
+    e = _dir(
+        spark,
+        [(1, 2, 1), (2, 3, 2), (1, 3, 10), (3, 4, 1), (5, 1, 1), (4, 5, 7)],
+    )
+    d = {r["id"]: r["distance"] for r in
+         single_source_shortest_paths(e, source_id=1, steps=5).collect()}
+    assert d == {1: 0, 2: 1, 3: 3, 4: 4, 5: 11}
+
+
+def test_sssp_step_bound_limits_hops(spark):
+    # A pure path 1→2→3→4: one superstep reaches only vertex 2.
+    e = _dir(spark, [(1, 2, 1), (2, 3, 1), (3, 4, 1)])
+    d = {r["id"]: r["distance"] for r in
+         single_source_shortest_paths(e, source_id=1, steps=1).collect()}
+    assert d == {1: 0, 2: 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    # Two triangles bridged by one edge: each clique converges to its min id.
+    left = [(1, 2), (2, 3), (1, 3)]
+    right = [(4, 5), (5, 6), (4, 6)]
+    labels = {
+        r["id"]: r["label"]
+        for r in label_propagation(
+            _und(spark, left + right + [(3, 4)]), iterations=4
+        ).collect()
+    }
+    assert labels[1] == labels[2] == 1
+    assert labels[5] == labels[6]
+
+
+def test_hits_star(spark):
+    # Star 1→{2,3,4}: 1 is the only hub, 2/3/4 equal authorities.
+    e = _dir(spark, [(1, 2, 1), (1, 3, 1), (1, 4, 1)])
+    rows = {r["id"]: r for r in hits(e, iterations=2).collect()}
+    assert rows[1]["hub"] == pytest.approx(1.0)
+    assert rows[1]["authority"] == 0.0
+    for v in (2, 3, 4):
+        assert rows[v]["authority"] == pytest.approx(1 / math.sqrt(3))
+        assert rows[v]["hub"] == 0.0
+
+
+def test_hits_l2_normalized(spark):
+    e = _dir(spark, [(1, 2, 1), (2, 3, 1), (3, 1, 1), (1, 3, 1)])
+    rows = hits(e, iterations=3).collect()
+    assert sum(r["hub"] ** 2 for r in rows) == pytest.approx(1.0)
+    assert sum(r["authority"] ** 2 for r in rows) == pytest.approx(1.0)
+
+
+def test_jaccard_index(spark):
+    # N(1)={2,3}, N(4)={2,3}: J(1,4) = 2/2 = 1; J(2,3) = |{1,4}∩{1,4}|/2 = 1.
+    j = {
+        (r["x"], r["y"]): r["jaccard"]
+        for r in jaccard_index(_und(spark, [(1, 2), (1, 3), (4, 2), (4, 3)])).collect()
+    }
+    assert j[(1, 4)] == pytest.approx(1.0)
+    assert j[(2, 3)] == pytest.approx(1.0)
+    assert len(j) == 2
+
+
+def test_adamic_adar(spark):
+    # 1 and 4 share neighbors {2,3}; deg(2)=deg(3)=2 → score = 2/ln(2).
+    s = {
+        (r["x"], r["y"]): r["score"]
+        for r in adamic_adar(_und(spark, [(1, 2), (1, 3), (4, 2), (4, 3)])).collect()
+    }
+    assert s[(1, 4)] == pytest.approx(2 / math.log(2))
+
+
+def test_hub_cap_drops_celebrity_wedges(spark):
+    # Vertex 9 connects to everyone; capping at degree 3 removes its wedges.
+    star = [(i, 9) for i in range(1, 6)] + [(1, 2)]
+    full = jaccard_index(_und(spark, star)).collect()
+    capped = jaccard_index(_und(spark, star), max_neighbor_degree=3).collect()
+    assert len(capped) < len(full)
+    # Wedges through low-degree vertices survive the cap.
+    assert any(r["x"] == 2 and r["y"] == 9 for r in capped)
