@@ -90,6 +90,80 @@ def _frac_hex_expr(rates: dict[str, float], default_rate: float, stratum_col: st
     return thr
 
 
+def mix_temperature(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    temperature: float = 0.5,
+    max_rate: float = 10.0,
+) -> DataFrame:
+    """Temperature-smoothed stratum rebalancing (XLM-R-style multinomial
+    mixing): every stratum is up-sampled toward the largest one with rate
+    ``min((n_max / n_s)^temperature, max_rate)``, so rare strata gain
+    representation without exactly flattening the distribution.
+
+    Unlike :func:`mix_weighted` the rates are **computed from the data**: one
+    tiny per-stratum count aggregate, its max broadcast back — no driver
+    collect, no configured dict. Replication then uses the same
+    content-hash Bernoulli machinery, with the hex threshold derived
+    *columnar* from the rate.
+
+    Determinism contract: with ``temperature=0.5`` the rate is
+    ``sqrt(n_max/n_s)`` — integer counts, one exact double division, and an
+    IEEE-754 correctly-rounded ``sqrt`` — bit-identical on every engine.
+    Other temperatures go through ``pow``, which is only ~1-ulp accurate and
+    may disagree across libm implementations in the last bit (threshold
+    flips need a row's hash to sit exactly on the moved boundary: ~2^-32).
+
+    ``max_rate`` bounds the replication fan-out: an adversarial 2-row
+    stratum next to a billion-row one would otherwise explode each row
+    ~sqrt(5e8)× — the cap keeps output ≤ ``max_rate × |stratum|`` and is
+    applied identically in the oracle.
+
+    Scale design: counts are a two-phase aggregate on the stratum key; the
+    rate join is a broadcast of |strata| rows; the replicate-filter is the
+    zero-exchange explode of mix_weighted. Total: one small shuffle + one
+    output-proportional scan.
+    """
+    if "rep" in df.columns:
+        raise ValueError(
+            "mix_temperature adds a 'rep' replica-index column; the input "
+            "already has one — rename it first"
+        )
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+
+    cnt = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmax = cnt.agg(F.max("__n").alias("__nmax"))
+    ratio = F.col("__nmax").cast("double") / F.col("__n")
+    powed = F.sqrt(ratio) if temperature == 0.5 else F.pow(ratio, F.lit(temperature))
+    rates = cnt.crossJoin(F.broadcast(nmax)).select(
+        stratum_col, F.least(powed, F.lit(float(max_rate))).alias("__rate")
+    )
+    out = df.join(F.broadcast(rates), stratum_col)
+
+    rate = F.col("__rate")
+    ceil_rate = F.greatest(F.ceil(rate), F.lit(1)).cast("int")
+    out = out.withColumn("rep", F.explode(F.sequence(F.lit(1), ceil_rate)))
+    frac = rate - F.floor(rate)
+    # Columnar analog of sampling.frac_to_hex: fraction -> 8-hex threshold.
+    # round() is HALF_UP for positive doubles on both engines; the cap at
+    # 2^32-1 avoids the 9-char "100000000" that would sort before any hex.
+    v = F.least(F.round(frac * F.lit(float(16**8))), F.lit(float(16**8 - 1))).cast(
+        "long"
+    )
+    thr = F.format_string("%08x", v)
+    keep = (F.col("rep") <= F.floor(rate)) | (
+        F.substring(
+            F.md5(F.concat_ws("#", F.col(key_col).cast("string"), F.col("rep"))),
+            1,
+            8,
+        )
+        < thr
+    )
+    return out.filter(keep).drop("__rate")
+
+
 def mixture_stats(mixed: DataFrame, stratum_col: str) -> DataFrame:
     """Achieved mixture: rows and share per stratum.
 

@@ -449,3 +449,41 @@ def q_pipeline_validate(spark, sf_dir):
         "user_positive": F.col("user_id") > 0,
     }
     return summarize(ev, rules).orderBy("rule")
+
+
+@query(
+    "mix_temperature",
+    oracle="""
+    WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    mx AS (SELECT max(n) AS nmax FROM cnt),
+    rated AS (
+      SELECT c.lang, least(sqrt(CAST(mx.nmax AS DOUBLE) / c.n), 10.0) AS rate
+      FROM cnt c, mx),
+    docs AS (
+      SELECT d.doc_id, d.lang, r.rate
+      FROM documents d JOIN rated r USING (lang)),
+    reps AS (
+      SELECT doc_id, lang, rate,
+             unnest(generate_series(1, CAST(greatest(ceil(rate), 1) AS BIGINT))) AS rep
+      FROM docs)
+    SELECT doc_id, lang, CAST(rep AS BIGINT) AS rep
+    FROM reps
+    WHERE rep <= CAST(floor(rate) AS BIGINT)
+       OR substr(md5(concat(CAST(doc_id AS VARCHAR), '#', CAST(rep AS VARCHAR))), 1, 8)
+          < printf('%08x', CAST(least(round((rate - floor(rate)) * 4294967296.0),
+                                      4294967295.0) AS BIGINT))
+    ORDER BY doc_id, rep
+    """,
+)
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-smoothed language rebalancing (pipeline/mixing.
+    mix_temperature, T=0.5): rates sqrt(n_max/n_lang) computed from the data
+    (no configured dict), content-hash Bernoulli replication with a columnar
+    hex threshold. Engine-exact at T=0.5 (IEEE sqrt)."""
+    from ..pipeline.mixing import mix_temperature
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mix_temperature(docs, "doc_id", "lang", temperature=0.5, max_rate=10.0)
+    return out.select("doc_id", "lang", F.col("rep").cast("long").alias("rep")).orderBy(
+        "doc_id", "rep"
+    )

@@ -430,3 +430,33 @@ def text_boilerplate_strip(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return strip_boilerplate(docs, "text", "doc_id", min_docs=3, words_per_line=10)
+
+
+@query(
+    "text_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, 24)) AS s
+      FROM t),
+    c AS (SELECT doc_id, toks, s, CAST(s // 24 AS INTEGER) AS chunk_id FROM s)
+    SELECT doc_id, chunk_id,
+           len(list_slice(toks, s + 1, s + 32)) AS n_tokens,
+           array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunks(spark, sf_dir):
+    """Overlapping-window document chunking (text/chunking.chunk_documents,
+    size=32, stride=24 → 8-token overlap): zero-shuffle posexplode projection,
+    the RAG / pretraining-window corpus prep step."""
+    from ..text.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", size=32, stride=24).orderBy(
+        "doc_id", "chunk_id"
+    )

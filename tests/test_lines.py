@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from fries_flink_spark.text.lines import (
     boilerplate_lines,
     chunk_lines,
@@ -78,3 +80,58 @@ def test_chunk_lines_covers_all_words(spark):
     assert len(got) == 3
     assert got[2] == "20 21 22"  # trailing short chunk, no padding
     assert " ".join(got) == docs.collect()[0].text
+
+
+class TestChunking:
+    def _chunks(self, spark, text, size, stride):
+        from fries_flink_spark.text.chunking import chunk_documents
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return sorted(
+            (r["chunk_id"], r["n_tokens"], r["chunk_text"])
+            for r in chunk_documents(df, "doc_id", "text", size, stride).collect()
+        )
+
+    def test_overlap_windows(self, spark):
+        text = " ".join(str(i) for i in range(10))
+        # size 4 stride 3: starts 0,3,6,9
+        assert self._chunks(spark, text, 4, 3) == [
+            (0, 4, "0 1 2 3"),
+            (1, 4, "3 4 5 6"),
+            (2, 4, "6 7 8 9"),
+            (3, 1, "9"),
+        ]
+
+    def test_non_overlapping_default_stride(self, spark):
+        from fries_flink_spark.text.chunking import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, " ".join(str(i) for i in range(7)))], "doc_id long, text string"
+        )
+        rows = chunk_documents(df, "doc_id", "text", size=3).collect()
+        assert [r["n_tokens"] for r in sorted(rows, key=lambda r: r["chunk_id"])] == [
+            3, 3, 1,
+        ]
+        # every token appears exactly once across non-overlapping chunks
+        joined = " ".join(
+            r["chunk_text"] for r in sorted(rows, key=lambda r: r["chunk_id"])
+        )
+        assert joined == " ".join(str(i) for i in range(7))
+
+    def test_empty_and_whitespace_docs_produce_no_chunks(self, spark):
+        from fries_flink_spark.text.chunking import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "one")], "doc_id long, text string"
+        )
+        rows = chunk_documents(df, "doc_id", "text", size=5, stride=5).collect()
+        assert [(r["doc_id"], r["chunk_text"]) for r in rows] == [(3, "one")]
+
+    def test_rejects_bad_params(self, spark):
+        from fries_flink_spark.text.chunking import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", "text", size=0)
+        with pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", "text", size=4, stride=0)

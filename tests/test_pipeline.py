@@ -237,3 +237,52 @@ def test_validate_annotate_and_uniqueness(spark):
     assert s == {"v_nonneg": (4, 1), "tag_set": (4, 1)}
     u = uniqueness_violations(df, ["id"]).collect()
     assert [(r.id, r.n) for r in u] == [(2, 2)]
+
+
+class TestMixTemperature:
+    def _df(self, spark):
+        rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_majority_stratum_unchanged(self, spark):
+        from fries_flink_spark.pipeline.mixing import mix_temperature
+
+        out = mix_temperature(self._df(spark), "doc_id", "lang", temperature=0.5)
+        big = out.filter(F.col("lang") == "big")
+        assert big.count() == 90  # rate 1.0: every row exactly once
+        assert big.select(F.max("rep")).first()[0] == 1
+
+    def test_minority_upsampled_to_sqrt_rate(self, spark):
+        from fries_flink_spark.pipeline.mixing import mix_temperature
+
+        out = mix_temperature(self._df(spark), "doc_id", "lang", temperature=0.5)
+        small = out.filter(F.col("lang") == "small").count()
+        # rate = sqrt(90/10) = 3.0 exactly -> every row exactly 3 times
+        assert small == 30
+
+    def test_max_rate_caps_fanout(self, spark):
+        from fries_flink_spark.pipeline.mixing import mix_temperature
+
+        rows = [(i, "big" if i < 99 else "tiny") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = mix_temperature(df, "doc_id", "lang", temperature=1.0, max_rate=4.0)
+        # uncapped rate would be 99; cap 4.0 -> exactly 4 replicas
+        assert out.filter(F.col("lang") == "tiny").count() == 4
+
+    def test_deterministic_across_runs(self, spark):
+        from fries_flink_spark.pipeline.mixing import mix_temperature
+
+        rows = [(i, "a" if i % 3 else "b") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        a = sorted(map(tuple, mix_temperature(df, "doc_id", "lang").collect()))
+        b = sorted(
+            map(tuple, mix_temperature(df.repartition(7), "doc_id", "lang").collect())
+        )
+        assert a == b
+
+    def test_rejects_existing_rep_column(self, spark):
+        from fries_flink_spark.pipeline.mixing import mix_temperature
+
+        df = self._df(spark).withColumn("rep", F.lit(1))
+        with pytest.raises(ValueError, match="rep"):
+            mix_temperature(df, "doc_id", "lang")
