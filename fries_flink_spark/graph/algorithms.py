@@ -342,6 +342,33 @@ def hits(
     return out
 
 
+def summarize_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Collapse a vertex-labeled directed graph into its label-level
+    multigraph: one row per (src_label, dst_label) with the member edge
+    count plus the distinct vertex count on each side.
+
+    Gelly: library/Summarization.java (vertices grouped by value, edges
+    between groups with counts). Two broadcast-or-shuffle joins on the
+    vertex id (labels is |V|-sized — co-partitioned joins at scale) and one
+    two-phase count aggregation on the label pair.
+    """
+    lsrc = labels.select(F.col("id").alias("__s"), F.col("label").alias("src_label"))
+    ldst = labels.select(F.col("id").alias("__d"), F.col("label").alias("dst_label"))
+    e = edges.join(lsrc, edges[src] == lsrc["__s"]).join(
+        ldst, edges[dst] == ldst["__d"]
+    )
+    return e.groupBy("src_label", "dst_label").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct(src).alias("n_src_vertices"),
+        F.countDistinct(dst).alias("n_dst_vertices"),
+    )
+
+
 def _common_neighbors(und: DataFrame, max_neighbor_degree: int | None) -> DataFrame:
     """(x, y, z) — pairs x<y sharing neighbor z, the wedge join both
     similarity scores build on. Optionally drops hub apexes with degree >

@@ -301,3 +301,33 @@ def graph_adamic_adar(spark, sf_dir):
     6-decimal rounding on both engines (ln + sum are float)."""
     out = adamic_adar(_und(spark, sf_dir))
     return out.select("x", "y", F.round("score", 6).alias("score")).orderBy("x", "y")
+
+
+def _summarize_oracle() -> str:
+    steps = ",".join(_LP_STEP.format(i=i, p=i - 1) for i in range(1, _LP_ITERS + 1))
+    return f"""
+WITH {_G},
+l0 AS (SELECT id, id AS label FROM nodes),
+{steps}
+SELECT ls.label AS src_label, ld.label AS dst_label,
+       count(*) AS n_edges,
+       count(DISTINCT e.src) AS n_src_vertices,
+       count(DISTINCT e.dst) AS n_dst_vertices
+FROM e
+JOIN l{_LP_ITERS} ls ON ls.id = e.src
+JOIN l{_LP_ITERS} ld ON ld.id = e.dst
+GROUP BY ls.label, ld.label
+ORDER BY src_label, dst_label
+"""
+
+
+@query("graph_summarize", oracle=_summarize_oracle())
+def graph_summarize(spark, sf_dir):
+    """Graph summarization (Summarization.java): collapse the directed graph
+    into its community-level multigraph, communities from 3-superstep label
+    propagation — integer-exact end to end."""
+    from ..graph.algorithms import summarize_graph
+
+    edges = _edges(spark, sf_dir)
+    labels = label_propagation(_und(spark, sf_dir), iterations=_LP_ITERS)
+    return summarize_graph(edges, labels).orderBy("src_label", "dst_label")

@@ -153,3 +153,20 @@ def test_hub_cap_drops_celebrity_wedges(spark):
     assert len(capped) < len(full)
     # Wedges through low-degree vertices survive the cap.
     assert any(r["x"] == 2 and r["y"] == 9 for r in capped)
+
+
+def test_summarize_graph(spark):
+    from fries_flink_spark.graph.algorithms import summarize_graph
+
+    e = _dir(spark, [(1, 2, 1), (2, 1, 1), (1, 3, 1), (4, 3, 1), (4, 5, 1)])
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 40)], "id int, label int"
+    )
+    rows = {
+        (r["src_label"], r["dst_label"]): r
+        for r in summarize_graph(e, labels).collect()
+    }
+    assert rows[(10, 10)]["n_edges"] == 3
+    assert rows[(10, 10)]["n_src_vertices"] == 2  # 1 and 2
+    assert rows[(40, 10)]["n_edges"] == 1  # 4 -> 3 crosses communities
+    assert rows[(40, 40)]["n_edges"] == 1
