@@ -133,11 +133,16 @@ def mix_temperature(
     if temperature < 0:
         raise ValueError(f"temperature must be >= 0, got {temperature}")
 
+    from pyspark.sql import Window
+
     cnt = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
-    nmax = cnt.agg(F.max("__n").alias("__nmax"))
-    ratio = F.col("__nmax").cast("double") / F.col("__n")
+    # max-over-all as a window on the |strata|-sized counts frame: keeps the
+    # count aggregate a single plan subtree (a separate .agg(max) branch
+    # makes Catalyst re-scan + re-aggregate the input once per branch).
+    nmax = F.max("__n").over(Window.partitionBy())
+    ratio = nmax.cast("double") / F.col("__n")
     powed = F.sqrt(ratio) if temperature == 0.5 else F.pow(ratio, F.lit(temperature))
-    rates = cnt.crossJoin(F.broadcast(nmax)).select(
+    rates = cnt.select(
         stratum_col, F.least(powed, F.lit(float(max_rate))).alias("__rate")
     )
     out = df.join(F.broadcast(rates), stratum_col)

@@ -170,3 +170,46 @@ def test_pq_encode_zero_exchange(spark, registry):
     emb = load_table(spark, SF, "embeddings")
     books = np.zeros((8, 16, 8))
     assert exchange_count(pq_encode(emb, "embedding", "vec_id", books)) == 0
+
+
+def test_graph_triangles_no_cartesian(spark, registry):
+    """Degree-ordered triangle listing: every join is keyed (wedge apex /
+    closing edge) — a cartesian product would be the O(n^3) naive plan."""
+    df = registry["graph_triangles"](spark, SF)
+    js = join_strategies(df)
+    assert "CartesianProduct" not in js, js
+    assert "BroadcastNestedLoopJoin" not in js, js
+
+
+def test_graph_degrees_partial_aggregation(spark, registry):
+    """Degree counts must map-side combine: per-vertex messages collapse
+    before the shuffle, the difference between |E| and |V| exchange volume."""
+    df = registry["graph_degrees"](spark, SF)
+    assert has_partial_aggregation(df)
+
+
+def test_graph_jaccard_no_cartesian(spark, registry):
+    """Similarity is a wedge join on the shared-neighbor key, never the
+    all-pairs product."""
+    df = registry["graph_jaccard"](spark, SF)
+    js = join_strategies(df)
+    assert "CartesianProduct" not in js, js
+
+
+def test_text_chunks_zero_exchange(spark, registry):
+    """Chunking is a pure per-row projection + posexplode: the only exchange
+    allowed is the presentation order-by's range exchange."""
+    df = registry["text_chunks"](spark, SF)
+    assert exchange_count(df) <= 1
+
+
+def test_mix_temperature_single_count_shuffle(spark, registry):
+    """Temperature mixing adds exactly one small aggregation shuffle (the
+    stratum counts); rate join is broadcast; replication is exchange-free."""
+    df = registry["mix_temperature"](spark, SF)
+    js = join_strategies(df)
+    assert js.get("BroadcastHashJoin", 0) >= 1, js
+    assert "CartesianProduct" not in js, js
+    # exchanges: stratum-count agg (map-side combined) + two |strata|-sized
+    # ones (window max, broadcast prep) + presentation sort
+    assert exchange_count(df) <= 4, exchange_count(df)
