@@ -47,6 +47,8 @@ from pyspark.sql import DataFrame
 NO_SKIP = "no_skip"
 SKIP_TO_NEXT = "skip_to_next"
 SKIP_PAST_LAST_EVENT = "skip_past_last_event"
+SKIP_TO_FIRST = "skip_to_first"  # + skip_var: resume AT first event of var
+SKIP_TO_LAST = "skip_to_last"  # + skip_var: resume AT last event of var
 
 
 @dataclass
@@ -496,6 +498,7 @@ def match_pattern(
     skip_strategy: str = NO_SKIP,
     emit: str = "first",
     rows_per_match: str = "one",
+    skip_var: str | None = None,
 ) -> DataFrame:
     """CEP.pattern(stream.keyBy(...), pattern).select(...) analog.
 
@@ -505,7 +508,12 @@ def match_pattern(
     ``skip_strategy``: NO_SKIP (default; attempts start at every accepting
     event), SKIP_TO_NEXT (at most one match per start event — identical to
     NO_SKIP under emit='first'), SKIP_PAST_LAST_EVENT (after a match, the next
-    attempt starts after its last consumed event).
+    attempt starts after its last consumed event), SKIP_TO_FIRST /
+    SKIP_TO_LAST (next attempt resumes AT the first/last event mapped to
+    ``skip_var`` — reference AfterMatchSkipStrategy.skipToFirst/skipToLast,
+    flink-cep .../nfa/aftermatch/AfterMatchSkipStrategy.java). As in the
+    reference, a skip target that does not advance past the match's start
+    raises (the infinite-loop guard of SkipToFirstStrategy).
     ``emit``: 'first' (one match per start, Flink's head-branch) or 'all'
     (every branch per start — meaningful with followed_by_any).
     ``rows_per_match``: 'one' (default — one output row per match) or 'all'
@@ -517,6 +525,13 @@ def match_pattern(
     pattern._validate()
     if rows_per_match not in ("one", "all"):
         raise ValueError(f"rows_per_match must be 'one' or 'all', got {rows_per_match!r}")
+    if skip_strategy in (SKIP_TO_FIRST, SKIP_TO_LAST):
+        stage_names = {st.name for st in pattern.stages}
+        if skip_var not in stage_names:
+            raise ValueError(
+                f"skip_strategy {skip_strategy!r} needs skip_var naming a "
+                f"pattern variable (got {skip_var!r}, have {sorted(stage_names)})"
+            )
     tiebreak = order_tiebreak or []
     out_cols = [c.strip().split()[0] for c in output_schema.split(",")]
 
@@ -549,14 +564,31 @@ def match_pattern(
                 }
                 out.append(select(key, running, row_at(i), nm))
 
-        barrier = 0  # skip_past_last_event frontier
+        barrier = 0  # next-match frontier for the skip-* strategies
+        barriered = (SKIP_PAST_LAST_EVENT, SKIP_TO_FIRST, SKIP_TO_LAST)
         for start in accept_idx[0] if accept_idx else []:
-            if skip_strategy == SKIP_PAST_LAST_EVENT and start < barrier:
+            if skip_strategy in barriered and start < barrier:
                 continue
             for m in _solutions(ts, masks, accept_idx, start, pattern, ctxs):
                 emit_match(m)
                 if skip_strategy == SKIP_PAST_LAST_EVENT:
                     barrier = max(barrier, _last_consumed(m) + 1)
+                elif skip_strategy in (SKIP_TO_FIRST, SKIP_TO_LAST):
+                    idxs = m.get(skip_var) or []
+                    if not idxs:
+                        # reference default throwExceptionOnMiss=false: the
+                        # un-mapped variable simply does not move the frontier
+                        barrier = max(barrier, start + 1)
+                    else:
+                        tgt = idxs[0] if skip_strategy == SKIP_TO_FIRST else idxs[-1]
+                        if tgt <= start:
+                            raise ValueError(
+                                f"AFTER MATCH SKIP TO {skip_var} does not "
+                                "advance past the match start — would loop "
+                                "forever (reference: SkipToFirstStrategy "
+                                "FlinkRuntimeException)"
+                            )
+                        barrier = max(barrier, tgt)
                 if emit == "first" or skip_strategy == SKIP_TO_NEXT:
                     break
 

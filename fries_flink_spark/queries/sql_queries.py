@@ -553,3 +553,40 @@ def sql_session_dynamic(spark, sf_dir):
         ORDER BY user_id, session_start
         """,
     )
+
+
+@query(
+    "sql_mr_skip_to_last",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b_id
+      FROM events)
+    SELECT user_id, event_id AS a_id, b_id
+    FROM w WHERE b_id IS NOT NULL
+    ORDER BY user_id, a_id
+    """,
+)
+def sql_mr_skip_to_last(spark, sf_dir):
+    """AFTER MATCH SKIP TO <var> (bare = LAST, SQL:2016; reference
+    SkipToLastStrategy.java): resuming AT the previous match's B yields every
+    consecutive (A,B) pair — overlapping matches the SKIP PAST LAST ROW
+    default would drop. Oracle: the lead() rendition of all adjacent pairs."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id, a_id, b_id
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS a_id, B.event_id AS b_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO B
+          PATTERN (A B)
+          DEFINE A AS A.event_id >= 0,
+                 B AS B.event_id >= 0
+        )
+        ORDER BY user_id, a_id
+        """,
+    )

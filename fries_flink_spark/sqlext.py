@@ -58,6 +58,8 @@ from pyspark.sql import functions as F
 from .operators.cep import (
     NO_SKIP,
     SKIP_PAST_LAST_EVENT,
+    SKIP_TO_FIRST,
+    SKIP_TO_LAST,
     SKIP_TO_NEXT,
     Pattern,
     match_pattern,
@@ -740,14 +742,24 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         pat = pat.within(timedelta(seconds=_interval_seconds(within_m.group(1))))
 
     skip = SKIP_PAST_LAST_EVENT  # the SQL-standard default
+    skip_var = None
     if after:
-        a = re.sub(r"\s+", " ", after.upper())
+        a = re.sub(r"\s+", " ", after.upper()).strip()
+        var_m = re.fullmatch(r"SKIP TO (?:(FIRST|LAST) )?(\w+)", a)
         if "SKIP TO NEXT ROW" in a:
             skip = SKIP_TO_NEXT
         elif "SKIP PAST LAST ROW" in a:
             skip = SKIP_PAST_LAST_EVENT
         elif "NO SKIP" in a:
             skip = NO_SKIP
+        elif var_m:
+            # SKIP TO [FIRST|LAST] var; bare var means LAST (SQL:2016 /
+            # reference parserImpls.ftl MATCH_RECOGNIZE grammar)
+            skip = SKIP_TO_FIRST if var_m.group(1) == "FIRST" else SKIP_TO_LAST
+            skip_var = next(
+                (st.name for st in pat.stages if st.name.upper() == var_m.group(2)),
+                var_m.group(2),
+            )
         else:
             raise NotImplementedError(f"AFTER MATCH strategy {after!r}")
 
@@ -846,6 +858,7 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         order_tiebreak=order_cols[1:],
         skip_strategy=skip,
         rows_per_match=rows_mode,
+        skip_var=skip_var,
     )
     view = _fresh_view("mr")
     out.createOrReplaceTempView(view)

@@ -170,3 +170,67 @@ def test_followed_by_any_emit_all(spark):
         emit="all",
     )
     assert sorted(tuple(r) for r in out.collect()) == [(1, 0, 1), (1, 0, 2)]
+
+
+class TestSkipToVariable:
+    """AFTER MATCH SKIP TO [FIRST|LAST] var (reference:
+    flink-cep .../nfa/aftermatch/{SkipToFirst,SkipToLast}Strategy.java)."""
+
+    def _df(self, spark, n=6):
+        # one key, n any-type events: PATTERN (A B C) matches at every start
+        return _events(spark, [(i, 1, "e") for i in range(n)])
+
+    def _pat(self):
+        return (
+            Pattern.begin("A").where_mask(lambda d: d["event_type"] == "e")
+            .next("B").where_mask(lambda d: d["event_type"] == "e")
+            .next("C").where_mask(lambda d: d["event_type"] == "e")
+        )
+
+    def _starts(self, spark, **kw):
+        from fries_flink_spark.operators.cep import match_pattern
+
+        out = match_pattern(
+            self._df(spark),
+            self._pat(),
+            key_cols=["user_id"],
+            time_col="ts",
+            select=lambda key, m: {"a_id": m["A"][0]["event_id"]},
+            output_schema="a_id long",
+            order_tiebreak=["event_id"],
+            **kw,
+        )
+        return sorted(r["a_id"] for r in out.collect())
+
+    def test_skip_to_first_var_resumes_at_var(self, spark):
+        from fries_flink_spark.operators.cep import SKIP_TO_FIRST
+
+        # (0,1,2) -> resume at C=2 -> (2,3,4) -> resume at 4: (4,5,-) fails
+        assert self._starts(
+            spark, skip_strategy=SKIP_TO_FIRST, skip_var="C"
+        ) == [0, 2]
+
+    def test_skip_to_last_var_resumes_at_var(self, spark):
+        from fries_flink_spark.operators.cep import SKIP_TO_LAST
+
+        # barrier = B of previous match: starts 0,1,2,3 (overlapping allowed)
+        assert self._starts(
+            spark, skip_strategy=SKIP_TO_LAST, skip_var="B"
+        ) == [0, 1, 2, 3]
+
+    def test_differs_from_skip_past_last(self, spark):
+        from fries_flink_spark.operators.cep import SKIP_PAST_LAST_EVENT
+
+        assert self._starts(spark, skip_strategy=SKIP_PAST_LAST_EVENT) == [0, 3]
+
+    def test_skip_to_first_of_start_raises(self, spark):
+        from fries_flink_spark.operators.cep import SKIP_TO_FIRST
+
+        with pytest.raises(Exception, match="advance|loop"):
+            self._starts(spark, skip_strategy=SKIP_TO_FIRST, skip_var="A")
+
+    def test_unknown_skip_var_rejected(self, spark):
+        from fries_flink_spark.operators.cep import SKIP_TO_LAST
+
+        with pytest.raises(ValueError, match="skip_var"):
+            self._starts(spark, skip_strategy=SKIP_TO_LAST, skip_var="Z")

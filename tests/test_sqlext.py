@@ -305,3 +305,35 @@ def test_all_rows_per_match_running_measures(spark):
         (9.0, "S", 0),
         (7.0, "D", 1),
     ]
+
+
+def test_mr_skip_to_first_var(spark):
+    """AFTER MATCH SKIP TO FIRST C resumes at the matched C event —
+    overlapping triples (0,1,2),(2,3,4),... (SkipToFirstStrategy.java)."""
+    from datetime import datetime, timedelta
+
+    rows = [
+        (i, datetime(2024, 1, 1) + timedelta(minutes=i), 1, "e")
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).createOrReplaceTempView("sk_events")
+    got = fsql(
+        spark,
+        """
+        SELECT user_id, a_id
+        FROM sk_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS a_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO FIRST C
+          PATTERN (A B C)
+          DEFINE A AS A.event_id >= 0,
+                 B AS B.event_id >= 0,
+                 C AS C.event_id >= 0
+        )
+        """,
+    )
+    assert sorted(r["a_id"] for r in got.collect()) == [0, 2]
