@@ -14,11 +14,13 @@ the iteration discipline (frontier delta iterations, lineage truncation) from
 from .algorithms import (
     adamic_adar,
     clustering_coefficients,
+    community_detection,
     hits,
     jaccard_index,
     label_propagation,
     local_clustering_coefficient,
     single_source_shortest_paths,
+    triadic_census,
     triangle_listing,
     vertex_degrees,
 )
@@ -26,11 +28,13 @@ from .algorithms import (
 __all__ = [
     "adamic_adar",
     "clustering_coefficients",
+    "community_detection",
     "hits",
     "jaccard_index",
     "label_propagation",
     "local_clustering_coefficient",
     "single_source_shortest_paths",
+    "triadic_census",
     "triangle_listing",
     "vertex_degrees",
 ]

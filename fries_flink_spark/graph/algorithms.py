@@ -56,11 +56,13 @@ from ..operators.iterate import iterate
 __all__ = [
     "adamic_adar",
     "clustering_coefficients",
+    "community_detection",
     "hits",
     "jaccard_index",
     "label_propagation",
     "local_clustering_coefficient",
     "single_source_shortest_paths",
+    "triadic_census",
     "triangle_listing",
     "vertex_degrees",
 ]
@@ -201,6 +203,132 @@ def clustering_coefficients(und: DataFrame) -> DataFrame:
         ).alias("global_coefficient"),
         F.avg("coefficient").alias("average_coefficient"),
     )
+
+
+def triadic_census(und: DataFrame) -> DataFrame:
+    """One-row census of all C(n,3) vertex triples of an undirected graph by
+    edge count: ``t0`` (empty), ``t1`` (one edge), ``t2`` (open wedge),
+    ``t3`` (closed triangle).
+
+    Gelly: clustering/undirected/TriadicCensus.java — same four counts,
+    derived there from VertexMetrics + GlobalClusteringCoefficient rather
+    than triple enumeration. This uses the identical closed-form derivation:
+
+        t3 = triangles
+        t2 = wedges − 3·t3            (wedges = Σ_v C(d_v, 2))
+        t1 = m·(n−2) − 2·wedges + 3·t3
+        t0 = C(n,3) − t1 − t2 − t3
+
+    so the cost is one degree aggregation plus the O(m^{3/2}) triangle count
+    — never a scan of the O(n³) triples. All quantities are exact bigints.
+    """
+    deg = (
+        _symmetrize(und)
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Per-term casts keep everything in bigint arithmetic (d·(d−1) is always
+    # even, Σd is always even) — no double rounding at any degree.
+    sums = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("d") / 2).cast("long").alias("m"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("wedges"),
+    )
+    tri = triangle_listing(und).agg(F.count(F.lit(1)).alias("t3"))
+    return sums.crossJoin(tri).select(
+        (
+            F.col("n") * (F.col("n") - 1) * (F.col("n") - 2) / 6
+            - (F.col("m") * (F.col("n") - 2) - 2 * F.col("wedges") + 3 * F.col("t3"))
+            - (F.col("wedges") - 3 * F.col("t3"))
+            - F.col("t3")
+        ).cast("long").alias("t0"),
+        (F.col("m") * (F.col("n") - 2) - 2 * F.col("wedges") + 3 * F.col("t3"))
+        .cast("long")
+        .alias("t1"),
+        (F.col("wedges") - 3 * F.col("t3")).cast("long").alias("t2"),
+        F.col("t3").cast("long").alias("t3"),
+    )
+
+
+def community_detection(
+    edges: DataFrame,
+    iterations: int,
+    delta: float = 0.5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Score-attenuated label propagation (Leung et al. hop attenuation), the
+    weighted community-detection variant of :func:`label_propagation`.
+    Returns (id, label, score).
+
+    Gelly: library/CommunityDetection.java:94-173 — vertices start with
+    their own id as label and score 1.0; messages carry ``(label,
+    score·edge_weight)`` (LabelMessenger:98); the receiver adopts the label
+    with the highest weighted-score SUM, its new score is the highest single
+    weighted score received for that label (labelsWithHighestScore:139), and
+    hop attenuation ``delta / superstep`` applies only when the label
+    actually changes (VertexLabelUpdater:166-168). Equal-sum ties go to the
+    smallest label — the reference iterates a TreeMap with a strict ``>``
+    (line 150-158), so this is exact parity, not a divergence.
+
+    Superstep cost: one shuffle of (neighbor, label, weighted score)
+    messages keyed on the receiving vertex + a two-phase (id, label)
+    aggregation; winner + rescore are per-vertex WindowGroupLimit and one
+    |V|-sized join against the previous labels. Same scale shape as
+    label_propagation — holds at billions of edges.
+
+    Engine-exactness note: with integer weights and dyadic ``delta``, every
+    score stays an exact double through superstep 2; superstep 3 introduces
+    ``delta/3`` (non-dyadic), after which weighted-score sums become
+    order-sensitive in the last ulp — strict cross-engine comparison is
+    guaranteed only for ``iterations ≤ 2`` (the oracled query's setting).
+    """
+    symw = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("v"), F.col(weight).alias("w")
+            )
+        )
+        .distinct()
+    )
+    state0 = (
+        symw.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"), F.lit(1.0).alias("score"))
+    )
+    w_win = Window.partitionBy("id").orderBy(F.col("tot").desc(), F.col("label").asc())
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        prev = state.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
+        cand = (
+            symw.join(state, symw["u"] == state["id"])
+            .select(
+                F.col("v").alias("id"),
+                "label",
+                (F.col("score") * F.col("w")).alias("ws"),
+            )
+            .groupBy("id", "label")
+            .agg(F.sum("ws").alias("tot"), F.max("ws").alias("mx"))
+        )
+        win = cand.withColumn("rn", F.row_number().over(w_win)).filter(
+            F.col("rn") == 1
+        )
+        return win.join(prev, win["id"] == prev["pid"]).select(
+            "id",
+            "label",
+            F.when(
+                F.col("label") != F.col("plabel"),
+                F.col("mx") - F.lit(delta) / F.lit(float(i + 1)),
+            )
+            .otherwise(F.col("mx"))
+            .alias("score"),
+        )
+
+    return iterate(state0, step, max_iterations=iterations)
 
 
 def single_source_shortest_paths(

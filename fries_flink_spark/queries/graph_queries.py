@@ -331,3 +331,73 @@ def graph_summarize(spark, sf_dir):
     edges = _edges(spark, sf_dir)
     labels = label_propagation(_und(spark, sf_dir), iterations=_LP_ITERS)
     return summarize_graph(edges, labels).orderBy("src_label", "dst_label")
+
+
+@query(
+    "graph_triadic_census",
+    oracle=f"""
+WITH {_G},
+deg AS (SELECT u AS id, count(*) AS d FROM sym GROUP BY u),
+s AS (SELECT count(*) AS n, CAST(sum(d) / 2 AS BIGINT) AS m,
+             sum(CAST(d * (d - 1) / 2 AS BIGINT)) AS wedges
+      FROM deg),
+tri AS (SELECT count(*) AS t3 FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT CAST(n * (n-1) * (n-2) / 6
+            - (m * (n-2) - 2 * wedges + 3 * t3)
+            - (wedges - 3 * t3) - t3 AS BIGINT) AS t0,
+       CAST(m * (n-2) - 2 * wedges + 3 * t3 AS BIGINT) AS t1,
+       CAST(wedges - 3 * t3 AS BIGINT) AS t2,
+       CAST(t3 AS BIGINT) AS t3
+FROM s CROSS JOIN tri
+""",
+)
+def graph_triadic_census(spark, sf_dir):
+    """Undirected triadic census (TriadicCensus.java): triple counts by edge
+    count, closed-form from degrees + the triangle count — integer-exact."""
+    from ..graph.algorithms import triadic_census
+
+    return triadic_census(_und(spark, sf_dir))
+
+
+_CD_ITERS = 2  # scores stay dyadic-exact through superstep 2 (delta/3 is not)
+_CD_DELTA = 0.5
+
+_CD_STEP = """
+c{i} AS (
+  SELECT t.id, t.label,
+         CASE WHEN t.label <> p.label THEN t.mx - 0.5 / {i} ELSE t.mx END AS score
+  FROM (
+    SELECT m.v AS id, c.label, sum(c.score * m.w) AS tot,
+           max(c.score * m.w) AS mx,
+           row_number() OVER (PARTITION BY m.v
+                              ORDER BY sum(c.score * m.w) DESC, c.label ASC) AS rn
+    FROM symw m JOIN c{p} c ON c.id = m.u
+    GROUP BY m.v, c.label) t
+  JOIN c{p} p ON p.id = t.id
+  WHERE t.rn = 1)"""
+
+
+def _cd_oracle() -> str:
+    steps = ",".join(_CD_STEP.format(i=i, p=i - 1) for i in range(1, _CD_ITERS + 1))
+    return f"""
+WITH {_G},
+symw AS (SELECT src AS u, dst AS v, weight AS w FROM e
+         UNION SELECT dst AS u, src AS v, weight AS w FROM e),
+c0 AS (SELECT DISTINCT u AS id, u AS label, 1.0 AS score FROM symw),
+{steps}
+SELECT id, label, score FROM c{_CD_ITERS} ORDER BY id
+"""
+
+
+@query("graph_community", oracle=_cd_oracle())
+def graph_community(spark, sf_dir):
+    """Community detection with hop attenuation (CommunityDetection.java:94-173),
+    2 supersteps, delta=0.5 — weighted-score messages, attenuation delta/superstep
+    on label change only, TreeMap min-label tie break; dyadic scores and integer
+    weights keep every double exact at <=2 supersteps, so the comparison is strict."""
+    from ..graph.algorithms import community_detection
+
+    out = community_detection(_edges(spark, sf_dir), iterations=_CD_ITERS, delta=_CD_DELTA)
+    return out.orderBy("id")

@@ -170,3 +170,33 @@ def test_summarize_graph(spark):
     assert rows[(10, 10)]["n_src_vertices"] == 2  # 1 and 2
     assert rows[(40, 10)]["n_edges"] == 1  # 4 -> 3 crosses communities
     assert rows[(40, 40)]["n_edges"] == 1
+
+
+def test_triadic_census_closed_form(spark):
+    from fries_flink_spark.graph.algorithms import triadic_census
+
+    # Graph: triangle {1,2,3} plus pendant 4-1 and isolated-ish 5 via 4-5.
+    # n=5, m=5, degrees: 1:3, 2:2, 3:2, 4:2, 5:1 → wedges=3+1+1+1=6, tri=1.
+    und = _und(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (4, 5)])
+    r = triadic_census(und).collect()[0]
+    # t3=1; t2=6-3=3; t1=m(n-2)-2w+3t3 = 15-12+3=6; t0=C(5,3)-1-3-6=0.
+    assert (r["t0"], r["t1"], r["t2"], r["t3"]) == (0, 6, 3, 1)
+    # Census always partitions the C(n,3) triples.
+    assert r["t0"] + r["t1"] + r["t2"] + r["t3"] == 10
+
+
+def test_community_detection_two_cliques(spark):
+    from fries_flink_spark.graph.algorithms import community_detection
+
+    # Two triangles bridged by one weak edge: communities = min ids {1, 4}.
+    e = _dir(
+        spark,
+        [(1, 2, 5), (1, 3, 5), (2, 3, 5), (4, 5, 5), (4, 6, 5), (5, 6, 5), (3, 4, 1)],
+    )
+    rows = {r["id"]: r for r in community_detection(e, iterations=4).collect()}
+    assert rows[1]["label"] == rows[2]["label"] == rows[3]["label"]
+    assert rows[4]["label"] == rows[5]["label"] == rows[6]["label"]
+    assert rows[1]["label"] != rows[4]["label"]
+    # Reference semantics: scores are weighted maxima (LabelMessenger sends
+    # score*edge_weight), so they GROW with strong in-community edges.
+    assert all(r["score"] > 1.0 for r in rows.values())
