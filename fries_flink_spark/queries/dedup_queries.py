@@ -284,3 +284,33 @@ def dedup_keep_canonical(spark, sf_dir):
     pairs = lsh_candidate_pairs(sig, "doc_id")
     cc = connected_components(pairs, "a", "b")
     return keep_canonical(docs, cc, "doc_id").select("doc_id").orderBy("doc_id")
+
+
+@query("dedup_semantic", oracle=None)  # golden-parquet oracle set below
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540, dedup/semantic.py): spherical k-means
+    clustering + per-cluster ascending-id greedy cosine pruning at 0.4;
+    verified against an independent numpy replay (queries/golden.py)."""
+    from . import golden as _g
+    from ..dedup.semantic import semantic_dedup
+
+    _g.ensure_semantic_dedup(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, "embedding", "vec_id", threshold=0.4, n_clusters=16)
+    return out.select(
+        F.col("id").alias("vec_id"), "cluster", "keep"
+    ).orderBy("vec_id")
+
+
+def _set_semantic_oracle() -> None:
+    from . import golden as _g
+    from ..registry import REGISTRY
+
+    REGISTRY["dedup_semantic"].oracle = f"""
+    SELECT vec_id, cluster, keep
+    FROM read_parquet('{_g.golden_path("dedup_semantic", _g.DRIVER_SF_DIR)}')
+    ORDER BY vec_id
+    """
+
+
+_set_semantic_oracle()

@@ -348,6 +348,207 @@ def ensure_mm_audio_features(sf_dir: str, force: bool = False) -> str:
     return path
 
 
+# --------------------------------------------------------------------------- #
+# dedup_semantic
+# --------------------------------------------------------------------------- #
+
+
+def ensure_semantic_dedup(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    kmeans_iter: int = 2,
+    force: bool = False,
+) -> str:
+    """Golden for queries/dedup_queries.dedup_semantic: independent numpy
+    replay of SemDeDup — the same deterministic k-means as ensure_sim_topk_ivf
+    (first-n seeds by id, spherical argmax assignment, mean update), then the
+    per-cluster ascending-id greedy keep against the kept set. Outputs are an
+    integer cluster id and a boolean — robust to sub-ulp float differences
+    except at exact threshold/argmax ties, which the synthetic embeddings
+    don't produce."""
+    import pyarrow as pa
+
+    path = golden_path("dedup_semantic", sf_dir)
+    if os.path.exists(path) and not force:
+        return path
+    rows = _fetch(
+        sf_dir,
+        "SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id",
+    )
+    ids = [int(vid) for vid, _ in rows]
+    x = np.array([[float(v) for v in emb] for _, emb in rows], dtype=np.float64)
+
+    cents = x[:n_clusters].copy()
+    for _ in range(kmeans_iter):
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        assign = np.argmax(x @ (cents / norms).T, axis=1)
+        new = cents.copy()
+        for cid in range(n_clusters):
+            members = x[assign == cid]
+            if len(members):
+                new[cid] = members.mean(axis=0)
+        cents = new
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    assign = np.argmax(x @ (cents / norms).T, axis=1)
+
+    xn = x / np.where(
+        np.linalg.norm(x, axis=1, keepdims=True) == 0.0,
+        1.0,
+        np.linalg.norm(x, axis=1, keepdims=True),
+    )
+    keep = np.ones(len(ids), dtype=bool)
+    for cid in range(n_clusters):
+        rows_c = [i for i in range(len(ids)) if assign[i] == cid]  # id-sorted
+        kept: list[int] = []
+        for i in rows_c:
+            if kept and float(np.max(xn[kept] @ xn[i])) >= threshold:
+                keep[i] = False
+            else:
+                kept.append(i)
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array([int(a) for a in assign], pa.int32()),
+                "keep": pa.array([bool(k) for k in keep], pa.bool_()),
+            }
+        ),
+    )
+    return path
+
+
+# --------------------------------------------------------------------------- #
+# text_bpe_merges / text_bpe_encode
+# --------------------------------------------------------------------------- #
+
+_BPE_MERGES = 24
+_BPE_MIN_FREQ = 2
+
+
+def _bpe_replay(sf_dir: str, num_merges: int, min_freq: int):
+    """Independent pure-Python BPE replay (no Spark, no import of text/bpe.py):
+    lowercase [^a-z0-9]+ word split, overlapping adjacent-pair counts weighted
+    by word freq, ties (n desc, left asc, right asc), greedy left-to-right
+    merge application. All counts are integers — engine-exact."""
+    import collections
+    import re
+
+    rows = _fetch(sf_dir, "SELECT text FROM '{sf}/documents.parquet'")
+    splitter = re.compile("[^a-z0-9]+")
+    wc: collections.Counter = collections.Counter()
+    for (text,) in rows:
+        for w in splitter.split(str(text).lower()):
+            if w:
+                wc[w] += 1
+    words = [[list(w), f] for w, f in wc.items()]
+    merges = []
+    for rank in range(num_merges):
+        cnt: collections.Counter = collections.Counter()
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += f
+        if not cnt:
+            break
+        (left, right), n = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_freq:
+            break
+        merges.append((rank, left, right, int(n)))
+        for item in words:
+            syms, out, i = item[0], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            item[0] = out
+    return merges, splitter
+
+
+def ensure_bpe_merges(sf_dir: str, force: bool = False) -> str:
+    """Golden for queries/text_queries.text_bpe_merges."""
+    import pyarrow as pa
+
+    path = golden_path("text_bpe_merges", sf_dir)
+    if os.path.exists(path) and not force:
+        return path
+    merges, _ = _bpe_replay(sf_dir, _BPE_MERGES, _BPE_MIN_FREQ)
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "rank": pa.array([m[0] for m in merges], pa.int64()),
+                "lhs": pa.array([m[1] for m in merges], pa.string()),
+                "rhs": pa.array([m[2] for m in merges], pa.string()),
+                "n": pa.array([m[3] for m in merges], pa.int64()),
+            }
+        ),
+    )
+    return path
+
+
+def ensure_bpe_encode(sf_dir: str, force: bool = False) -> str:
+    """Golden for queries/text_queries.text_bpe_encode: per-doc token count
+    and the first 12 tokens, encoded with the replayed merge list."""
+    import pyarrow as pa
+
+    path = golden_path("text_bpe_encode", sf_dir)
+    if os.path.exists(path) and not force:
+        return path
+    merges, splitter = _bpe_replay(sf_dir, _BPE_MERGES, _BPE_MIN_FREQ)
+    pairs = [(left, right) for _, left, right, _ in merges]
+
+    cache: dict[str, list[str]] = {}
+
+    def enc_word(w: str) -> list[str]:
+        toks = cache.get(w)
+        if toks is None:
+            syms = list(w)
+            for left, right in pairs:
+                if len(syms) < 2:
+                    break
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = toks = syms
+        return toks
+
+    rows = _fetch(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id")
+    ids, ntok, heads = [], [], []
+    for doc_id, text in rows:
+        toks: list[str] = []
+        for w in splitter.split(str(text).lower()):
+            if w:
+                toks.extend(enc_word(w))
+        ids.append(int(doc_id))
+        ntok.append(len(toks))
+        heads.append("|".join(toks[:12]))
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "head_tokens": pa.array(heads, pa.string()),
+            }
+        ),
+    )
+    return path
+
+
 def ensure_driver_goldens() -> None:
     """Generate the goldens the static oracle SQL references (driver sf)."""
     if os.path.isdir(DRIVER_SF_DIR):
@@ -357,5 +558,8 @@ def ensure_driver_goldens() -> None:
             ensure_pq_codes(DRIVER_SF_DIR)
             ensure_mm_video_frames(DRIVER_SF_DIR)
             ensure_mm_audio_features(DRIVER_SF_DIR)
+            ensure_bpe_merges(DRIVER_SF_DIR)
+            ensure_bpe_encode(DRIVER_SF_DIR)
+            ensure_semantic_dedup(DRIVER_SF_DIR)
         except Exception:  # never break registry import on golden failure
             pass

@@ -460,3 +460,71 @@ def text_chunks(spark, sf_dir):
     return chunk_documents(docs, "doc_id", "text", size=32, stride=24).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+@query(
+    "text_bpe_merges",
+    # Golden-parquet oracle: independent pure-Python BPE replay
+    # (queries/golden.py:_bpe_replay — no Spark, no import of text/bpe.py).
+    # Integer pair counts and ASCII symbols: engine-exact.
+    oracle=None,  # set below after golden import (path is static)
+)
+def text_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (text/bpe.py): one corpus word-count shuffle,
+    then 24 vocabulary-sized merge iterations; ties (freq desc, left asc,
+    right asc). Returns the learned merge table in rank order."""
+    from . import golden as _g
+    from ..text.bpe import train_bpe, word_histogram
+
+    _g.ensure_bpe_merges(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(
+        word_histogram(docs, "text"), num_merges=_g._BPE_MERGES, min_freq=_g._BPE_MIN_FREQ
+    )
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank long, lhs string, rhs string, n long",
+    ).orderBy("rank")
+
+
+@query(
+    "text_bpe_encode",
+    oracle=None,  # set below
+)
+def text_bpe_encode(spark, sf_dir):
+    """BPE corpus encoding (text/bpe.encode_bpe): mapInPandas with broadcast
+    merge ranks + per-batch word cache; per-doc token count and the first 12
+    tokens, verified against the independent golden replay."""
+    from . import golden as _g
+    from ..text.bpe import encode_bpe, train_bpe, word_histogram
+
+    _g.ensure_bpe_encode(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(
+        word_histogram(docs, "text"), num_merges=_g._BPE_MERGES, min_freq=_g._BPE_MIN_FREQ
+    )
+    enc = encode_bpe(docs.select("doc_id", "text"), "text", merges)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.array_join(F.slice("tokens", 1, 12), "|").alias("head_tokens"),
+    ).orderBy("doc_id")
+
+
+def _set_bpe_oracles() -> None:
+    from . import golden as _g
+    from ..registry import REGISTRY
+
+    REGISTRY["text_bpe_merges"].oracle = f"""
+    SELECT rank, lhs, rhs, n
+    FROM read_parquet('{_g.golden_path("text_bpe_merges", _g.DRIVER_SF_DIR)}')
+    ORDER BY rank
+    """
+    REGISTRY["text_bpe_encode"].oracle = f"""
+    SELECT doc_id, n_tokens, head_tokens
+    FROM read_parquet('{_g.golden_path("text_bpe_encode", _g.DRIVER_SF_DIR)}')
+    ORDER BY doc_id
+    """
+
+
+_set_bpe_oracles()

@@ -1,0 +1,81 @@
+"""BPE tokenizer training/encoding unit tests (text/bpe.py).
+
+Hand-checkable fixture: Sennrich-style merge order is fully determined by
+integer pair counts with (freq desc, left asc, right asc) ties.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fries_flink_spark.text.bpe import (
+    apply_merges_py,
+    encode_bpe,
+    train_bpe,
+    word_histogram,
+)
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(rows, "text string").transform(
+        lambda df: word_histogram(df, "text")
+    )
+
+
+def test_word_histogram_lowercases_and_splits(spark):
+    h = {
+        r["word"]: r["freq"]
+        for r in _hist(spark, [("Low low LOW!",), ("ab-ab cd",)]).collect()
+    }
+    assert h == {"low": 3, "ab": 2, "cd": 1}
+
+
+def test_train_bpe_merge_order(spark):
+    # 'abab' x3 + 'abc' x2: pair counts a-b:8, b-a:3, b-c:2 → first merge
+    # (a,b). Then 'ab','ab' adjacency gives (ab,ab):3 vs (ab,c):2 → second
+    # merge (ab,ab).
+    h = _hist(spark, [("abab abab abab abc abc",)])
+    merges = train_bpe(h, num_merges=2)
+    assert [(m[0], m[1]) for m in merges] == [("a", "b"), ("ab", "ab")]
+    assert merges[0][2] == 8
+
+
+def test_train_ties_break_lexicographically(spark):
+    # 'xy' and 'ab' both occur twice: (a,b) wins the tie over (x,y).
+    merges = train_bpe(_hist(spark, [("xy xy ab ab",)]), num_merges=1)
+    assert (merges[0][0], merges[0][1]) == ("a", "b")
+
+
+def test_greedy_merge_no_overlap(spark):
+    # 'aaa': overlapping pair (a,a) counts 2 per word, but the merge pass is
+    # non-overlapping: aaa -> [aa, a].
+    merges = train_bpe(_hist(spark, [("aaa aaa",)]), num_merges=1)
+    assert (merges[0][0], merges[0][1]) == ("a", "a")
+    assert apply_merges_py("aaa", [("a", "a")]) == ["aa", "a"]
+    assert apply_merges_py("aaaa", [("a", "a")]) == ["aa", "aa"]
+
+
+def test_min_freq_stops_training(spark):
+    merges = train_bpe(_hist(spark, [("ab",)]), num_merges=5, min_freq=2)
+    assert merges == []
+
+
+def test_encode_matches_python_reference(spark):
+    df = spark.createDataFrame([(1, "abab cd"), (2, "ABC! aaa")], "id int, text string")
+    merges = [("a", "b", 9), ("ab", "ab", 5), ("a", "a", 3)]
+    out = {r["id"]: r["tokens"] for r in encode_bpe(df, "text", merges).collect()}
+    pairs = [("a", "b"), ("ab", "ab"), ("a", "a")]
+    assert out[1] == apply_merges_py("abab", pairs) + apply_merges_py("cd", pairs)
+    assert out[2] == apply_merges_py("abc", pairs) + apply_merges_py("aaa", pairs)
+    assert out[1] == ["abab", "c", "d"]
+    assert out[2] == ["ab", "c", "aa", "a"]
+
+
+def test_train_then_encode_roundtrip(spark):
+    # Tokens always reassemble to the original normalized words.
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the mat was flat",)], "text string"
+    )
+    merges = train_bpe(word_histogram(df, "text"), num_merges=6, min_freq=1)
+    out = encode_bpe(df.limit(1), "text", merges).collect()[0]["tokens"]
+    assert "".join(out) == "thecatsatonthemat"

@@ -126,3 +126,47 @@ def test_cosine_pairs_no_driver_collect(emb, monkeypatch):
     monkeypatch.setattr(df_mod.DataFrame, "toPandas", boom)
     out = cosine_pairs(emb, "embedding", "vec_id", 0.4, rows_per_block=64)
     assert out.count() > 0
+
+
+def test_semantic_dedup_greedy_keep(spark):
+    from fries_flink_spark.dedup.semantic import semantic_dedup
+
+    # Two well-separated directions; ids 1,2 are near-identical (cos≈1),
+    # id 3 is orthogonal-ish; id 4 duplicates 3.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.998, 0.02]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {
+        r["id"]: r["keep"]
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", threshold=0.9, n_clusters=2
+        ).collect()
+    }
+    assert out[1] is True and out[3] is True  # first of each dup group kept
+    assert out[2] is False and out[4] is False
+
+
+def test_semantic_dedup_dropped_item_never_disqualifies(spark):
+    from fries_flink_spark.dedup.semantic import semantic_dedup
+
+    # Chain A~B, B~C, A!~C (paper's sequential semantics): B dropped by A,
+    # but C is only compared against KEPT items -> C survives.
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    # cos(0,25deg)=0.906>0.9; cos(25,50)=0.906>0.9; cos(0,50)=0.64<0.9
+    rows = [(1, unit(0.0)), (2, unit(0.43)), (3, unit(0.86))]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {
+        r["id"]: r["keep"]
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", threshold=0.9, n_clusters=1
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: True}
