@@ -71,6 +71,89 @@ def minhash_table(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> Data
     )
 
 
+def band_table(
+    sig: DataFrame,
+    id_col: str,
+    n_perms: int = N_PERMS,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """(band, key, id) LSH band-bucket table of a signature table — the
+    joinable/persistable form of the signatures. Used both for in-batch pair
+    generation (:func:`lsh_candidate_pairs`) and as the PERSISTED CORPUS
+    INDEX for incremental dedup (:func:`incremental_dedup`): at scale, write
+    it bucketed by (band, key) so future probes are exchange-free."""
+    n_bands = n_perms // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+                    )
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Deduplicate a NEW batch against an existing corpus band index without
+    touching the corpus text: returns ``(survivors, new_index_entries)``.
+
+    The growth path every production dedup pipeline needs: when a shard
+    arrives, re-hashing the whole corpus is O(corpus); probing a persisted
+    band index is O(batch). A batch doc is dropped iff
+
+    - any of its band keys collides with the corpus index, or
+    - an earlier batch doc (smaller id) shares a band key — the same
+      order-invariant "drop if similar to any earlier doc" rule as the
+      oracle restates (a dropped earlier doc still disqualifies, unlike
+      SemDeDup's sequential greedy; both semantics are standard, this one is
+      join-expressible with no iteration).
+
+    ``new_index_entries`` is the survivors' band table; append it to the
+    index to complete the ingest (index grows by O(batch), never rewritten).
+
+    Scale shape: the batch band table is tiny next to the index — Catalyst
+    broadcasts it into the index probe (asserted in test_plans), so the only
+    exchange over index-sized data is none at all; with the index stored
+    bucketed by (band, key) even a large batch probes co-located.
+    """
+    sig = minhash_table(batch, text_col, id_col, k=k)
+    nb = band_table(sig, id_col)
+    hit_corpus = (
+        nb.join(index.select("band", "key"), ["band", "key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    earlier = nb.select(
+        F.col("band").alias("band"),
+        F.col("key").alias("key"),
+        F.col(id_col).alias("__earlier_id"),
+    )
+    hit_batch = (
+        nb.join(earlier, ["band", "key"])
+        .filter(F.col("__earlier_id") < F.col(id_col))
+        .select(id_col)
+        .distinct()
+    )
+    dropped = hit_corpus.unionByName(hit_batch).distinct()
+    survivors = batch.join(dropped, id_col, "left_anti")
+    new_entries = nb.join(dropped, id_col, "left_anti")
+    return survivors, new_entries
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -93,23 +176,7 @@ def lsh_candidate_pairs(
     caught by exact/other bands anyway). Default None = exact LSH semantics,
     which is what the DuckDB oracle reproduces.
     """
-    n_bands = n_perms // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
-                    )
-                ).alias("key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
-        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    exploded = band_table(sig, id_col, n_perms, band_size)
     buckets = (
         exploded.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))

@@ -314,3 +314,57 @@ def _set_semantic_oracle() -> None:
 
 
 _set_semantic_oracle()
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+    batch AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),
+    csh AS (SELECT doc_id, {_SH} AS s FROM corpus),
+    csig AS (SELECT doc_id, {_MH_COLS} FROM csh),
+    cidx AS (
+      SELECT b.band,
+             CASE b.band
+               WHEN 0 THEN md5(mh0 || '|' || mh1)
+               WHEN 1 THEN md5(mh2 || '|' || mh3)
+               WHEN 2 THEN md5(mh4 || '|' || mh5)
+               ELSE        md5(mh6 || '|' || mh7)
+             END AS key
+      FROM csig, (SELECT unnest(generate_series(0, 3)) AS band) b),
+    bsh AS (SELECT doc_id, {_SH} AS s FROM batch),
+    bsig AS (SELECT doc_id, {_MH_COLS} FROM bsh),
+    bidx AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               WHEN 0 THEN md5(mh0 || '|' || mh1)
+               WHEN 1 THEN md5(mh2 || '|' || mh3)
+               WHEN 2 THEN md5(mh4 || '|' || mh5)
+               ELSE        md5(mh6 || '|' || mh7)
+             END AS key
+      FROM bsig, (SELECT unnest(generate_series(0, 3)) AS band) b),
+    dropped AS (
+      SELECT DISTINCT x.doc_id FROM bidx x
+      WHERE EXISTS (SELECT 1 FROM cidx c
+                    WHERE c.band = x.band AND c.key = x.key)
+         OR EXISTS (SELECT 1 FROM bidx y
+                    WHERE y.band = x.band AND y.key = x.key
+                      AND y.doc_id < x.doc_id))
+    SELECT b.doc_id FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = b.doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup (dedup/minhash.incremental_dedup): the corpus
+    (doc_id%10<8) is reduced to a persisted (band,key) index once; the new
+    batch (doc_id%10>=8) is minhashed and probed against the index — O(batch)
+    work, never O(corpus). Returns the batch survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    from ..dedup.minhash import band_table, incremental_dedup
+
+    index = band_table(minhash_table(corpus, "text", "doc_id"), "doc_id")
+    survivors, _ = incremental_dedup(batch, index, "text", "doc_id")
+    return survivors.select("doc_id").orderBy("doc_id")

@@ -487,3 +487,41 @@ def q_mix_temperature(spark, sf_dir):
     return out.select("doc_id", "lang", F.col("rep").cast("long").alias("rep")).orderBy(
         "doc_id", "rep"
     )
+
+
+@query(
+    "pipeline_shard_balance",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOK_SQL} AS tokens FROM documents
+    ), ranked AS (
+      SELECT source, tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY tokens DESC, doc_id ASC) - 1 AS rank
+      FROM t
+    ), sharded AS (
+      SELECT source, tokens,
+             CAST(CASE WHEN (rank // 4) % 2 = 0 THEN rank % 4
+                       ELSE 3 - rank % 4 END AS INTEGER) AS shard
+      FROM ranked
+    )
+    SELECT source, shard, count(*) AS n_docs, sum(tokens) AS tokens
+    FROM sharded GROUP BY source, shard
+    ORDER BY source, shard
+    """,
+)
+def q_pipeline_shard_balance(spark, sf_dir):
+    """Serpentine-balanced output sharding (pipeline/sharding.py): 4 shards
+    per source stratum by token-descending rank; per-shard balance report.
+    Integer arithmetic end to end — engine-exact."""
+    from ..pipeline.sharding import assign_shards, shard_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4)).cast("bigint").alias(
+            "tokens"
+        ),
+    )
+    sharded = assign_shards(docs, "tokens", "doc_id", n_shards=4, part_col="source")
+    return shard_stats(sharded, "tokens", part_col="source").orderBy("source", "shard")

@@ -286,3 +286,36 @@ class TestMixTemperature:
         df = self._df(spark).withColumn("rep", F.lit(1))
         with pytest.raises(ValueError, match="rep"):
             mix_temperature(df, "doc_id", "lang")
+
+
+def test_assign_shards_serpentine(spark):
+    from fries_flink_spark.pipeline.sharding import assign_shards, shard_stats
+
+    # tokens 8,7,6,5,4,3 over 3 shards: ranks 0,1,2 -> shards 0,1,2 (block 0),
+    # ranks 3,4,5 -> shards 2,1,0 (block 1 reversed).
+    rows = [(i, t) for i, t in enumerate([8, 7, 6, 5, 4, 3])]
+    df = spark.createDataFrame(rows, "doc_id int, tokens int")
+    sharded = assign_shards(df, "tokens", "doc_id", n_shards=3)
+    by_id = {r["doc_id"]: r["shard"] for r in sharded.collect()}
+    assert by_id == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 0}
+    # Serpentine balance: totals 8+3, 7+4, 6+5 -> perfectly equal here.
+    totals = {r["shard"]: r["tokens"] for r in shard_stats(sharded, "tokens").collect()}
+    assert totals == {0: 11, 1: 11, 2: 11}
+
+
+def test_assign_shards_imbalance_bound(spark):
+    import random
+
+    from fries_flink_spark.pipeline.sharding import assign_shards, shard_stats
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 1000)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, tokens int")
+    stats = shard_stats(
+        assign_shards(df, "tokens", "doc_id", n_shards=8), "tokens"
+    ).collect()
+    totals = [r["tokens"] for r in stats]
+    assert len(totals) == 8
+    # Serpentine bound: spread is at most ~the largest item, far under naive
+    # hash assignment's variance.
+    assert max(totals) - min(totals) <= 1000

@@ -158,3 +158,35 @@ def test_interval_join_binned_equals_plain_on_hot_key(spark):
     a = sorted((r.lid, r.rid) for r in plain.collect())
     b = sorted((r.lid, r.rid) for r in binned.collect())
     assert a == b and len(a) > 500  # non-trivial match set
+
+
+def test_incremental_dedup_batch_vs_index(spark):
+    from fries_flink_spark.dedup.minhash import (
+        band_table,
+        incremental_dedup,
+        minhash_table,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "an entirely different corpus document about spark engines")],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 1
+         (12, "a genuinely novel batch document mentioning nothing similar what"),
+         (13, "a genuinely novel batch document mentioning nothing similar what"),  # dup of 12
+         (14, "completely unrelated text regarding distributed aggregation")],
+        "doc_id int, text string",
+    )
+    index = band_table(minhash_table(corpus, "text", "doc_id"), "doc_id")
+    survivors, new_entries = incremental_dedup(batch, index, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in survivors.collect())
+    assert ids == [12, 14]  # 11 collides with corpus, 13 with earlier 12
+    # The appended index covers exactly the survivors.
+    assert sorted(set(r["doc_id"] for r in new_entries.collect())) == [12, 14]
+    # Ingest closure: re-running the SAME batch against the grown index
+    # drops everything (idempotent ingest).
+    grown = index.unionByName(new_entries)
+    again, _ = incremental_dedup(batch, grown, "text", "doc_id")
+    assert again.count() == 0
