@@ -499,6 +499,7 @@ def match_pattern(
     emit: str = "first",
     rows_per_match: str = "one",
     skip_var: str | None = None,
+    with_match_number: bool = False,
 ) -> DataFrame:
     """CEP.pattern(stream.keyBy(...), pattern).select(...) analog.
 
@@ -521,6 +522,9 @@ def match_pattern(
     per MAPPED ROW as ``select(key, running_match, current_row, current_var)``
     where ``running_match`` holds the mapped rows up to and including the
     current one — RUNNING semantics for measures).
+    ``with_match_number``: pass the 1-based per-key sequential match index
+    (SQL:2016 MATCH_NUMBER(), reference MatchCodeGenerator MATCH_NUMBER
+    support) as an extra trailing ``select`` argument.
     """
     pattern._validate()
     if rows_per_match not in ("one", "all"):
@@ -549,10 +553,19 @@ def match_pattern(
                 row_cache[i] = {c: a[i] for c, a in cols_np.items()}
             return row_cache[i]
 
+        match_no = 0  # per-key 1-based MATCH_NUMBER()
+
         def emit_match(m: dict[str, list[int]]) -> None:
+            nonlocal match_no
+            match_no += 1
+            extra = (match_no,) if with_match_number else ()
             if rows_per_match == "one":
                 out.append(
-                    select(key, {k: [row_at(i) for i in v] for k, v in m.items()})
+                    select(
+                        key,
+                        {k: [row_at(i) for i in v] for k, v in m.items()},
+                        *extra,
+                    )
                 )
                 return
             # ALL ROWS PER MATCH: one output row per mapped input row, in
@@ -562,7 +575,7 @@ def match_pattern(
                 running = {
                     k2: [row_at(j) for j in v if j <= i] for k2, v in m.items()
                 }
-                out.append(select(key, running, row_at(i), nm))
+                out.append(select(key, running, row_at(i), nm, *extra))
 
         barrier = 0  # next-match frontier for the skip-* strategies
         barriered = (SKIP_PAST_LAST_EVENT, SKIP_TO_FIRST, SKIP_TO_LAST)

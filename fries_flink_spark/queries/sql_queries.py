@@ -590,3 +590,59 @@ def sql_mr_skip_to_last(spark, sf_dir):
         ORDER BY user_id, a_id
         """,
     )
+
+
+@query(
+    "sql_mr_match_number",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value < lag(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS dn
+      FROM events
+    ), g AS (
+      SELECT *, sum(1 - dn) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM w
+    ), runs AS (
+      SELECT user_id, grp, event_id,
+             row_number() OVER
+               (PARTITION BY user_id, grp ORDER BY ts, event_id) AS rn
+      FROM g WHERE dn = 1
+    ), m AS (
+      SELECT user_id, grp,
+             max(CASE WHEN rn = 1 THEN event_id END) AS first_id,
+             count(*) AS n_down
+      FROM runs GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY grp) AS match_no,
+           first_id, n_down
+    FROM m ORDER BY user_id, match_no
+    """,
+)
+def sql_mr_match_number(spark, sf_dir):
+    """MATCH_NUMBER() measure: the 1-based per-partition sequential match
+    index (SQL:2016; reference MatchCodeGenerator MATCH_NUMBER navigation).
+    Matches emit in start order under SKIP PAST LAST ROW, so the oracle's
+    row_number over the gaps-and-islands run id reproduces it exactly."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id, match_no, first_id, n_down
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER()    AS match_no,
+                   FIRST(D.event_id) AS first_id,
+                   COUNT(D.*)        AS n_down
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D+)
+          DEFINE D AS D.value < PREV(D.value)
+        )
+        ORDER BY user_id, match_no
+        """,
+    )

@@ -41,7 +41,8 @@ which compile to exact match-state tests threaded through the NFA walk.
 Measures: FIRST/LAST/bare column, COUNT/SUM/AVG/MIN/MAX, CLASSIFIER().
 Output modes: ONE ROW PER MATCH (default) and ALL ROWS PER MATCH (running
 measure semantics). AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | NO SKIP.
-Still unsupported (raise): PREV over another variable, NEXT(), MATCH_NUMBER(),
+Measures also: MATCH_NUMBER() (1-based per-partition match index).
+Still unsupported (raise): PREV over another variable, NEXT(),
 FINAL/RUNNING keywords, SUBSET, permute/alternation pattern syntax.
 """
 
@@ -637,6 +638,10 @@ _CLASSIFIER_RE = re.compile(
     r"^CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)$", re.IGNORECASE
 )
 
+_MATCH_NUMBER_RE = re.compile(
+    r"^MATCH_NUMBER\s*\(\s*\)\s+AS\s+(\w+)$", re.IGNORECASE
+)
+
 
 def _parse_measures(measures_sql: str) -> list[tuple[str, str, str, str]]:
     """Each measure → (func, var, col, out_name); func '' = first-row ref."""
@@ -646,12 +651,16 @@ def _parse_measures(measures_sql: str) -> list[tuple[str, str, str, str]]:
         if cm:
             out.append(("CLASSIFIER", "", "", cm.group(1)))
             continue
+        nm = _MATCH_NUMBER_RE.match(item.strip())
+        if nm:
+            out.append(("MATCH_NUMBER", "", "", nm.group(1)))
+            continue
         m = _MEASURE_RE.match(item.strip())
         if not m:
             raise NotImplementedError(
                 f"unsupported measure {item!r} (supported: [FIRST|LAST|COUNT|"
                 "SUM|AVG|MIN|MAX](Var.col) AS name, Var.col AS name, "
-                "CLASSIFIER() AS name)"
+                "CLASSIFIER() AS name, MATCH_NUMBER() AS name)"
             )
         func = (m.group(1) or "").upper()
         out.append((func, m.group(2), m.group(3), m.group(4)))
@@ -771,6 +780,8 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
     def measure_field(func, col, name):
         if func == "CLASSIFIER":
             return f"{name} string"
+        if func == "MATCH_NUMBER":
+            return f"{name} bigint"
         col_t = "bigint" if col == "*" else types[col]
         return f"{name} {_measure_type(func, col_t)}"
 
@@ -779,11 +790,13 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         out_fields += [measure_field(f, c, n) for f, _v, c, n in measures]
         schema = ", ".join(out_fields)
 
-        def select(key, match):
+        def select(key, match, match_no=None):
             row = dict(key)
             for func, var, col, name in measures:
                 rows = match.get(var, [])
-                if func == "CLASSIFIER":
+                if func == "MATCH_NUMBER":
+                    row[name] = match_no
+                elif func == "CLASSIFIER":
                     # stages match left-to-right in index order, so the last
                     # mapped row belongs to the last non-empty stage
                     row[name] = next(
@@ -824,11 +837,13 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         out_fields += [measure_field(f, c, n) for f, _v, c, n in measures]
         schema = ", ".join(out_fields)
 
-        def select(key, running, cur_row, cur_var):
+        def select(key, running, cur_row, cur_var, match_no=None):
             row = {c: cur_row[c] for c in in_cols}
             for func, var, col, name in measures:
                 rows = running.get(var, [])
-                if func == "CLASSIFIER":
+                if func == "MATCH_NUMBER":
+                    row[name] = match_no
+                elif func == "CLASSIFIER":
                     row[name] = cur_var
                 elif func == "COUNT":
                     row[name] = len(rows)
@@ -859,6 +874,7 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         skip_strategy=skip,
         rows_per_match=rows_mode,
         skip_var=skip_var,
+        with_match_number=any(f == "MATCH_NUMBER" for f, _v, _c, _n in measures),
     )
     view = _fresh_view("mr")
     out.createOrReplaceTempView(view)
