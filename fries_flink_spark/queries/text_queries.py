@@ -528,3 +528,48 @@ def _set_bpe_oracles() -> None:
 
 
 _set_bpe_oracles()
+
+
+@query(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '') AS toks,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         w -> w <> '') AS ltoks
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             len(toks) BETWEEN 20 AND 100000 AS words_in_range,
+             coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+               BETWEEN 3 * len(toks) AND 10 * len(toks) AS mean_word_len_ok,
+             5 * len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               >= 4 * len(toks) AS alpha_ratio_ok,
+             len(list_filter(list_distinct(ltoks),
+                             w -> list_contains([{_SW}], w))) >= 2 AS has_stopwords,
+             10 * length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+               < length(text) AS symbol_ratio_ok
+      FROM t
+    )
+    SELECT doc_id, words_in_range, mean_word_len_ok, alpha_ratio_ok,
+           has_stopwords, symbol_ratio_ok,
+           words_in_range AND mean_word_len_ok AND alpha_ratio_ok
+             AND has_stopwords AND symbol_ratio_ok AS passes
+    FROM r ORDER BY doc_id
+    """,
+)
+def text_gopher_filter(spark, sf_dir):
+    """Gopher quality-rule filter (text/analysis.gopher_rules): five named
+    integer-arithmetic rules + the conjunction, scan-fused column
+    expressions — the standard pre-training quality gate."""
+    from ..text.analysis import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = gopher_rules(F.col("text"))
+    cols = [rules[k].alias(k) for k in rules]
+    passes = None
+    for k in rules:
+        passes = rules[k] if passes is None else (passes & rules[k])
+    return docs.select("doc_id", *cols, passes.alias("passes")).orderBy("doc_id")

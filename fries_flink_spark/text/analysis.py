@@ -109,3 +109,38 @@ def fingerprint(text: Column) -> Column:
     norm = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
     toks = F.array_sort(F.array_distinct(tokens(norm)))
     return F.md5(F.array_join(toks, " "))
+
+
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """Named Gopher-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 "quality filtering" heuristics, public rule
+    family) as boolean Columns — composable with ``pipeline/validate``
+    (annotate/summarize) like any other expectation set.
+
+    Every rule is INTEGER arithmetic (3n <= Σlen <= 10n instead of
+    3 <= mean <= 10, 5·alpha >= 4·n instead of ratio >= 0.8), so the
+    booleans are engine-exact with no float-boundary hazard:
+
+    - ``words_in_range``:   20 <= word count <= 100000
+    - ``mean_word_len_ok``: mean word length in [3, 10]
+    - ``alpha_ratio_ok``:   >= 80% of words contain an alphabetic char
+    - ``has_stopwords``:    >= 2 distinct English stopwords present
+    - ``symbol_ratio_ok``:  punctuation chars < 10% of all chars
+
+    Pure narrow column expressions — scan-fused, zero shuffles, linear at
+    any corpus size.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_sw = F.size(F.array_intersect(F.array_distinct(tokens(F.lower(text))), sw))
+    n_punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    return {
+        "words_in_range": (n >= 20) & (n <= 100000),
+        "mean_word_len_ok": (total >= 3 * n) & (total <= 10 * n),
+        "alpha_ratio_ok": n_alpha * 5 >= n * 4,
+        "has_stopwords": n_sw >= 2,
+        "symbol_ratio_ok": n_punct * 10 < F.length(text),
+    }

@@ -319,3 +319,25 @@ def test_assign_shards_imbalance_bound(spark):
     # Serpentine bound: spread is at most ~the largest item, far under naive
     # hash assignment's variance.
     assert max(totals) - min(totals) <= 1000
+
+
+def test_gopher_rules_hand_fixture(spark):
+    from fries_flink_spark.text.analysis import gopher_rules
+    from fries_flink_spark.pipeline.validate import summarize
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs back "
+        "home with the ball for fun in the warm sun all day long today"
+    )
+    too_short = "just five words right here"
+    symbols = "the !!! ??? ### " + " ".join(["$$$%%%"] * 30)
+    df = spark.createDataFrame([(1, good), (2, too_short), (3, symbols)], "id int, t string")
+    rules = gopher_rules(F.col("t"))
+    rows = {r["id"]: r for r in df.select("id", *[rules[k].alias(k) for k in rules]).collect()}
+    assert all(rows[1][k] for k in rules)          # clean prose passes all
+    assert not rows[2]["words_in_range"]           # too short
+    assert not rows[3]["symbol_ratio_ok"]          # symbol soup
+    assert not rows[3]["alpha_ratio_ok"]
+    # rule set composes with the validation stage's one-pass summary
+    summary = {r["rule"]: r["n_violations"] for r in summarize(df, rules).collect()}
+    assert summary["words_in_range"] >= 1 and summary["symbol_ratio_ok"] >= 1

@@ -213,3 +213,37 @@ def test_mix_temperature_single_count_shuffle(spark, registry):
     # exchanges: stratum-count agg (map-side combined) + two |strata|-sized
     # ones (window max, broadcast prep) + presentation sort
     assert exchange_count(df) <= 4, exchange_count(df)
+
+
+def test_gopher_filter_scan_fused(spark, registry):
+    """The Gopher rules are narrow column expressions: no joins, only the
+    presentation sort's range exchange."""
+    df = registry["text_gopher_filter"](spark, SF)
+    assert join_strategies(df) == {}, join_strategies(df)
+    assert exchange_count(df) <= 1
+
+
+def test_incremental_dedup_broadcasts_batch(spark, registry):
+    """The new-batch band table is tiny next to the corpus index: every join
+    in the probe must broadcast (never shuffle the index for a small batch),
+    and nothing may be cartesian."""
+    df = registry["dedup_incremental"](spark, SF)
+    js = join_strategies(df)
+    assert js.get("BroadcastHashJoin", 0) >= 1, js
+    assert "CartesianProduct" not in js, js
+
+
+def test_shard_balance_single_window_shuffle(spark, registry):
+    """Serpentine sharding = one hash exchange on the stratum key for the
+    rank window + the tiny stats agg + presentation sort."""
+    df = registry["pipeline_shard_balance"](spark, SF)
+    assert join_strategies(df) == {}, join_strategies(df)
+    assert exchange_count(df) <= 3, exchange_count(df)
+
+
+def test_triadic_census_no_triple_scan(spark, registry):
+    """The census is degrees + triangle count — closed form, no O(n^3)
+    triple enumeration (no cartesian product anywhere)."""
+    df = registry["graph_triadic_census"](spark, SF)
+    js = join_strategies(df)
+    assert "CartesianProduct" not in {k: v for k, v in js.items() if k != "BroadcastNestedLoopJoin"}, js

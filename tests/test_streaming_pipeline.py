@@ -63,3 +63,54 @@ def test_streaming_stratified_sample_matches_batch(spark, sf_dir, doc_stream):
     # hash-threshold sampling is partition- and arrival-order-invariant, so
     # the streamed sample is EXACTLY the batch sample
     assert got == want
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir):
+    """Live-ingest dedup: each micro-batch probes the band index grown by all
+    prior batches (foreachBatch — the corpus is never re-hashed). With chunks
+    arriving in doc_id order, the streamed survivors equal the one-shot batch
+    result exactly: cross-chunk 'earlier doc' collisions are caught by the
+    grown index, within-chunk ones by the in-batch rule."""
+    from fries_flink_spark.dedup.minhash import (
+        band_table,
+        incremental_dedup,
+        minhash_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    index0 = band_table(minhash_table(corpus, "text", "doc_id"), "doc_id")
+    # one-shot reference
+    want = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(new, index0, "text", "doc_id")[0]
+        .select("doc_id")
+        .collect()
+    )
+
+    sdf, stage = stream_from_df(new, n_chunks=3, order_col="doc_id")
+    state = {"index": index0.localCheckpoint(eager=True)}
+    got: list[int] = []
+
+    def ingest(batch_df, _epoch):
+        survivors, new_entries = incremental_dedup(
+            batch_df, state["index"], "text", "doc_id"
+        )
+        got.extend(r["doc_id"] for r in survivors.select("doc_id").collect())
+        # production form: append new_entries to the bucketed index table;
+        # here: grow in memory with lineage truncation per epoch
+        state["index"] = state["index"].unionByName(new_entries).localCheckpoint(
+            eager=True
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", stage + "/_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    shutil.rmtree(stage, ignore_errors=True)
+    assert sorted(got) == want
