@@ -573,3 +573,45 @@ def text_gopher_filter(spark, sf_dir):
     for k in rules:
         passes = rules[k] if passes is None else (passes & rules[k])
     return docs.select("doc_id", *cols, passes.alias("passes")).orderBy("doc_id")
+
+
+@query(
+    "text_unigram_logppl",
+    oracle="""
+    WITH w AS (
+      SELECT lower(u.word) AS word
+      FROM documents,
+           unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS u(word)
+    ), vocab AS (
+      SELECT word, count(*) AS freq FROM w GROUP BY word
+    ), tot AS (SELECT sum(freq) AS total FROM vocab),
+    toks AS (
+      SELECT d.doc_id, u.word
+      FROM documents d,
+           unnest(list_filter(string_split_regex(trim(lower(d.text)), '\\s+'),
+                              x -> x <> '')) AS u(word)
+    ), costed AS (
+      SELECT t.doc_id,
+             CAST(floor((ln(CAST(tot.total AS DOUBLE))
+                         - ln(CAST(coalesce(v.freq, 1) AS DOUBLE))) * 1000000
+                        + 0.5) AS BIGINT) AS c
+      FROM toks t LEFT JOIN vocab v ON v.word = t.word, tot
+    )
+    SELECT doc_id, count(*) AS n_tokens, sum(c) AS cost_micro,
+           CAST(floor(sum(c) * 1.0 / count(*)) AS BIGINT) AS mean_cost_micro
+    FROM costed GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_unigram_logppl(spark, sf_dir):
+    """Unigram LM negative log likelihood per document in integer micro-nats
+    (text/lm.py — the CCNet perplexity-filter primitive with an in-engine
+    unigram model): one model shuffle, broadcast vocab join, order-invariant
+    integer cost sums."""
+    from ..text.lm import doc_logcost, unigram_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, total = unigram_model(docs, "text")
+    return doc_logcost(docs, "text", "doc_id", model, total).select(
+        "doc_id", "n_tokens", "cost_micro", "mean_cost_micro"
+    ).orderBy("doc_id")

@@ -79,3 +79,31 @@ def test_train_then_encode_roundtrip(spark):
     merges = train_bpe(word_histogram(df, "text"), num_merges=6, min_freq=1)
     out = encode_bpe(df.limit(1), "text", merges).collect()[0]["tokens"]
     assert "".join(out) == "thecatsatonthemat"
+
+
+def test_unigram_logcost_hand_check(spark):
+    import math
+
+    from fries_flink_spark.text.lm import doc_logcost, unigram_model
+
+    # corpus: 'a a a b' -> freq a=3, b=1, total=4
+    df = spark.createDataFrame([(1, "a a a b"), (2, "b b")], "id int, t string")
+    model, total = unigram_model(df, "t")
+    assert total == 6  # a:3, b:3
+    out = {r["id"]: r for r in doc_logcost(df, "t", "id", model, total).collect()}
+    c = int(math.floor((math.log(6.0) - math.log(3.0)) * 1e6 + 0.5))
+    assert out[1]["n_tokens"] == 4 and out[1]["cost_micro"] == 4 * c
+    assert out[2]["mean_cost_micro"] == c
+
+
+def test_unigram_oov_add_one(spark):
+    import math
+
+    from fries_flink_spark.text.lm import doc_logcost, unigram_model
+
+    train = spark.createDataFrame([(1, "seen words only"),], "id int, t string")
+    model, total = unigram_model(train, "t")
+    new = spark.createDataFrame([(9, "unseen")], "id int, t string")
+    out = doc_logcost(new, "t", "id", model, total).collect()[0]
+    # OOV cost = ln(total) - ln(1)
+    assert out["cost_micro"] == int(math.floor(math.log(float(total)) * 1e6 + 0.5))
