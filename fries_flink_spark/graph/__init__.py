@@ -21,6 +21,7 @@ from .algorithms import (
     local_clustering_coefficient,
     single_source_shortest_paths,
     triadic_census,
+    triadic_census_directed,
     triangle_listing,
     vertex_degrees,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "local_clustering_coefficient",
     "single_source_shortest_paths",
     "triadic_census",
+    "triadic_census_directed",
     "triangle_listing",
     "vertex_degrees",
 ]

@@ -401,3 +401,116 @@ def graph_community(spark, sf_dir):
 
     out = community_detection(_edges(spark, sf_dir), iterations=_CD_ITERS, delta=_CD_DELTA)
     return out.orderBy("id")
+
+
+@query(
+    "graph_triadic_census_directed",
+    oracle=f"""
+WITH {_G},
+prs AS (
+  SELECT least(src, dst) AS x, greatest(src, dst) AS y,
+         max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS fwd,
+         max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS rev
+  FROM e GROUP BY 1, 2),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+tf AS (
+  SELECT pab.fwd AS f_ab, pab.rev AS r_ab, pbc.fwd AS f_bc, pbc.rev AS r_bc,
+         pac.fwd AS f_ac, pac.rev AS r_ac,
+         pab.fwd * pab.rev + pbc.fwd * pbc.rev + pac.fwd * pac.rev AS nbi
+  FROM tri t
+  JOIN prs pab ON pab.x = t.a AND pab.y = t.b
+  JOIN prs pbc ON pbc.x = t.b AND pbc.y = t.c
+  JOIN prs pac ON pac.x = t.a AND pac.y = t.c),
+tclass AS (
+  SELECT CASE
+    WHEN nbi = 3 THEN '300'
+    WHEN nbi = 2 THEN '210'
+    WHEN nbi = 1 THEN
+      CASE WHEN f_ab * r_ab = 1 THEN
+             CASE WHEN r_ac = 1 AND r_bc = 1 THEN '120d'
+                  WHEN f_ac = 1 AND f_bc = 1 THEN '120u'
+                  ELSE '120c' END
+           WHEN f_bc * r_bc = 1 THEN
+             CASE WHEN f_ab = 1 AND f_ac = 1 THEN '120d'
+                  WHEN r_ab = 1 AND r_ac = 1 THEN '120u'
+                  ELSE '120c' END
+           ELSE
+             CASE WHEN r_ab = 1 AND f_bc = 1 THEN '120d'
+                  WHEN f_ab = 1 AND r_bc = 1 THEN '120u'
+                  ELSE '120c' END END
+    WHEN f_ab * f_bc * r_ac = 1 OR r_ab * r_bc * f_ac = 1 THEN '030c'
+    ELSE '030t' END AS typ
+  FROM tf),
+tc AS (
+  SELECT count(*) FILTER (typ = '030t') AS t030t,
+         count(*) FILTER (typ = '030c') AS t030c,
+         count(*) FILTER (typ = '120d') AS t120d,
+         count(*) FILTER (typ = '120u') AS t120u,
+         count(*) FILTER (typ = '120c') AS t120c,
+         count(*) FILTER (typ = '210')  AS t210,
+         count(*) FILTER (typ = '300')  AS t300
+  FROM tclass),
+deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT x AS id FROM prs UNION ALL SELECT y FROM prs) GROUP BY id),
+outd AS (SELECT src AS id, count(*) AS od FROM e GROUP BY src),
+ind  AS (SELECT dst AS id, count(*) AS idg FROM e GROUP BY dst),
+vm AS (
+  SELECT d.degree, coalesce(o.od, 0) AS od, coalesce(i.idg, 0) AS idg,
+         d.degree - coalesce(i.idg, 0) AS us,
+         d.degree - coalesce(o.od, 0) AS ut,
+         coalesce(i.idg, 0) + coalesce(o.od, 0) - d.degree AS bi
+  FROM deg d LEFT JOIN outd o ON o.id = d.id LEFT JOIN ind i ON i.id = d.id),
+raw AS (
+  SELECT count(*) AS vc,
+         CAST(sum(us + ut) / 2 AS BIGINT) AS uec,
+         CAST(sum(bi) / 2 AS BIGINT) AS bec,
+         sum(CAST(us * (us - 1) / 2 AS BIGINT)) AS r021d,
+         sum(CAST(ut * (ut - 1) / 2 AS BIGINT)) AS r021u,
+         sum(us * ut) AS r021c,
+         sum(ut * bi) AS r111d,
+         sum(us * bi) AS r111u,
+         sum(CAST(bi * (bi - 1) / 2 AS BIGINT)) AS r201
+  FROM vm),
+fin AS (
+  SELECT vc, uec, bec, t030t, t030c, t120d, t120u, t120c, t210, t300,
+         r201 - 3 * t300 - t210 AS t201,
+         r111d - t210 - t120c - 2 * t120d AS t111d,
+         r111u - t210 - t120c - 2 * t120u AS t111u,
+         r021c - t120c - 3 * t030c - t030t AS t021c,
+         r021u - t120u - t030t AS t021u,
+         r021d - t120d - t030t AS t021d
+  FROM raw CROSS JOIN tc),
+fin2 AS (
+  SELECT *,
+         bec * (vc - 2) - t111d - t111u - 2 * t201
+           - t120d - t120u - t120c - 2 * t210 - 3 * t300 AS t102,
+         uec * (vc - 2) - 2 * t021d - 2 * t021u - 2 * t021c - t111d - t111u
+           - 3 * t030t - 3 * t030c - 2 * (t120d + t120u + t120c) - t210 AS t012
+  FROM fin)
+SELECT CAST(vc * (vc - 1) * (vc - 2) / 6 AS BIGINT)
+         - t012 - t102 - t021d - t021u - t021c - t111d - t111u
+         - t030t - t030c - t201 - t120d - t120u - t120c - t210 - t300 AS t003,
+       CAST(t012 AS BIGINT) AS t012, CAST(t102 AS BIGINT) AS t102,
+       CAST(t021d AS BIGINT) AS t021d, CAST(t021u AS BIGINT) AS t021u,
+       CAST(t021c AS BIGINT) AS t021c, CAST(t111d AS BIGINT) AS t111d,
+       CAST(t111u AS BIGINT) AS t111u, CAST(t030t AS BIGINT) AS t030t,
+       CAST(t030c AS BIGINT) AS t030c, CAST(t201 AS BIGINT) AS t201,
+       CAST(t120d AS BIGINT) AS t120d, CAST(t120u AS BIGINT) AS t120u,
+       CAST(t120c AS BIGINT) AS t120c, CAST(t210 AS BIGINT) AS t210,
+       CAST(t300 AS BIGINT) AS t300
+FROM fin2
+""",
+)
+def graph_triadic_census_directed(spark, sf_dir):
+    """Directed 16-type MAN triadic census
+    (clustering/directed/TriadicCensus.java): degree-metric raw triplets +
+    pair-flag triangle classification + closed-form closure — integer-exact,
+    never an O(n^3) triple scan. Validated against an independent per-triple
+    brute force in tests/test_graph.py."""
+    from ..graph.algorithms import triadic_census_directed
+
+    return triadic_census_directed(_edges(spark, sf_dir))

@@ -200,3 +200,79 @@ def test_community_detection_two_cliques(spark):
     # Reference semantics: scores are weighted maxima (LabelMessenger sends
     # score*edge_weight), so they GROW with strong in-community edges.
     assert all(r["score"] > 1.0 for r in rows.values())
+
+
+def _census_brute(nodes, edges):
+    """Independent pure-Python 16-type MAN classifier over all triples."""
+    import itertools
+    from collections import Counter
+
+    E = set(edges)
+    out = Counter()
+
+    def flags(x, y):
+        return (x, y) in E, (y, x) in E
+
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        ps = {("ab"): flags(a, b), ("bc"): flags(b, c), ("ac"): flags(a, c)}
+        m = sum(f and r for f, r in ps.values())
+        s = sum(f != r for f, r in ps.values())
+        if (m, s) == (0, 0):
+            t = "t003"
+        elif (m, s) == (0, 1):
+            t = "t012"
+        elif (m, s) == (1, 0):
+            t = "t102"
+        elif (m, s) == (2, 0):
+            t = "t201"
+        elif (m, s) == (2, 1):
+            t = "t210"
+        elif (m, s) == (3, 0):
+            t = "t300"
+        else:
+            singles = [
+                (x, y) for (x, y) in [(a, b), (b, a), (b, c), (c, b), (a, c), (c, a)]
+                if (x, y) in E and (y, x) not in E
+            ]
+            if (m, s) == (0, 2):
+                (u1, v1), (u2, v2) = singles
+                if u1 == u2:
+                    t = "t021d"  # shared center sources both
+                elif v1 == v2:
+                    t = "t021u"
+                else:
+                    t = "t021c"
+            elif (m, s) == (1, 1):
+                mut = next(p for p, (f, r) in ps.items() if f and r)
+                pairv = {"ab": (a, b), "bc": (b, c), "ac": (a, c)}[mut]
+                (u1, v1) = singles[0]
+                t = "t111d" if v1 in pairv else "t111u"
+            elif (m, s) == (1, 2):
+                mut = next(p for p, (f, r) in ps.items() if f and r)
+                pairv = {"ab": (a, b), "bc": (b, c), "ac": (a, c)}[mut]
+                z = next(v for v in (a, b, c) if v not in pairv)
+                outs = sum(1 for (u, v) in singles if u == z)
+                t = {2: "t120d", 0: "t120u", 1: "t120c"}[outs]
+            else:  # (0, 3)
+                cyc = ({(a, b), (b, c), (c, a)} <= E) or ({(b, a), (c, b), (a, c)} <= E)
+                t = "t030c" if cyc else "t030t"
+        out[t] += 1
+    return out
+
+
+def test_directed_triadic_census_vs_bruteforce(spark):
+    import random
+
+    from fries_flink_spark.graph.algorithms import triadic_census_directed
+
+    rng = random.Random(11)
+    nodes = list(range(12))
+    edges = [
+        (u, v) for u in nodes for v in nodes if u != v and rng.random() < 0.25
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = triadic_census_directed(df).collect()[0].asDict()
+    want = _census_brute(nodes, edges)
+    for k in got:
+        assert got[k] == want.get(k, 0), (k, got[k], want.get(k, 0))
+    assert sum(got.values()) == 220  # C(12,3)
