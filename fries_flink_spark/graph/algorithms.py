@@ -439,6 +439,79 @@ def triadic_census_directed(
     )
 
 
+def clustering_coefficients_directed(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, degree, tri_edges, coefficient) per vertex of a DIRECTED graph:
+    ``tri_edges`` counts the directed edges among the vertex's neighbors and
+    ``coefficient = tri_edges / (degree·(degree−1))`` with degree = distinct
+    neighbors (0.0 when degree < 2, matching the undirected variant here;
+    the reference emits NaN).
+
+    Gelly: clustering/directed/LocalClusteringCoefficient.java — same
+    derivation: each triangle contributes to each member vertex 1 or 2
+    depending on whether the edge between the OTHER two members is
+    unidirectional or mutual (SplitTriangles:146-175 bitmask pairs), so the
+    cost is the O(m^{3/2}) degree-ordered triangle join, never a per-hub
+    neighbor-pair explosion.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    pairs = (
+        e.select(
+            F.least("u", "v").alias("x"),
+            F.greatest("u", "v").alias("y"),
+            (F.col("u") < F.col("v")).cast("int").alias("f"),
+            (F.col("u") > F.col("v")).cast("int").alias("r"),
+        )
+        .groupBy("x", "y")
+        .agg(F.max("f").alias("fwd"), F.max("r").alias("rev"))
+    )
+    und = pairs.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    tri = triangle_listing(und)
+
+    def flags(xc, yc, p):
+        t = pairs.select(
+            F.col("x").alias(f"__x{p}"),
+            F.col("y").alias(f"__y{p}"),
+            (F.col("fwd") + F.col("rev")).alias(f"w_{p}"),
+        )
+        return t, (F.col(xc) == F.col(f"__x{p}")) & (F.col(yc) == F.col(f"__y{p}"))
+
+    t_ab, c_ab = flags("a", "b", "ab")
+    t_bc, c_bc = flags("b", "c", "bc")
+    t_ac, c_ac = flags("a", "c", "ac")
+    tf = tri.join(t_ab, c_ab).join(t_bc, c_bc).join(t_ac, c_ac)
+    contrib = (
+        tf.select(F.col("a").alias("id"), F.col("w_bc").alias("w"))
+        .unionByName(tf.select(F.col("b").alias("id"), F.col("w_ac").alias("w")))
+        .unionByName(tf.select(F.col("c").alias("id"), F.col("w_ab").alias("w")))
+        .groupBy("id")
+        .agg(F.sum("w").alias("tri_edges"))
+    )
+    deg = (
+        pairs.select(F.col("x").alias("id"))
+        .unionByName(pairs.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(contrib, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("tri_edges", F.lit(0)).alias("tri_edges"),
+        )
+        .withColumn(
+            "coefficient",
+            F.when(
+                F.col("degree") >= 2,
+                F.col("tri_edges")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def community_detection(
     edges: DataFrame,
     iterations: int,

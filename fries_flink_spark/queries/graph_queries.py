@@ -514,3 +514,49 @@ def graph_triadic_census_directed(spark, sf_dir):
     from ..graph.algorithms import triadic_census_directed
 
     return triadic_census_directed(_edges(spark, sf_dir))
+
+
+@query(
+    "graph_clustering_directed",
+    oracle=f"""
+WITH {_G},
+prs AS (
+  SELECT least(src, dst) AS x, greatest(src, dst) AS y,
+         max(CASE WHEN src < dst THEN 1 ELSE 0 END)
+           + max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS w
+  FROM e GROUP BY 1, 2),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+contrib AS (
+  SELECT id, sum(w) AS tri_edges FROM (
+    SELECT t.a AS id, p.w FROM tri t JOIN prs p ON p.x = t.b AND p.y = t.c
+    UNION ALL
+    SELECT t.b AS id, p.w FROM tri t JOIN prs p ON p.x = t.a AND p.y = t.c
+    UNION ALL
+    SELECT t.c AS id, p.w FROM tri t JOIN prs p ON p.x = t.a AND p.y = t.b)
+  GROUP BY id),
+deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT x AS id FROM prs UNION ALL SELECT y FROM prs) GROUP BY id)
+SELECT d.id, d.degree, coalesce(c.tri_edges, 0) AS tri_edges,
+       CASE WHEN d.degree >= 2
+            THEN round(coalesce(c.tri_edges, 0) * 1.0
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS coefficient
+FROM deg d LEFT JOIN contrib c ON c.id = d.id
+ORDER BY d.id
+""",
+)
+def graph_clustering_directed(spark, sf_dir):
+    """Directed local clustering coefficients
+    (clustering/directed/LocalClusteringCoefficient.java): directed edges
+    among neighbors / d(d-1), via the O(m^{3/2}) triangle join with mutual
+    pairs weighted 2 (SplitTriangles bitmask semantics)."""
+    from ..graph.algorithms import clustering_coefficients_directed
+
+    out = clustering_coefficients_directed(_edges(spark, sf_dir))
+    return out.select(
+        "id", "degree", "tri_edges", F.round("coefficient", 6).alias("coefficient")
+    ).orderBy("id")

@@ -276,3 +276,17 @@ def test_directed_triadic_census_vs_bruteforce(spark):
     for k in got:
         assert got[k] == want.get(k, 0), (k, got[k], want.get(k, 0))
     assert sum(got.values()) == 220  # C(12,3)
+
+
+def test_directed_clustering_coefficient(spark):
+    from fries_flink_spark.graph.algorithms import clustering_coefficients_directed
+
+    # Triangle 1->2, 2->3, 3->1 plus mutual 1<->2 (extra reverse edge 2->1).
+    # Neighborhood of 3 = {1,2}; directed edges among them: 1->2 and 2->1 =>
+    # tri_edges(3) = 2, coefficient = 2 / (2*1) = 1.0.
+    e = _dir(spark, [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 1, 1)])
+    rows = {r["id"]: r for r in clustering_coefficients_directed(e).collect()}
+    assert rows[3]["tri_edges"] == 2 and rows[3]["coefficient"] == 1.0
+    # Neighborhood of 1 = {2,3}: edges among them = 2->3 only => 1/(2*1).
+    assert rows[1]["tri_edges"] == 1 and rows[1]["coefficient"] == 0.5
+    assert rows[2]["tri_edges"] == 1 and rows[2]["coefficient"] == 0.5
