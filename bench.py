@@ -64,6 +64,13 @@ HEADLINE = [
     "join_runtime_filter",
     "cep_branchy_any",
     "sql_mr_all_rows",
+    # round-5 additions: quality gating, LM scoring, incremental-corpus
+    # dedup, semantic dedup, balanced sharding, graph analytics
+    "text_gopher_filter",
+    "text_unigram_logppl",
+    "dedup_incremental",
+    "pipeline_shard_balance",
+    "graph_triadic_census_directed",
 ]
 
 

@@ -131,7 +131,12 @@ def incremental_dedup(
     bucketed by (band, key) even a large batch probes co-located.
     """
     sig = minhash_table(batch, text_col, id_col, k=k)
-    nb = band_table(sig, id_col)
+    # The batch band table feeds FOUR consumers (corpus probe, in-batch
+    # self-join both sides, surviving-entry output); without pinning, each
+    # re-evaluates the md5-heavy minhash subtree. It is batch-sized — tiny
+    # next to the corpus — so materializing it is the right trade at any
+    # scale.
+    nb = band_table(sig, id_col).localCheckpoint(eager=True)
     hit_corpus = (
         nb.join(index.select("band", "key"), ["band", "key"], "left_semi")
         .select(id_col)

@@ -275,6 +275,9 @@ def triadic_census_directed(
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     # Unordered pair flags: fwd = lower→higher edge exists, rev = opposite.
+    # Pinned: the pair table feeds ~10 consumers (triangle join internals,
+    # three flag joins, degree union) — without materialization each one
+    # re-runs the source scan + distinct.
     pairs = (
         e.select(
             F.least("u", "v").alias("x"),
@@ -284,6 +287,7 @@ def triadic_census_directed(
         )
         .groupBy("x", "y")
         .agg(F.max("f").alias("fwd"), F.max("r").alias("rev"))
+        .localCheckpoint(eager=True)
     )
     und = pairs.select(F.col("x").alias("a"), F.col("y").alias("b"))
     tri = triangle_listing(und)
@@ -340,20 +344,16 @@ def triadic_census_directed(
         )
         .otherwise(F.when(cyc, F.lit("030c")).otherwise(F.lit("030t")))
     )
-    tcnt = tf.select(typ.alias("typ")).groupBy().pivot(
-        "typ", ["030t", "030c", "120d", "120u", "120c", "210", "300"]
-    ).count()
-    # a graph can lack some types entirely — coalesce, and handle 0 triangles
-    tcnt = tcnt.select(
-        *[F.coalesce(F.col(t), F.lit(0)).alias(f"t{t}") for t in
-          ("030t", "030c", "120d", "120u", "120c", "210", "300")]
+    # Conditional sums, not pivot: one aggregate, and a triangle-free graph
+    # still yields exactly one (all-zero) row.
+    tcnt = tf.select(typ.alias("typ")).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("typ") == t, 1).otherwise(0)), F.lit(0)
+            ).alias(f"t{t}")
+            for t in ("030t", "030c", "120d", "120u", "120c", "210", "300")
+        ]
     )
-    if tcnt.isEmpty():
-        tcnt = tcnt.sparkSession.createDataFrame(
-            [(0, 0, 0, 0, 0, 0, 0)],
-            "t030t long, t030c long, t120d long, t120u long, t120c long, "
-            "t210 long, t300 long",
-        )
 
     # Per-vertex degree metrics (VertexDegreesHelper): degree = distinct
     # neighbors, out/in on distinct directed edges.
@@ -465,6 +465,7 @@ def clustering_coefficients_directed(
         )
         .groupBy("x", "y")
         .agg(F.max("f").alias("fwd"), F.max("r").alias("rev"))
+        .localCheckpoint(eager=True)  # same multi-consumer pinning as the census
     )
     und = pairs.select(F.col("x").alias("a"), F.col("y").alias("b"))
     tri = triangle_listing(und)
