@@ -646,3 +646,62 @@ def sql_mr_match_number(spark, sf_dir):
         ORDER BY user_id, match_no
         """,
     )
+
+
+@query(
+    "sql_tumble_group_legacy",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w_start,
+           event_type, count(*) AS n, sum(value) AS total
+    FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
+    """,
+)
+def sql_tumble_group_legacy(spark, sf_dir):
+    """Pre-1.13 Flink group-window grammar: GROUP BY TUMBLE(ts, INTERVAL) +
+    TUMBLE_START auxiliary (FlinkSqlOperatorTable TUMBLE/TUMBLE_START,
+    GroupWindowITCase) — lowered textually onto Spark's native window()
+    expression, fully inside Catalyst."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '10' MINUTE)) AS w_start,
+               event_type, count(*) AS n, sum(value) AS total
+        FROM events
+        GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE), event_type
+        ORDER BY w_start, event_type
+        """,
+    )
+
+
+@query(
+    "sql_hop_group_legacy",
+    oracle="""
+    WITH slides AS (SELECT unnest(generate_series(0, 1)) AS k),
+    assigned AS (
+      SELECT CAST((floor((epoch(ts) - k.k * 300) / 600) * 600 + k.k * 300)
+                  AS BIGINT) AS w_start,
+             value
+      FROM events, slides k
+      WHERE epoch(ts) >= floor((epoch(ts) - k.k * 300) / 600) * 600 + k.k * 300
+    )
+    SELECT w_start, count(*) AS n, sum(value) AS total
+    FROM assigned GROUP BY w_start ORDER BY w_start
+    """,
+)
+def sql_hop_group_legacy(spark, sf_dir):
+    """Legacy HOP group window (slide 5 min, size 10 min — Flink's
+    slide-then-size argument order, flipped to Spark's size-then-slide by the
+    rewriter)."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT unix_timestamp(HOP_START(ts, INTERVAL '5' MINUTE,
+                                        INTERVAL '10' MINUTE)) AS w_start,
+               count(*) AS n, sum(value) AS total
+        FROM events
+        GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)
+        ORDER BY w_start
+        """,
+    )

@@ -885,14 +885,63 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
 # Entry point
 # --------------------------------------------------------------------------- #
 
+# --------------------------------------------------------------------------- #
+# Legacy group-window grammar: GROUP BY TUMBLE/HOP/SESSION(ts, ...) with
+# TUMBLE_START/TUMBLE_END/... auxiliary functions (the pre-1.13 Flink SQL
+# windowing idiom — FlinkSqlOperatorTable TUMBLE/TUMBLE_START/TUMBLE_END,
+# exercised throughout the reference's GroupWindowITCase). Lowered textually
+# onto Spark's native window()/session_window() expressions, so the whole
+# query stays inside Catalyst (codegen, partial aggregation, AQE).
+# --------------------------------------------------------------------------- #
+
+_IVL = r"INTERVAL\s+'[^']+'\s+\w+"
+_GW_FIELD_RE = re.compile(
+    rf"\b(TUMBLE|HOP|SESSION)_(START|END)\s*\(\s*(\w+)\s*,\s*({_IVL})"
+    rf"(?:\s*,\s*({_IVL}))?\s*\)",
+    re.IGNORECASE,
+)
+_GW_CALL_RE = re.compile(
+    rf"\b(TUMBLE|HOP|SESSION)\s*\(\s*(\w+)\s*,\s*({_IVL})"
+    rf"(?:\s*,\s*({_IVL}))?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_group_windows(q: str) -> str:
+    def field(m: re.Match) -> str:
+        kind, edge = m.group(1).upper(), m.group(2).lower()
+        fn = "session_window" if kind == "SESSION" else "window"
+        return f"{fn}.{edge}"
+
+    q = _GW_FIELD_RE.sub(field, q)
+
+    def call(m: re.Match) -> str:
+        kind, ts = m.group(1).upper(), m.group(2)
+        i1 = _interval_seconds(m.group(3))
+        if kind == "TUMBLE":
+            return f"window({ts}, '{i1} seconds')"
+        if kind == "HOP":
+            if not m.group(4):
+                raise ValueError("HOP group window needs (ts, slide, size)")
+            # Flink argument order is slide-then-size (FlinkSqlOperatorTable
+            # HOP); Spark's window() takes size-then-slide.
+            size = _interval_seconds(m.group(4))
+            return f"window({ts}, '{size} seconds', '{i1} seconds')"
+        return f"session_window({ts}, '{i1} seconds')"
+
+    return _GW_CALL_RE.sub(call, q)
+
+
 def sql(spark: SparkSession, query: str) -> DataFrame:
     """``TableEnvironment.sqlQuery`` with the Flink grammar extensions.
 
-    ANSI queries pass straight through to ``spark.sql``; window TVFs,
-    ``FOR SYSTEM_TIME AS OF`` and ``MATCH_RECOGNIZE`` are lowered onto this
-    repo's operators and spliced back as temp views.
+    ANSI queries pass straight through to ``spark.sql``; window TVFs, legacy
+    group windows, ``FOR SYSTEM_TIME AS OF`` and ``MATCH_RECOGNIZE`` are
+    lowered onto this repo's operators (or Spark's native window exprs) and
+    spliced back as temp views.
     """
     query = _rewrite_window_tvfs(spark, query)
+    query = _rewrite_group_windows(query)
     query = _rewrite_temporal_join(spark, query)
     query = _rewrite_match_recognize(spark, query)
     return spark.sql(query)

@@ -337,3 +337,49 @@ def test_mr_skip_to_first_var(spark):
         """,
     )
     assert sorted(r["a_id"] for r in got.collect()) == [0, 2]
+
+
+def test_legacy_group_window_rewrite_text():
+    from fries_flink_spark.sqlext import _rewrite_group_windows
+
+    q = _rewrite_group_windows(
+        "SELECT TUMBLE_START(ts, INTERVAL '10' MINUTE), count(*) "
+        "FROM t GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)"
+    )
+    assert "window.start" in q and "window(ts, '600 seconds')" in q
+    # HOP flips Flink's slide-then-size into Spark's size-then-slide
+    q2 = _rewrite_group_windows(
+        "GROUP BY HOP(ts, INTERVAL '1' MINUTE, INTERVAL '5' MINUTE)"
+    )
+    assert "window(ts, '300 seconds', '60 seconds')" in q2
+    q3 = _rewrite_group_windows(
+        "SELECT SESSION_END(ts, INTERVAL '30' SECOND) "
+        "FROM t GROUP BY SESSION(ts, INTERVAL '30' SECOND)"
+    )
+    assert "session_window.end" in q3 and "session_window(ts, '30 seconds')" in q3
+    # ANSI text without group windows passes through untouched
+    assert _rewrite_group_windows("SELECT a FROM t") == "SELECT a FROM t"
+
+
+def test_legacy_session_group_window_executes(spark):
+    import datetime
+
+    from fries_flink_spark.sqlext import sql as fsql
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, s)) for s in (0, 10, 20)
+    ] + [(1, datetime.datetime(2024, 1, 1, 0, 5, 0))]
+    spark.createDataFrame(rows, "k int, ts timestamp").createOrReplaceTempView(
+        "sess_ev"
+    )
+    out = fsql(
+        spark,
+        """
+        SELECT k, unix_timestamp(SESSION_START(ts, INTERVAL '1' MINUTE)) AS s,
+               count(*) AS n
+        FROM sess_ev
+        GROUP BY k, SESSION(ts, INTERVAL '1' MINUTE)
+        ORDER BY s
+        """,
+    ).collect()
+    assert [r["n"] for r in out] == [3, 1]  # 3 clustered events, 1 lone
