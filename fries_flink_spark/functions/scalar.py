@@ -108,3 +108,18 @@ def parse_url(url: Column | str, part: str, key: str | None = None) -> Column:
     if key is None:
         return F.parse_url(col, F.lit(part))
     return F.parse_url(col, F.lit(part), F.lit(key))
+
+
+def single_value(col: Column | str) -> Column:
+    """Flink SINGLE_VALUE aggregate (SingleValueAggFunction.java): returns the
+    group's one value; FAILS AT RUNTIME if the group holds more than one row —
+    the semantics scalar subqueries rely on. Spark's scalar subqueries enforce
+    this natively; this is the explicit aggregate form for Table-API use.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # raise_error in the else branch: NullType coerces to the value branch's
+    # type, and (unlike an assert_true that both branches share) the CASE
+    # cannot be constant-folded away.
+    return F.when(F.count(F.lit(1)) <= 1, F.first(c)).otherwise(
+        F.raise_error(F.lit("SINGLE_VALUE: group has more than one row"))
+    )

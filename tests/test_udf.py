@@ -99,3 +99,21 @@ def test_native_udtf(spark):
     assert [(r.pos, r.tok, r.n) for r in out] == [
         (0, "alpha", 5), (1, "beta", 4), (2, "gamma", 5)
     ]
+
+
+def test_single_value_aggregate(spark):
+    import pytest as _pt
+
+    from fries_flink_spark.functions.scalar import single_value
+    from pyspark.sql import functions as F
+
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    got = {
+        r["k"]: r["sv"]
+        for r in ok.groupBy("k").agg(single_value("v").alias("sv")).collect()
+    }
+    assert got == {1: "a", 2: "b"}
+    # Flink SingleValueAggFunction: a 2-row group is a runtime error.
+    bad = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    with _pt.raises(Exception, match="SINGLE_VALUE|ASSERT"):
+        bad.groupBy("k").agg(single_value("v").alias("sv")).collect()
