@@ -311,6 +311,46 @@ def ensure_mm_video_frames(sf_dir: str, force: bool = False) -> str:
     return path
 
 
+def ensure_mm_video_scenecut(
+    sf_dir: str, threshold: float = 16.0, force: bool = False
+) -> str:
+    """Golden for mm_video_scenecut: doc text -> 4-frame 8x8 SYN video ->
+    per-frame mean (sum/64, dyadic-exact) + frame-diff cut flag at a dyadic
+    threshold — every comparison is between exact doubles."""
+    import pyarrow as pa
+
+    path = golden_path("mm_video_scenecut", sf_dir)
+    if os.path.exists(path) and not force:
+        return path
+    rows = _fetch(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id")
+    ids, fidx, means, cuts = [], [], [], []
+    for doc_id, text in rows:
+        raw = np.frombuffer(text.encode("utf-8")[:256], dtype=np.uint8)
+        px = np.zeros(256, dtype=np.uint8)
+        px[: len(raw)] = raw
+        frames = px.reshape(4, 8, 8).astype(np.float64)
+        ms = frames.reshape(4, 64).sum(axis=1) / 64.0
+        prev = None
+        for fi, m in enumerate(ms):
+            ids.append(int(doc_id))
+            fidx.append(fi)
+            means.append(float(m))
+            cuts.append(prev is not None and abs(m - prev) > threshold)
+            prev = m
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "mean_intensity": pa.array(means, pa.float64()),
+                "is_cut": pa.array(cuts, pa.bool_()),
+            }
+        ),
+    )
+    return path
+
+
 def ensure_mm_audio_features(sf_dir: str, force: bool = False) -> str:
     """Golden for mm_audio_features: doc text -> 512-sample int16 SYN audio
     ((byte-128)*256), frame_len=128 -> 4 RMS values (micro-units) + peak.
@@ -561,5 +601,6 @@ def ensure_driver_goldens() -> None:
             ensure_bpe_merges(DRIVER_SF_DIR)
             ensure_bpe_encode(DRIVER_SF_DIR)
             ensure_semantic_dedup(DRIVER_SF_DIR)
+            ensure_mm_video_scenecut(DRIVER_SF_DIR)
         except Exception:  # never break registry import on golden failure
             pass

@@ -192,3 +192,42 @@ def mm_audio_features(spark, sf_dir):
         ).alias("rms_str"),
         "peak",
     ).orderBy("media_id")
+
+
+@query("mm_video_scenecut", oracle=None)  # golden oracle set below
+def mm_video_scenecut(spark, sf_dir):
+    """Shot-boundary detection on SYN video (multimodal/media.detect_scene_cuts):
+    frame-diff of per-frame means against a dyadic threshold — one mapInPandas
+    pass, flags engine-exact against the independent numpy golden."""
+    from ..multimodal.media import VIDEO_MAGIC, detect_scene_cuts
+
+    _golden.ensure_mm_video_scenecut(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def to_syn_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8")[:256], dtype=np.uint8)
+                px = np.zeros(256, dtype=np.uint8)
+                px[: len(raw)] = raw
+                rows.append(
+                    (did, VIDEO_MAGIC + _struct.pack(">HHH", 8, 8, 4) + px.tobytes())
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    vids = docs.mapInPandas(to_syn_video, schema="media_id long, content binary")
+    return detect_scene_cuts(vids, threshold=16.0).orderBy("media_id", "frame_idx")
+
+
+def _set_scenecut_oracle() -> None:
+    from ..registry import REGISTRY
+
+    REGISTRY["mm_video_scenecut"].oracle = f"""
+    SELECT media_id, frame_idx, mean_intensity, is_cut
+    FROM read_parquet('{_golden.golden_path("mm_video_scenecut", _golden.DRIVER_SF_DIR)}')
+    ORDER BY media_id, frame_idx
+    """
+
+
+_set_scenecut_oracle()

@@ -155,3 +155,27 @@ def test_golden_sim_topk_ivf_matches_spark(spark, sf_dir):
         f"SELECT vec_id, cos4 FROM read_parquet('{path}') ORDER BY cos4 DESC, vec_id"
     ).fetchall()
     assert got == [(int(a), int(b)) for a, b in want]
+
+
+def test_scene_cut_detection(spark):
+    import numpy as np
+
+    from fries_flink_spark.multimodal.media import (
+        detect_scene_cuts,
+        encode_syn_video,
+    )
+
+    # 4 frames: flat 10, flat 12 (no cut), flat 200 (cut), flat 205 (no cut)
+    frames = np.stack(
+        [np.full((8, 8), v, dtype=np.uint8) for v in (10, 12, 200, 205)]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_syn_video(frames)))], "media_id long, content binary"
+    )
+    rows = sorted(
+        detect_scene_cuts(df, threshold=16.0).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["is_cut"] for r in rows] == [False, False, True, False]
+    assert rows[0]["mean_intensity"] == 10.0
+    assert rows[2]["mean_intensity"] == 200.0
