@@ -102,11 +102,31 @@ class TableEnvironment:
 
         return _ext_sql(self.spark, sql)
 
-    # Flink names executeSql for DDL+DML; for us it is the same entry point.
-    execute_sql = sql_query
+    def execute_sql(self, sql: str):
+        """Reference TableEnvironment.executeSql: DDL (CREATE TABLE ... WITH,
+        DROP TABLE) and DML (INSERT INTO) route through the Flink-DDL shim
+        (``ddl.FlinkDdl``); queries fall through to :meth:`sql_query`."""
+        from .ddl import is_ddl
+
+        if is_ddl(sql):
+            return self._ddl.execute(sql)
+        return self.sql_query(sql)
+
+    @property
+    def _ddl(self):
+        from .ddl import FlinkDdl
+
+        if not hasattr(self, "_ddl_state"):
+            self._ddl_state = FlinkDdl(self.spark)
+        return self._ddl_state
 
     def from_path(self, name: str) -> DataFrame:
         return self.spark.table(name)
+
+    def from_path_stream(self, name: str) -> DataFrame:
+        """Streaming read of a DDL-registered table, with its WATERMARK
+        clause applied (the streaming half of a Flink table definition)."""
+        return self._ddl.open_stream(name)
 
     def create_temporary_view(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)

@@ -1,0 +1,287 @@
+"""Flink SQL DDL compatibility: CREATE TABLE ... WITH (connector options),
+INSERT INTO, DROP TABLE.
+
+Reference surface: TableEnvironment.executeSql DDL handling
+(flink-table/flink-table-api-java/.../TableEnvironmentImpl.java executeSql →
+SqlToOperationConverter), the filesystem connector factory
+(flink-table/flink-table-runtime-blink/.../filesystem/FileSystemTableFactory),
+datagen (flink-table/.../factories/DataGenTableSourceFactory.java), print
+(PrintTableSinkFactory) and blackhole (BlackHoleTableSinkFactory). A reference
+user's first lines of SQL are this DDL; this module lets them run unchanged.
+
+Lowering (Spark-first):
+
+- ``connector=filesystem`` → ``spark.read.<format>`` registered as a temp
+  view — the scan stays declarative, so pushdown/pruning work. The parsed
+  watermark clause is recorded and applied via ``withWatermark`` when the
+  table is opened as a stream (``TableEnvironment.from_path_stream``).
+- ``connector=datagen`` → bounded ``spark.range`` (batch) or rate source
+  (stream) with deterministic hash-derived columns — reproducible, unlike
+  Flink's random datagen, which suits oracle-testing better.
+- ``connector=print`` / ``blackhole`` → sink-only tables; INSERT INTO maps
+  to ``.show()`` / noop-format write.
+- ``connector=kafka``/``jdbc`` → recorded, with the same env-gated behavior
+  as ``streaming/sources.kafka_source`` / ``sources/connectors.read_jdbc``
+  (no connector jars in this environment).
+
+Scale note: nothing here adds execution machinery — DDL only routes to the
+same declarative reads/writes used everywhere else.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["FlinkDdl", "TableSpec", "is_ddl"]
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"\((?P<cols>.*)\)\s*WITH\s*\((?P<opts>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+(?P<select>SELECT\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WATERMARK_RE = re.compile(
+    r"WATERMARK\s+FOR\s+(\w+)\s+AS\s+\1\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class TableSpec:
+    name: str
+    columns: list[tuple[str, str]]  # (name, sql type)
+    options: dict[str, str]
+    watermark: tuple[str, int] | None = None  # (ts col, delay seconds)
+    computed: list[tuple[str, str]] = field(default_factory=list)
+
+
+def is_ddl(sql: str) -> bool:
+    s = sql.lstrip().upper()
+    return s.startswith(("CREATE TABLE", "CREATE TEMPORARY TABLE", "DROP TABLE",
+                         "INSERT INTO"))
+
+
+def _split_top(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur and "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
+_UNIT_S = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+
+def _parse_create(sql: str) -> TableSpec:
+    m = _CREATE_RE.match(sql)
+    if not m:
+        raise ValueError(f"cannot parse CREATE TABLE statement: {sql[:120]!r}")
+    name = m.group(1)
+    columns: list[tuple[str, str]] = []
+    computed: list[tuple[str, str]] = []
+    watermark = None
+    for item in _split_top(m.group("cols")):
+        wm = _WATERMARK_RE.match(item)
+        if wm:
+            watermark = (wm.group(1), int(wm.group(2)) * _UNIT_S[wm.group(3).upper()])
+            continue
+        if re.match(r"PRIMARY\s+KEY", item, re.IGNORECASE):
+            continue  # NOT ENFORCED in the reference too
+        cm = re.match(r"(\w+)\s+AS\s+(.+)$", item, re.IGNORECASE)
+        if cm and not re.match(r"\w+\s+AS\s*$", item):
+            computed.append((cm.group(1), cm.group(2)))
+            continue
+        parts = item.split(None, 1)
+        if len(parts) == 2:
+            columns.append((parts[0], parts[1]))
+    options = {}
+    for opt in _split_top(m.group("opts")):
+        om = re.match(r"'([^']+)'\s*=\s*'([^']*)'", opt.strip())
+        if om:
+            options[om.group(1).lower()] = om.group(2)
+    if "connector" not in options:
+        raise ValueError(f"CREATE TABLE {name}: missing 'connector' option")
+    return TableSpec(name, columns, options, watermark, computed)
+
+
+_FMT_ALIASES = {"raw": "text"}
+
+
+class FlinkDdl:
+    """DDL state + execution over a SparkSession (one per TableEnvironment)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, TableSpec] = {}
+
+    # ------------------------------------------------------------------ #
+
+    def execute(self, sql: str) -> DataFrame | None:
+        if _DROP_RE.match(sql):
+            name = _DROP_RE.match(sql).group(1)
+            self.tables.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            return None
+        im = _INSERT_RE.match(sql)
+        if im:
+            return self._insert(im.group(1), im.group("select"))
+        spec = _parse_create(sql)
+        self.tables[spec.name] = spec
+        self._register(spec)
+        return None
+
+    # ------------------------------------------------------------------ #
+
+    def _schema_str(self, spec: TableSpec) -> str:
+        return ", ".join(f"{n} {t}" for n, t in spec.columns)
+
+    def _apply_computed(self, df: DataFrame, spec: TableSpec) -> DataFrame:
+        for cname, expr in spec.computed:
+            df = df.withColumn(cname, F.expr(expr))
+        return df
+
+    def _register(self, spec: TableSpec) -> None:
+        conn = spec.options["connector"].lower()
+        if conn == "filesystem":
+            # A filesystem table may be created as a SINK before its path
+            # exists (Flink's factory is lazy too) — defer registration to
+            # the first INSERT in that case.
+            try:
+                df = self._read_filesystem(spec)
+                self._apply_computed(df, spec).createOrReplaceTempView(spec.name)
+            except Exception:
+                pass
+        elif conn == "datagen":
+            n = int(spec.options.get("number-of-rows", "1000"))
+            df = self._datagen(spec, n)
+            df.createOrReplaceTempView(spec.name)
+        elif conn in ("print", "blackhole"):
+            pass  # sink-only: resolved at INSERT INTO time
+        elif conn in ("kafka", "jdbc"):
+            # same env-gating as the dedicated wrappers — fail at USE, not
+            # at CREATE, mirroring Flink's lazy factory instantiation
+            pass
+        else:
+            raise ValueError(f"unsupported connector {conn!r}")
+
+    def _read_filesystem(self, spec: TableSpec) -> DataFrame:
+        path = spec.options["path"]
+        fmt = _FMT_ALIASES.get(
+            spec.options.get("format", "parquet").lower(),
+            spec.options.get("format", "parquet").lower(),
+        )
+        reader = self.spark.read
+        if fmt == "csv":
+            reader = reader.option(
+                "header", spec.options.get("csv.include-header", "false")
+            ).option(
+                "sep", spec.options.get("csv.field-delimiter", ",")
+            ).schema(self._schema_str(spec))
+        elif fmt == "json":
+            reader = reader.schema(self._schema_str(spec))
+        return reader.format(fmt).load(path)
+
+    def _datagen(self, spec: TableSpec, n: int) -> DataFrame:
+        """Deterministic datagen: hash-derived values per column type."""
+        df = self.spark.range(n).withColumn(
+            "timestamp", F.timestamp_seconds(F.lit(1704067200) + F.col("id"))
+        )
+        return df.select(*self._datagen_cols_for(spec))
+
+    # ------------------------------------------------------------------ #
+
+    def _insert(self, target: str, select_sql: str) -> DataFrame | None:
+        from .sqlext import sql as _ext_sql
+
+        df = _ext_sql(self.spark, select_sql)
+        spec = self.tables.get(target)
+        if spec is None:
+            raise ValueError(f"INSERT INTO unknown table {target!r}")
+        conn = spec.options["connector"].lower()
+        if conn == "filesystem":
+            fmt = spec.options.get("format", "parquet").lower()
+            df.write.mode("append").format(_FMT_ALIASES.get(fmt, fmt)).save(
+                spec.options["path"]
+            )
+            self._register(spec)  # the path exists now: (re)expose the view
+            return None
+        if conn == "print":
+            df.show(truncate=False)
+            return None
+        if conn == "blackhole":
+            df.write.mode("overwrite").format("noop").save()
+            return None
+        raise ValueError(f"INSERT INTO connector {conn!r} not supported")
+
+    # ------------------------------------------------------------------ #
+
+    def open_stream(self, name: str) -> DataFrame:
+        """Streaming read of a DDL table (filesystem/datagen), with the DDL
+        watermark applied — the streaming half of the Flink table."""
+        spec = self.tables[name]
+        conn = spec.options["connector"].lower()
+        if conn == "filesystem":
+            fmt = spec.options.get("format", "parquet").lower()
+            sdf = (
+                self.spark.readStream.schema(self._schema_str(spec))
+                .format(_FMT_ALIASES.get(fmt, fmt))
+                .load(spec.options["path"])
+            )
+        elif conn == "datagen":
+            rps = int(spec.options.get("rows-per-second", "100"))
+            rate = (
+                self.spark.readStream.format("rate")
+                .option("rowsPerSecond", rps)
+                .load()
+                .withColumnRenamed("value", "id")
+            )
+            sdf = rate.select(*self._datagen_cols_for(spec))
+        else:
+            raise ValueError(f"connector {conn!r} has no streaming source here")
+        sdf = self._apply_computed(sdf, spec)
+        if spec.watermark:
+            ts, delay = spec.watermark
+            sdf = sdf.withWatermark(ts, f"{delay} seconds")
+        return sdf
+
+    def _datagen_cols_for(self, spec: TableSpec):
+        """Column derivations shared by the batch (spark.range) and streaming
+        (rate source) datagen paths — both expose ``id`` and ``timestamp``."""
+        cols = []
+        for cname, ctype in spec.columns:
+            t = ctype.strip().upper()
+            h = F.xxhash64(F.col("id"), F.lit(cname))
+            if t.startswith(("INT", "BIGINT", "SMALLINT", "TINYINT")):
+                cols.append(F.pmod(h, F.lit(1000)).cast("long").alias(cname))
+            elif t.startswith(("DOUBLE", "FLOAT", "DECIMAL")):
+                cols.append(
+                    (F.pmod(h, F.lit(100000)) / 1000.0).cast("double").alias(cname)
+                )
+            elif t.startswith("TIMESTAMP"):
+                cols.append(F.col("timestamp").alias(cname))
+            elif t.startswith("BOOLEAN"):
+                cols.append((F.pmod(h, F.lit(2)) == 0).alias(cname))
+            else:
+                cols.append(
+                    F.concat(F.lit(cname + "-"), F.pmod(h, F.lit(1000))).alias(cname)
+                )
+        return cols
