@@ -50,6 +50,10 @@ _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+(?P<select>SELECT\s+.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_STMT_SET_RE = re.compile(
+    r"^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(?P<body>.*?)\s+END\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _WATERMARK_RE = re.compile(
     r"WATERMARK\s+FOR\s+(\w+)\s+AS\s+\1\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)",
     re.IGNORECASE,
@@ -68,7 +72,7 @@ class TableSpec:
 def is_ddl(sql: str) -> bool:
     s = sql.lstrip().upper()
     return s.startswith(("CREATE TABLE", "CREATE TEMPORARY TABLE", "DROP TABLE",
-                         "INSERT INTO"))
+                         "INSERT INTO", "EXECUTE STATEMENT SET"))
 
 
 def _split_top(s: str) -> list[str]:
@@ -136,6 +140,18 @@ class FlinkDdl:
     # ------------------------------------------------------------------ #
 
     def execute(self, sql: str) -> DataFrame | None:
+        sm = _STMT_SET_RE.match(sql)
+        if sm:
+            # Flink STATEMENT SET (TableEnvironmentImpl.createStatementSet /
+            # parserImpls.ftl EXECUTE STATEMENT SET BEGIN ... END): a batch
+            # of INSERTs planned together. Flink shares common source scans
+            # across the inserts; Spark's analog for repeated sources is the
+            # shuffle/exchange reuse Catalyst applies per action — here the
+            # inserts run sequentially, each fully optimized.
+            for stmt in sm.group("body").split(";"):
+                if stmt.strip():
+                    self.execute(stmt.strip())
+            return None
         if _DROP_RE.match(sql):
             name = _DROP_RE.match(sql).group(1)
             self.tables.pop(name, None)

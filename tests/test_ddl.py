@@ -118,3 +118,24 @@ def test_unknown_connector_rejected(env):
         env.execute_sql(
             "CREATE TABLE nope (x INT) WITH ('connector' = 'quantum')"
         )
+
+
+def test_statement_set_multi_insert(env, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    env.execute_sql(
+        f"CREATE TABLE sink_a (x BIGINT) WITH ('connector'='filesystem', 'path'='{a}', 'format'='parquet')"
+    )
+    env.execute_sql(
+        f"CREATE TABLE sink_b (n BIGINT) WITH ('connector'='filesystem', 'path'='{b}', 'format'='parquet')"
+    )
+    env.spark.range(8).createOrReplaceTempView("eight")
+    env.execute_sql(
+        """
+        EXECUTE STATEMENT SET BEGIN
+          INSERT INTO sink_a SELECT id AS x FROM eight WHERE id < 3;
+          INSERT INTO sink_b SELECT count(*) AS n FROM eight
+        END
+        """
+    )
+    assert env.spark.read.parquet(a).count() == 3
+    assert env.spark.read.parquet(b).first()["n"] == 8
