@@ -462,6 +462,67 @@ def ensure_semantic_dedup(
 
 
 # --------------------------------------------------------------------------- #
+# emb_pca_project
+# --------------------------------------------------------------------------- #
+
+
+def ensure_pca_project(
+    sf_dir: str, k: int = 8, micro: int = 10_000, force: bool = False
+) -> str:
+    """Golden for queries/pipeline_queries.emb_pca_project: single-machine
+    replay of the fixed-point PCA. The distributed accumulation under test
+    sums int64 fixed-point moments, which are partition-order independent
+    and exactly reproduced here; covariance/eigh/sign-normalization and the
+    per-row fold projection then replay the identical IEEE operations."""
+    import pyarrow as pa
+
+    path = golden_path("emb_pca_project", sf_dir)
+    if os.path.exists(path) and not force:
+        return path
+    rows = _fetch(
+        sf_dir,
+        "SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id",
+    )
+    ids = [int(vid) for vid, _ in rows]
+    x = np.array([[float(v) for v in emb] for _, emb in rows], dtype=np.float64)
+    scale = float(1 << 20)
+    xi = np.floor(x * scale + 0.5).astype(np.int64)
+    n = len(xi)
+    s = xi.sum(axis=0)
+    g = xi.T @ xi
+    mu = (s / scale) / n
+    cov = (g / (scale * scale)) / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comp = v[:, order]
+    for j in range(comp.shape[1]):
+        i = int(np.argmax(np.abs(comp[:, j])))
+        if comp[i, j] < 0:
+            comp[:, j] = -comp[:, j]
+    pcs = []
+    for row in x:
+        c = row - mu
+        out_row = []
+        for j in range(comp.shape[1]):
+            acc = 0.0
+            col = comp[:, j]
+            for t in range(len(c)):
+                acc += c[t] * col[t]
+            out_row.append(int(math.floor(acc * float(micro) + 0.5)))
+        pcs.append("|".join(str(p) for p in out_row))
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "pc_str": pa.array(pcs, pa.string()),
+            }
+        ),
+    )
+    return path
+
+
+# --------------------------------------------------------------------------- #
 # text_bpe_merges / text_bpe_encode
 # --------------------------------------------------------------------------- #
 
@@ -602,5 +663,6 @@ def ensure_driver_goldens() -> None:
             ensure_bpe_encode(DRIVER_SF_DIR)
             ensure_semantic_dedup(DRIVER_SF_DIR)
             ensure_mm_video_scenecut(DRIVER_SF_DIR)
+            ensure_pca_project(DRIVER_SF_DIR)
         except Exception:  # never break registry import on golden failure
             pass

@@ -525,3 +525,40 @@ def q_pipeline_shard_balance(spark, sf_dir):
     )
     sharded = assign_shards(docs, "tokens", "doc_id", n_shards=4, part_col="source")
     return shard_stats(sharded, "tokens", part_col="source").orderBy("source", "shard")
+
+
+@query("emb_pca_project", oracle=None)  # golden oracle set below
+def q_emb_pca_project(spark, sf_dir):
+    """Distributed PCA (pipeline/pca.py): exact fixed-point second moments
+    (partition-invariant int64 Gram), driver eigh, broadcast top-8
+    projection in micro-units — verified against the independent
+    single-machine replay."""
+    from . import golden as _g
+    from ..pipeline.pca import pca_components, project_pca, second_moments
+
+    _g.ensure_pca_project(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    n, s, g = second_moments(emb, "embedding", dim)
+    mu, comp = pca_components(n, s, g, k=8)
+    out = project_pca(emb, "embedding", "vec_id", mu, comp)
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("pc", lambda x: x.cast("string")), "|").alias(
+            "pc_str"
+        ),
+    ).orderBy("vec_id")
+
+
+def _set_pca_oracle() -> None:
+    from . import golden as _g
+    from ..registry import REGISTRY
+
+    REGISTRY["emb_pca_project"].oracle = f"""
+    SELECT vec_id, pc_str
+    FROM read_parquet('{_g.golden_path("emb_pca_project", _g.DRIVER_SF_DIR)}')
+    ORDER BY vec_id
+    """
+
+
+_set_pca_oracle()

@@ -341,3 +341,37 @@ def test_gopher_rules_hand_fixture(spark):
     # rule set composes with the validation stage's one-pass summary
     summary = {r["rule"]: r["n_violations"] for r in summarize(df, rules).collect()}
     assert summary["words_in_range"] >= 1 and summary["symbol_ratio_ok"] >= 1
+
+
+def test_pca_moments_partition_invariant(spark):
+    import numpy as np
+
+    from fries_flink_spark.pipeline.pca import second_moments
+
+    rows = [(i, [float(i % 7) / 3.0, float(i % 5) - 2.0, 0.25 * i]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    n1, s1, g1 = second_moments(df.repartition(1), "embedding", 3)
+    n8, s8, g8 = second_moments(df.repartition(8), "embedding", 3)
+    assert n1 == n8 == 60
+    assert (s1 == s8).all() and (g1 == g8).all()  # integer sums: exact
+
+
+def test_pca_projects_onto_dominant_axis(spark):
+    import numpy as np
+
+    from fries_flink_spark.pipeline.pca import (
+        pca_components,
+        project_pca,
+        second_moments,
+    )
+
+    # Variance almost entirely along dim 0.
+    rows = [(i, [float(i), 0.001 * (i % 3), 0.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    n, s, g = second_moments(df, "embedding", 3)
+    mu, comp = pca_components(n, s, g, k=1)
+    assert abs(abs(comp[0, 0]) - 1.0) < 1e-3  # first axis ~ e0
+    out = {r["vec_id"]: r["pc"] for r in project_pca(df, "embedding", "vec_id", mu, comp).collect()}
+    # projections are centered: min and max are symmetric around 0
+    vals = [v[0] for v in out.values()]
+    assert abs(max(vals) + min(vals)) <= 1  # micro-unit rounding slack
