@@ -383,3 +383,49 @@ def test_legacy_session_group_window_executes(spark):
         """,
     ).collect()
     assert [r["n"] for r in out] == [3, 1]  # 3 clustered events, 1 lone
+
+
+def test_window_three_formulations_equivalent(spark):
+    """Legacy GROUP BY TUMBLE, the TUMBLE TVF, and the native DataFrame
+    window() must agree row-for-row — the property that makes the grammar
+    shims safe to mix in one codebase."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from fries_flink_spark.sqlext import sql as fsql
+
+    rows = [
+        (i % 3, datetime.datetime(2024, 1, 1, 0, i // 3, (i * 7) % 60), float(i))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    df.createOrReplaceTempView("eq_ev")
+
+    legacy = fsql(
+        spark,
+        """
+        SELECT k, unix_timestamp(TUMBLE_START(ts, INTERVAL '5' MINUTE)) AS ws,
+               count(*) AS n, sum(v) AS total
+        FROM eq_ev GROUP BY k, TUMBLE(ts, INTERVAL '5' MINUTE)
+        """,
+    )
+    tvf = fsql(
+        spark,
+        """
+        SELECT k, unix_timestamp(window_start) AS ws, count(*) AS n,
+               sum(v) AS total
+        FROM TABLE(TUMBLE(TABLE eq_ev, DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        GROUP BY k, window_start
+        """,
+    )
+    native = (
+        df.groupBy("k", F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .select("k", F.unix_timestamp("w.start").alias("ws"), "n", "total")
+    )
+
+    def canon(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    assert canon(legacy) == canon(tvf) == canon(native)
