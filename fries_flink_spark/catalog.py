@@ -105,9 +105,21 @@ class TableEnvironment:
     def execute_sql(self, sql: str):
         """Reference TableEnvironment.executeSql: DDL (CREATE TABLE ... WITH,
         DROP TABLE) and DML (INSERT INTO) route through the Flink-DDL shim
-        (``ddl.FlinkDdl``); queries fall through to :meth:`sql_query`."""
+        (``ddl.FlinkDdl``); EXPLAIN returns the Catalyst plan string (the
+        analog of Flink's ``EXPLAIN PLAN FOR``); queries fall through to
+        :meth:`sql_query`."""
+        import re as _re
+
         from .ddl import is_ddl
 
+        em = _re.match(
+            r"\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$", sql, _re.IGNORECASE | _re.DOTALL
+        )
+        if em:
+            df = self.sql_query(em.group(1))
+            return df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
         if is_ddl(sql):
             return self._ddl.execute(sql)
         return self.sql_query(sql)

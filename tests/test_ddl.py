@@ -139,3 +139,11 @@ def test_statement_set_multi_insert(env, tmp_path):
     )
     assert env.spark.read.parquet(a).count() == 3
     assert env.spark.read.parquet(b).first()["n"] == 8
+
+
+def test_explain_statement(env):
+    env.spark.range(4).createOrReplaceTempView("four")
+    plan = env.execute_sql("EXPLAIN PLAN FOR SELECT id * 2 AS d FROM four")
+    assert isinstance(plan, str) and "Physical Plan" in plan
+    plan2 = env.execute_sql("EXPLAIN SELECT count(*) FROM four")
+    assert "Physical Plan" in plan2

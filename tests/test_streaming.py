@@ -263,3 +263,80 @@ def test_count_window(spark, sf_dir):
     finally:
         ev.unpersist()
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join (reference
+    StreamingJoinOperator left-outer path): matched pairs agree with the
+    batch join, and clicks with no purchase in the window are emitted
+    null-extended once the watermark passes — the state-cleanup semantics
+    the reference implements with retraction timers."""
+    clicks_sdf, stage_a = stream_from_table(spark, sf_dir, "events", n_chunks=4)
+    buys_sdf, stage_b = stream_from_table(spark, sf_dir, "events", n_chunks=4)
+    try:
+        a = (
+            clicks_sdf.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("a_user"),
+                F.col("event_id").alias("a_id"),
+                F.col("ts").alias("a_ts"),
+            )
+            .withWatermark("a_ts", "5 minutes")
+        )
+        b = (
+            buys_sdf.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("b_user"),
+                F.col("event_id").alias("b_id"),
+                F.col("ts").alias("b_ts"),
+            )
+            .withWatermark("b_ts", "5 minutes")
+        )
+        joined = a.join(
+            b,
+            F.expr(
+                "a_user = b_user AND b_ts > a_ts "
+                "AND b_ts <= a_ts + INTERVAL 10 MINUTES"
+            ),
+            "leftOuter",
+        ).select("a_user", "a_id", "b_id")
+        run_to_completion(joined, "stream_lojoin", "append")
+        got = {
+            (r.a_user, r.a_id, r.b_id)
+            for r in spark.sql("SELECT * FROM stream_lojoin").collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        ca = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("a_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        cb = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        want_matched = {
+            (r.a_user, r.a_id, r.b_id)
+            for r in ca.join(
+                cb,
+                F.expr(
+                    "a_user = b_user AND b_ts > a_ts "
+                    "AND b_ts <= a_ts + INTERVAL 10 MINUTES"
+                ),
+            ).collect()
+        }
+        got_matched = {t for t in got if t[2] is not None}
+        got_unmatched = {t[:2] for t in got if t[2] is None}
+        # matched pairs: exactly the batch inner join
+        assert got_matched == want_matched
+        # null-extended rows: a subset of the batch anti side (rows whose
+        # watermark never passed before end-of-stream may be withheld), and
+        # never for a click that DID match
+        assert got_unmatched.isdisjoint({t[:2] for t in want_matched})
+        assert len(got_unmatched) > 0  # the mechanism actually fired
+    finally:
+        import shutil
+
+        shutil.rmtree(stage_a, ignore_errors=True)
+        shutil.rmtree(stage_b, ignore_errors=True)
