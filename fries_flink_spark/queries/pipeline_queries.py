@@ -562,3 +562,128 @@ def _set_pca_oracle() -> None:
 
 
 _set_pca_oracle()
+
+
+_E2E_SAMPLE_FRAC = 0.5
+
+
+@query(
+    "pipeline_e2e_prep",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source, text, n_chars,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '') AS t,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         w -> w <> '') AS lt
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, source, text, n_chars FROM toks
+      WHERE len(t) BETWEEN 20 AND 100000
+        AND coalesce(list_sum(list_transform(t, w -> length(w))), 0)
+              BETWEEN 3 * len(t) AND 10 * len(t)
+        AND 5 * len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+              >= 4 * len(t)
+        AND len(list_filter(list_distinct(lt),
+                            w -> list_contains([{{SW}}], w))) >= 2
+        AND 10 * length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+              < length(text)
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 7, 1)),
+               i -> substr(text, i, 8))) AS s
+      FROM kept
+    ), sig AS (
+      SELECT doc_id, {{MH}} FROM sh
+    ), bands AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               WHEN 0 THEN md5(mh0 || '|' || mh1)
+               WHEN 1 THEN md5(mh2 || '|' || mh3)
+               WHEN 2 THEN md5(mh4 || '|' || mh5)
+               ELSE        md5(mh6 || '|' || mh7)
+             END AS key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+                               AND x.doc_id < y.doc_id
+    ), edges AS (
+      SELECT a AS u, b AS v FROM cand UNION ALL SELECT b AS u, a AS v FROM cand
+    ), reach AS (
+      SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.v AS node, r.lab AS lab FROM reach r JOIN edges e ON r.node = e.u
+    ), cc AS (
+      SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+    ), canon AS (
+      SELECT k.* FROM kept k
+      WHERE NOT EXISTS (SELECT 1 FROM cc
+                        WHERE cc.node = k.doc_id AND cc.node <> cc.cluster_id)
+    ), sampled AS (
+      SELECT doc_id, source,
+             greatest(1, CAST(floor(n_chars / 4) AS BIGINT)) AS tokens
+      FROM canon
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{{THR}}'
+    ), binned AS (
+      SELECT source, tokens,
+             CAST(floor(coalesce(sum(tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 256) AS BIGINT) AS bin_id
+      FROM sampled
+    )
+    SELECT source, bin_id, count(*) AS n_docs, sum(tokens) AS tokens
+    FROM binned GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """.replace("{SW}", "PLACEHOLDER_SW")
+       .replace("{MH}", "PLACEHOLDER_MH")
+       .replace("{THR}", "PLACEHOLDER_THR"),
+)
+def q_pipeline_e2e_prep(spark, sf_dir):
+    """The COMPOSED preprocessing pipeline as one Spark plan: Gopher quality
+    gate -> MinHash+LSH near-dup removal (canonical keep) -> deterministic
+    50% Bernoulli sample -> per-source 256-token sequence packing, reported
+    as per-bin stats. Every stage is the same library operator its
+    standalone query verifies; the oracle chains the same verified SQL
+    fragments."""
+    from ..dedup.clusters import connected_components, keep_canonical
+    from ..dedup.minhash import lsh_candidate_pairs, minhash_table
+    from ..text.analysis import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = gopher_rules(F.col("text"))
+    passes = None
+    for k in rules:
+        passes = rules[k] if passes is None else (passes & rules[k])
+    kept = docs.filter(passes)
+    sig = minhash_table(kept, "text", "doc_id")
+    cc = connected_components(lsh_candidate_pairs(sig, "doc_id"), "a", "b")
+    canon = keep_canonical(kept, cc, "doc_id")
+    sampled = sample_bernoulli(canon, "doc_id", _E2E_SAMPLE_FRAC).select(
+        "doc_id",
+        "source",
+        F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4)).cast("bigint").alias(
+            "tokens"
+        ),
+    )
+    packed = pack_sequences(sampled, "tokens", "doc_id", _PACK_BUDGET, part_col="source")
+    return pack_stats(packed, "tokens", _PACK_BUDGET, part_col="source").select(
+        "source", "bin_id", "n_docs", "tokens"
+    ).orderBy("source", "bin_id")
+
+
+def _fix_e2e_oracle() -> None:
+    from ..registry import REGISTRY
+    from .dedup_queries import _MH_COLS
+    from .text_queries import _SW
+
+    o = REGISTRY["pipeline_e2e_prep"].oracle
+    o = o.replace("PLACEHOLDER_SW", _SW)
+    o = o.replace("PLACEHOLDER_MH", _MH_COLS)
+    o = o.replace("PLACEHOLDER_THR", frac_to_hex(_E2E_SAMPLE_FRAC))
+    REGISTRY["pipeline_e2e_prep"].oracle = o
+
+
+_fix_e2e_oracle()
