@@ -37,7 +37,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_histogram", "train_bpe", "encode_bpe"]
+__all__ = ["word_histogram", "train_bpe", "encode_bpe", "bpe_vocab", "encode_ids"]
 
 _SPLIT = "[^a-z0-9]+"
 
@@ -190,6 +190,71 @@ def encode_bpe(
                 toks_col.append(toks)
             pdf = pdf.copy()
             pdf[out_col] = toks_col
+            yield pdf
+
+    return df.mapInPandas(encode_batches, schema=out_schema)
+
+
+#: id 0 is reserved for OOV/unknown (tokens outside the training alphabet)
+UNK_ID = 0
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def bpe_vocab(merges: list[tuple[str, str]] | list[tuple[str, str, int]]) -> dict[str, int]:
+    """token -> id table: UNK=0, then the 36-char alphabet, then merged
+    tokens in rank order — the deterministic id assignment every tokenizer
+    export needs (ids are stable under corpus growth as long as the merge
+    list is append-only)."""
+    vocab = {"<unk>": UNK_ID}
+    for ch in _ALPHABET:
+        vocab[ch] = len(vocab)
+    for m in merges:
+        tok = m[0] + m[1]
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def encode_ids(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]] | list[tuple[str, str, int]],
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Append ``out_col``: array<int> of BPE token ids (UNK for any symbol
+    outside the vocabulary). Same corpus-scale shape as :func:`encode_bpe`
+    — the id lookup happens inside the same mapInPandas pass."""
+    import pandas as pd
+
+    pairs = [(m[0], m[1]) for m in merges]
+    vocab = bpe_vocab(merges)
+    import re
+
+    splitter = re.compile(_SPLIT)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} array<int>"
+
+    def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[int]] = {}
+
+        def enc_word(w: str) -> list[int]:
+            ids = cache.get(w)
+            if ids is None:
+                ids = [vocab.get(t, UNK_ID) for t in apply_merges_py(w, pairs)]
+                cache[w] = ids
+            return ids
+
+        for pdf in it:
+            col = []
+            for text in pdf[text_col]:
+                ids: list[int] = []
+                for w in splitter.split(str(text).lower()):
+                    if w:
+                        ids.extend(enc_word(w))
+                col.append(ids)
+            pdf = pdf.copy()
+            pdf[out_col] = col
             yield pdf
 
     return df.mapInPandas(encode_batches, schema=out_schema)

@@ -107,3 +107,20 @@ def test_unigram_oov_add_one(spark):
     out = doc_logcost(new, "t", "id", model, total).collect()[0]
     # OOV cost = ln(total) - ln(1)
     assert out["cost_micro"] == int(math.floor(math.log(float(total)) * 1e6 + 0.5))
+
+
+def test_bpe_vocab_ids_stable_and_unk(spark):
+    from fries_flink_spark.text.bpe import UNK_ID, bpe_vocab, encode_ids
+
+    merges = [("a", "b", 9), ("ab", "c", 5)]
+    v = bpe_vocab(merges)
+    assert v["<unk>"] == UNK_ID and v["a"] == 1 and v["z"] == 26
+    assert v["ab"] == 37 and v["abc"] == 38  # merged tokens after alphabet
+    # appending a merge never renumbers existing tokens
+    v2 = bpe_vocab(merges + [("c", "d", 2)])
+    assert all(v2[t] == i for t, i in v.items())
+
+    df = spark.createDataFrame([(1, "abc zq ab")], "id int, t string")
+    out = encode_ids(df, "t", merges).collect()[0]["token_ids"]
+    # 'abc' -> [abc]; 'zq' -> [z, q]; 'ab' -> [ab]
+    assert out == [38, 26, 17, 37]
