@@ -147,3 +147,17 @@ def test_explain_statement(env):
     assert isinstance(plan, str) and "Physical Plan" in plan
     plan2 = env.execute_sql("EXPLAIN SELECT count(*) FROM four")
     assert "Physical Plan" in plan2
+
+
+def test_datagen_stream_source(env):
+    env.execute_sql(
+        """
+        CREATE TABLE genstream (uid BIGINT, ts TIMESTAMP, v DOUBLE,
+                                WATERMARK FOR ts AS ts - INTERVAL '10' SECOND)
+        WITH ('connector' = 'datagen', 'rows-per-second' = '500')
+        """
+    )
+    sdf = env.from_path_stream("genstream")
+    assert sdf.isStreaming
+    assert set(sdf.columns) == {"uid", "ts", "v"}
+    assert "watermark" in sdf._jdf.queryExecution().analyzed().toString().lower()
