@@ -570,11 +570,13 @@ def match_pattern(
                 return
             # ALL ROWS PER MATCH: one output row per mapped input row, in
             # order; measures see the match as mapped SO FAR (running).
+            # The running state grows INCREMENTALLY — rebuilding it per row
+            # was O(L²) per match and dominated long-run patterns (D+ falling
+            # runs measured 2.0 s -> see PERF.md).
             pairs = sorted((i, nm) for nm, idxs in m.items() for i in idxs)
+            running: dict[str, list[dict]] = {}
             for i, nm in pairs:
-                running = {
-                    k2: [row_at(j) for j in v if j <= i] for k2, v in m.items()
-                }
+                running.setdefault(nm, []).append(row_at(i))
                 out.append(select(key, running, row_at(i), nm, *extra))
 
         barrier = 0  # next-match frontier for the skip-* strategies
