@@ -705,3 +705,43 @@ def sql_hop_group_legacy(spark, sf_dir):
         ORDER BY w_start
         """,
     )
+
+
+@query(
+    "sql_window_join_tvf",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS ws
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS ws
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.ws, c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM c JOIN p ON c.user_id = p.user_id AND c.ws = p.ws
+    ORDER BY c.ws, c.user_id, click_id, purchase_id
+    """,
+)
+def sql_window_join_tvf(spark, sf_dir):
+    """Flink 1.13 WINDOW JOIN in SQL-TVF form (StreamPhysicalWindowJoin /
+    window-join docs grammar): two TUMBLE TVFs joined on key +
+    window_start — the rewriter lowers BOTH TVF occurrences onto native
+    window() views and the join itself stays pure Catalyst."""
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    ev.filter(F.col("event_type") == "click").createOrReplaceTempView("wj_clicks")
+    ev.filter(F.col("event_type") == "purchase").createOrReplaceTempView(
+        "wj_purchases"
+    )
+    return fsql(
+        spark,
+        """
+        SELECT unix_timestamp(c.window_start) AS ws, c.user_id,
+               c.event_id AS click_id, p.event_id AS purchase_id
+        FROM TABLE(TUMBLE(TABLE wj_clicks, DESCRIPTOR(ts), INTERVAL '15' MINUTE)) c
+        JOIN TABLE(TUMBLE(TABLE wj_purchases, DESCRIPTOR(ts), INTERVAL '15' MINUTE)) p
+          ON c.user_id = p.user_id AND c.window_start = p.window_start
+        ORDER BY ws, user_id, click_id, purchase_id
+        """,
+    )
