@@ -615,3 +615,58 @@ def text_unigram_logppl(spark, sf_dir):
     return doc_logcost(docs, "text", "doc_id", model, total).select(
         "doc_id", "n_tokens", "cost_micro", "mean_cost_micro"
     ).orderBy("doc_id")
+
+
+@query(
+    "text_repeated_spans",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, u.pos AS start, u.pos + 31 AS "end",
+             substr(md5(substr(text, u.pos, 32)), 1, 16) AS h
+      FROM documents,
+           unnest(CASE WHEN length(text) >= 32
+                       THEN generate_series(1, length(text) - 31, 4)
+                       ELSE [] END) AS u(pos)
+    ), hot AS (
+      SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+    ), spans AS (
+      SELECT g.doc_id, g.start, g."end"
+      FROM grams g WHERE EXISTS (SELECT 1 FROM hot WHERE hot.h = g.h)
+    ), flagged AS (
+      SELECT doc_id, start, "end",
+             CASE WHEN max("end") OVER (PARTITION BY doc_id ORDER BY start, "end"
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR start > max("end") OVER (PARTITION BY doc_id
+                        ORDER BY start, "end"
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS newi
+      FROM spans
+    ), isl AS (
+      SELECT doc_id, start, "end",
+             sum(newi) OVER (PARTITION BY doc_id ORDER BY start, "end"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM flagged
+    ), per_isl AS (
+      SELECT doc_id, g, max("end") - min(start) + 1 AS len, count(*) AS n
+      FROM isl GROUP BY doc_id, g
+    ), per_doc AS (
+      SELECT doc_id, sum(n) AS n_spans, sum(len) AS chars_covered
+      FROM per_isl GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.chars_covered, 0) AS chars_covered
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_repeated_spans(spark, sf_dir):
+    """Repeated-substring span detection (text/spans.py — the Lee et al.
+    exact-substring dedup signal, k=32 stride=4 fingerprinting): per-doc
+    repeated-span count and union coverage, gaps-and-islands windows,
+    integer-exact."""
+    from ..text.spans import repeated_span_stats, repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = repeated_spans(docs, "text", "doc_id", k=32, stride=4)
+    return repeated_span_stats(docs, spans, "doc_id").orderBy("doc_id")

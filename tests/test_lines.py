@@ -135,3 +135,38 @@ class TestChunking:
             chunk_documents(df, "doc_id", "text", size=0)
         with pytest.raises(ValueError):
             chunk_documents(df, "doc_id", "text", size=4, stride=0)
+
+
+def test_repeated_spans_detects_cross_doc_repeat(spark):
+    from fries_flink_spark.text.spans import repeated_span_stats, repeated_spans
+
+    shared = "X" * 40  # long repeated block, > k=32
+    docs = spark.createDataFrame(
+        [
+            (1, "unique prefix one " + shared),
+            (2, shared + " unique suffix two"),
+            (3, "totally original text with nothing repeated in it at all ok"),
+        ],
+        "doc_id int, text string",
+    )
+    spans = repeated_spans(docs, "text", "doc_id", k=32, stride=1)
+    stats = {r["doc_id"]: r for r in repeated_span_stats(docs, spans, "doc_id").collect()}
+    assert stats[1]["n_spans"] > 0 and stats[2]["n_spans"] > 0
+    assert stats[3]["n_spans"] == 0 and stats[3]["chars_covered"] == 0
+    # union coverage, not per-span sum: overlapping windows of the shared
+    # block collapse to <= its length + k - 1
+    assert stats[1]["chars_covered"] <= len(shared) + 31
+
+
+def test_repeated_spans_islands_merge_overlaps(spark):
+    from fries_flink_spark.text.spans import repeated_span_stats
+
+    docs = spark.createDataFrame([(7, "x")], "doc_id int, text string")
+    spans = spark.createDataFrame(
+        # overlapping spans [1,10],[5,12] merge; [20,25] is its own island
+        [(7, 1, 10), (7, 5, 12), (7, 20, 25)],
+        "doc_id int, start int, end int",
+    )
+    r = repeated_span_stats(docs, spans, "doc_id").collect()[0]
+    assert r["n_spans"] == 3
+    assert r["chars_covered"] == 12 + 6  # [1..12] + [20..25]
