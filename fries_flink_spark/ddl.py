@@ -50,6 +50,10 @@ _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+(?P<select>SELECT\s+.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_VALUES_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+(?P<values>VALUES\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _STMT_SET_RE = re.compile(
     r"^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(?P<body>.*?)\s+END\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -160,6 +164,16 @@ class FlinkDdl:
         im = _INSERT_RE.match(sql)
         if im:
             return self._insert(im.group(1), im.group("select"))
+        vm = _INSERT_VALUES_RE.match(sql)
+        if vm:
+            target = vm.group(1)
+            spec = self.tables.get(target)
+            if spec is None:
+                raise ValueError(f"INSERT INTO unknown table {target!r}")
+            names = ", ".join(n for n, _t in spec.columns)
+            return self._insert(
+                target, f"SELECT * FROM ({vm.group('values')}) AS __v({names})"
+            )
         spec = _parse_create(sql)
         self.tables[spec.name] = spec
         self._register(spec)

@@ -161,3 +161,13 @@ def test_datagen_stream_source(env):
     assert sdf.isStreaming
     assert set(sdf.columns) == {"uid", "ts", "v"}
     assert "watermark" in sdf._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_insert_values(env, tmp_path):
+    out = str(tmp_path / "vals")
+    env.execute_sql(
+        f"CREATE TABLE vsink (k INT, s STRING) WITH ('connector'='filesystem', 'path'='{out}', 'format'='parquet')"
+    )
+    env.execute_sql("INSERT INTO vsink VALUES (1, 'a'), (2, 'b')")
+    back = sorted((r["k"], r["s"]) for r in env.spark.read.parquet(out).collect())
+    assert back == [(1, "a"), (2, "b")]
