@@ -51,3 +51,77 @@ def changelog_snapshot(spark, sf_dir):
     return snap.select("user_id", "event_id", "ts", "value", "row_kind").orderBy(
         "user_id"
     )
+
+
+@query(
+    "cdc_debezium_roundtrip",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS id, o_custkey AS qty, o_orderkey % 10 AS m
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), expanded AS (
+      SELECT '+I' AS row_kind, id, qty FROM src WHERE m < 7
+      UNION ALL
+      SELECT '-U', id, qty FROM src WHERE m IN (7, 8)
+      UNION ALL
+      SELECT '+U', id, qty + 1 FROM src WHERE m IN (7, 8)
+      UNION ALL
+      SELECT '-D', id, qty FROM src WHERE m = 9
+    )
+    SELECT row_kind, count(*) AS n, sum(qty) AS total
+    FROM expanded GROUP BY row_kind ORDER BY row_kind
+    """,
+)
+def cdc_debezium_roundtrip(spark, sf_dir):
+    """Debezium-json round trip (sources/cdc.py): serialize a deterministic
+    change stream derived from orders into debezium envelopes (to_json),
+    parse them back with parse_debezium_json (DebeziumJsonDeserializationSchema
+    op c/u/d semantics), and aggregate the changelog. The oracle restates the
+    emitted changelog relationally — the JSON leg is Spark-parsing-Spark, so
+    any envelope/parse asymmetry breaks the compare."""
+    from ..sources.cdc import parse_debezium_json
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    )
+    m = F.col("o_orderkey") % 10
+    row = lambda qty: F.struct(  # noqa: E731
+        F.col("o_orderkey").alias("id"), qty.alias("qty")
+    )
+    env = F.when(
+        m < 7,
+        F.to_json(
+            F.struct(
+                F.lit(None).cast("struct<id:bigint,qty:bigint>").alias("before"),
+                row(F.col("o_custkey")).alias("after"),
+                F.lit("c").alias("op"),
+                F.lit(0).cast("bigint").alias("ts_ms"),
+            )
+        ),
+    ).when(
+        m.isin(7, 8),
+        F.to_json(
+            F.struct(
+                row(F.col("o_custkey")).alias("before"),
+                row(F.col("o_custkey") + 1).alias("after"),
+                F.lit("u").alias("op"),
+                F.lit(0).cast("bigint").alias("ts_ms"),
+            )
+        ),
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                row(F.col("o_custkey")).alias("before"),
+                F.lit(None).cast("struct<id:bigint,qty:bigint>").alias("after"),
+                F.lit("d").alias("op"),
+                F.lit(0).cast("bigint").alias("ts_ms"),
+            )
+        )
+    )
+    messages = orders.select(env.alias("value"))
+    parsed = parse_debezium_json(messages, "value", "id BIGINT, qty BIGINT")
+    return (
+        parsed.groupBy("row_kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("total"))
+        .orderBy("row_kind")
+    )
