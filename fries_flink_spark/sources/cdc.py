@@ -1,6 +1,7 @@
 """CDC JSON formats: debezium-json and canal-json parsing into changelog rows.
 
-Reference: flink-formats/flink-json/.../debezium/DebeziumJsonDeserializationSchema.java:60-162
+Reference: flink-formats/flink-json/.../debezium/DebeziumJsonDeserializationSchema.java:60-162,
+maxwell/MaxwellJsonDeserializationSchema.java:100-128
 (op c/r → +I(after), u → -U(before) +U(after), d → -D(before); null-before on
 u/d is a corrupt message) and .../canal/CanalJsonDeserializationSchema.java:64-67
 (type INSERT/UPDATE/DELETE over a ``data`` row array, UPDATE's ``old`` array
@@ -23,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.changelog import DELETE, INSERT, UPDATE_AFTER, UPDATE_BEFORE
 
-__all__ = ["parse_debezium_json", "parse_canal_json"]
+__all__ = ["parse_debezium_json", "parse_canal_json", "parse_maxwell_json"]
 
 
 def _emit(kind: str, payload: Column) -> Column:
@@ -119,3 +120,42 @@ def parse_canal_json(df: DataFrame, value_col: str, row_schema: str) -> DataFram
         ).alias("c")
     ).select(F.col("c.row_kind").alias("row_kind"), F.col("c.row.*"))
     return out
+
+
+def parse_maxwell_json(df: DataFrame, value_col: str, row_schema: str) -> DataFrame:
+    """Parse a maxwell-json message column into changelog rows.
+
+    Maxwell envelopes a SINGLE row: ``data`` is the row (after-image for
+    insert/update, deleted row for delete); update's ``old`` holds only the
+    changed fields and the before-image is data patched with old
+    (MaxwellJsonDeserializationSchema.java:100-128).
+    """
+    field_names = [
+        f.split()[0].strip() for f in row_schema.split(",") if f.strip()
+    ]
+    env = F.from_json(
+        F.col(value_col),
+        f"struct<data: struct<{row_schema}>, old: struct<{row_schema}>, "
+        "type: string>",
+    ).alias("e")
+    parsed = df.select(env).filter(
+        F.col("e.type").isin("insert", "update", "delete")
+    )
+    typ = F.col("e.type")
+    data = F.col("e.data")
+    before = F.struct(
+        *[
+            F.coalesce(F.col(f"e.old.{n}"), F.col(f"e.data.{n}")).alias(n)
+            for n in field_names
+        ]
+    )
+    return parsed.select(
+        F.explode(
+            F.when(typ == "insert", F.array(_emit(INSERT, data)))
+            .when(
+                typ == "update",
+                F.array(_emit(UPDATE_BEFORE, before), _emit(UPDATE_AFTER, data)),
+            )
+            .otherwise(F.array(_emit(DELETE, data)))
+        ).alias("c")
+    ).select(F.col("c.row_kind").alias("row_kind"), F.col("c.row.*"))

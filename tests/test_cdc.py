@@ -78,3 +78,20 @@ def test_debezium_stream_to_snapshot(spark):
     snap = changelog_normalize(ordered, ["id"], [F.col("seq")])
     state = {r["id"]: r["qty"] for r in snap.collect()}
     assert state == {1: 100, 2: 2}
+
+
+def test_maxwell_ops(spark):
+    from fries_flink_spark.sources.cdc import parse_maxwell_json
+
+    msgs = [
+        json.dumps({"data": {"id": 1, "name": "a", "qty": 5}, "old": None,
+                    "type": "insert"}),
+        json.dumps({"data": {"id": 1, "name": "a", "qty": 8},
+                    "old": {"id": None, "name": None, "qty": 5},
+                    "type": "update"}),
+        json.dumps({"data": {"id": 1, "name": "a", "qty": 8}, "old": None,
+                    "type": "delete"}),
+    ]
+    out = parse_maxwell_json(_df(spark, msgs), "value", _SCHEMA).collect()
+    rows = [(r["row_kind"], r["id"], r["qty"]) for r in out]
+    assert rows == [("+I", 1, 5), ("-U", 1, 5), ("+U", 1, 8), ("-D", 1, 8)]
