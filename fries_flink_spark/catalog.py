@@ -132,6 +132,45 @@ class TableEnvironment:
             self._ddl_state = FlinkDdl(self.spark)
         return self._ddl_state
 
+    def execute_script(self, script: str):
+        """Run a semicolon-separated SQL script (the Flink SQL-client /
+        sql-gateway usage shape: DDL, DML and queries interleaved); returns
+        the last statement's result. Semicolons inside quotes or parens
+        (STATEMENT SET bodies, string literals) do not split."""
+        stmts, depth, in_str, cur = [], 0, False, []
+        i = 0
+        up = script.upper()
+        in_set = 0
+        while i < len(script):
+            ch = script[i]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif up.startswith("STATEMENT SET", i):
+                    in_set += 1
+                elif in_set and up.startswith("END", i) and (
+                    i + 3 >= len(script) or not script[i + 3].isalnum()
+                ):
+                    in_set -= 1
+                elif ch == ";" and depth == 0 and not in_set:
+                    stmts.append("".join(cur).strip())
+                    cur = []
+                    i += 1
+                    continue
+            cur.append(ch)
+            i += 1
+        if "".join(cur).strip():
+            stmts.append("".join(cur).strip())
+        result = None
+        for stmt in stmts:
+            if stmt:
+                result = self.execute_sql(stmt)
+        return result
+
     def from_path(self, name: str) -> DataFrame:
         return self.spark.table(name)
 

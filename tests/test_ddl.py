@@ -171,3 +171,25 @@ def test_insert_values(env, tmp_path):
     env.execute_sql("INSERT INTO vsink VALUES (1, 'a'), (2, 'b')")
     back = sorted((r["k"], r["s"]) for r in env.spark.read.parquet(out).collect())
     assert back == [(1, "a"), (2, "b")]
+
+
+def test_execute_script_end_to_end(env, tmp_path):
+    src, out = str(tmp_path / "s"), str(tmp_path / "o")
+    env.spark.createDataFrame(
+        [(1, "x;y"), (2, "b")], "id int, s string"
+    ).write.parquet(src)
+    result = env.execute_script(
+        f"""
+        CREATE TABLE script_src (id INT, s STRING)
+        WITH ('connector'='filesystem', 'path'='{src}', 'format'='parquet');
+        CREATE TABLE script_out (id INT, s STRING)
+        WITH ('connector'='filesystem', 'path'='{out}', 'format'='parquet');
+        EXECUTE STATEMENT SET BEGIN
+          INSERT INTO script_out SELECT id, s FROM script_src WHERE id = 1;
+          INSERT INTO script_out SELECT id, s FROM script_src WHERE id = 2
+        END;
+        SELECT count(*) AS n FROM script_src WHERE s = 'x;y'
+        """
+    )
+    assert result.first()["n"] == 1  # literal ';' did not split the script
+    assert env.spark.read.parquet(out).count() == 2
