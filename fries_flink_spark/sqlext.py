@@ -42,7 +42,12 @@ Measures: FIRST/LAST/bare column, COUNT/SUM/AVG/MIN/MAX, CLASSIFIER().
 Output modes: ONE ROW PER MATCH (default) and ALL ROWS PER MATCH (running
 measure semantics). AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | NO SKIP.
 Measures also: MATCH_NUMBER() (1-based per-partition match index).
-Still unsupported (raise): PREV over another variable, NEXT(),
+Parity note: the reference's blink planner THROWS on any non-zero physical
+offset ("Flink does not support physical offsets within partition",
+MatchCodeGenerator.scala:334-343), so this repo's PREV(col, n) with
+arbitrary n exceeds the reference; NEXT(x, 0) is the identity there and
+needs no special form here.
+Still unsupported (raise): PREV over another variable,
 FINAL/RUNNING keywords, SUBSET, permute/alternation pattern syntax.
 """
 
