@@ -173,6 +173,13 @@ class Table:
     def select(self, *exprs: Column | str) -> "Table":  # Table.java:108
         return Table(self._df.select(*_cols(exprs)))
 
+    def project(self, *indexes: int) -> "Table":
+        """DataSet-style positional projection (reference
+        DataSet.project(int...) — ProjectOperator.java): keep the columns at
+        the given 0-based positions, in the given order."""
+        cols = self._df.columns
+        return Table(self._df.select(*[cols[i] for i in indexes]))
+
     def alias(self, *names: str) -> "Table":  # Table.as, Table.java:179
         return Table(self._df.toDF(*names))
 

@@ -340,3 +340,68 @@ def test_stream_stream_left_outer_join(spark, sf_dir):
 
         shutil.rmtree(stage_a, ignore_errors=True)
         shutil.rmtree(stage_b, ignore_errors=True)
+
+
+def test_stream_stream_semi_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT SEMI join (reference streaming semi
+    join, StreamExecJoin semi mode): emitted clicks = exactly the batch semi
+    join (clicks with >=1 purchase in the window)."""
+    clicks_sdf, stage_a = stream_from_table(spark, sf_dir, "events", n_chunks=3)
+    buys_sdf, stage_b = stream_from_table(spark, sf_dir, "events", n_chunks=3)
+    try:
+        a = (
+            clicks_sdf.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("a_user"),
+                F.col("event_id").alias("a_id"),
+                F.col("ts").alias("a_ts"),
+            )
+            .withWatermark("a_ts", "5 minutes")
+        )
+        b = (
+            buys_sdf.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("b_user"),
+                F.col("ts").alias("b_ts"),
+            )
+            .withWatermark("b_ts", "5 minutes")
+        )
+        joined = a.join(
+            b,
+            F.expr(
+                "a_user = b_user AND b_ts > a_ts "
+                "AND b_ts <= a_ts + INTERVAL 10 MINUTES"
+            ),
+            "leftSemi",
+        ).select("a_user", "a_id")
+        run_to_completion(joined, "stream_semijoin", "append")
+        got = sorted(
+            (r.a_user, r.a_id)
+            for r in spark.sql("SELECT * FROM stream_semijoin").collect()
+        )
+        ev = load_table(spark, sf_dir, "events")
+        ca = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("a_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        cb = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+        )
+        want = sorted(
+            (r.a_user, r.a_id)
+            for r in ca.join(
+                cb,
+                F.expr(
+                    "a_user = b_user AND b_ts > a_ts "
+                    "AND b_ts <= a_ts + INTERVAL 10 MINUTES"
+                ),
+                "leftSemi",
+            ).collect()
+        )
+        assert got == want
+    finally:
+        import shutil
+
+        shutil.rmtree(stage_a, ignore_errors=True)
+        shutil.rmtree(stage_b, ignore_errors=True)

@@ -133,3 +133,12 @@ def test_hint_passthrough_changes_join_strategy(spark, sf_dir):
     )
     plan = joined.to_df()._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
+
+
+def test_positional_project(spark):
+    from fries_flink_spark.table import Table
+
+    t = Table(spark.createDataFrame([(1, "a", 2.0)], "x int, s string, v double"))
+    out = t.project(2, 0).to_df()
+    assert out.columns == ["v", "x"]
+    assert out.first()["v"] == 2.0
