@@ -80,10 +80,16 @@ class TableEnvironment:
         self.spark = ensure_confs(spark)
 
     @classmethod
-    def create(cls, **kwargs) -> "TableEnvironment":
+    def create(cls, settings=None, **kwargs) -> "TableEnvironment":
+        """Accepts a pyflink-style EnvironmentSettings (ignored beyond mode
+        bookkeeping — see table.EnvironmentSettings) or session kwargs."""
         from .session import get_spark
 
         return cls(get_spark(**kwargs))
+
+    def from_pandas(self, pdf, schema=None) -> DataFrame:
+        """pyflink TableEnvironment.from_pandas parity."""
+        return self.spark.createDataFrame(pdf, schema=schema)
 
     def register_parquet(self, name: str, path: str) -> DataFrame:
         df = self.spark.read.parquet(path)

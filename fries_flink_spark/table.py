@@ -161,10 +161,15 @@ class Table:
     def to_df(self) -> DataFrame:
         return self._df
 
-    def execute(self) -> DataFrame:
-        """Table.execute — in Spark the plan runs on first action; return the
-        DataFrame for the caller to act on."""
-        return self._df
+    def execute(self) -> "TableResult":
+        """Table.execute (TableEnvironmentImpl executeInternal): returns a
+        TableResult supporting .print() / .collect() / .wait() like the
+        reference's; the plan runs on the first action."""
+        return TableResult(self._df)
+
+    def to_pandas(self):
+        """pyflink Table.to_pandas parity (Arrow-backed)."""
+        return self._df.toPandas()
 
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
@@ -302,3 +307,41 @@ class Table:
         """Table.window(OverWindow...).select(...) (Table.java:994) — Spark
         needs no separate scoping call: pass ``col.over(spec)`` columns."""
         return Table(self._df.select(*_cols(exprs)))
+
+
+class TableResult:
+    """Reference TableResult surface (TableResultImpl.java): print/collect/
+    wait over an executed Table. collect() returns an iterator of Rows like
+    the reference's CloseableIterator."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def print(self, n: int = 20) -> None:  # noqa: A003
+        self._df.show(n, truncate=False)
+
+    def collect(self):
+        return iter(self._df.collect())
+
+    def wait(self) -> "TableResult":
+        """Block until finished — Spark actions are synchronous; forcing a
+        count materializes side effects for parity with awaiting an INSERT."""
+        self._df.count()
+        return self
+
+
+class EnvironmentSettings:
+    """pyflink EnvironmentSettings shim: both modes map to one well-tuned
+    SparkSession (batch = DataFrame, streaming = Structured Streaming — the
+    mode lives in how the source is opened, not in the environment)."""
+
+    def __init__(self, streaming: bool):
+        self.streaming = streaming
+
+    @staticmethod
+    def in_streaming_mode() -> "EnvironmentSettings":
+        return EnvironmentSettings(True)
+
+    @staticmethod
+    def in_batch_mode() -> "EnvironmentSettings":
+        return EnvironmentSettings(False)

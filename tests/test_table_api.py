@@ -142,3 +142,24 @@ def test_positional_project(spark):
     out = t.project(2, 0).to_df()
     assert out.columns == ["v", "x"]
     assert out.first()["v"] == 2.0
+
+
+def test_pyflink_program_shape(spark):
+    """A pyflink-shaped program runs unchanged: EnvironmentSettings ->
+    TableEnvironment.create -> executeSql DDL -> sql_query -> execute()
+    -> collect/print."""
+    import pandas as pd
+
+    from fries_flink_spark.catalog import TableEnvironment
+    from fries_flink_spark.table import EnvironmentSettings, Table
+
+    settings = EnvironmentSettings.in_batch_mode()
+    assert settings.streaming is False
+    env = TableEnvironment(spark)  # create(settings) spins a new session
+    df = env.from_pandas(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    env.create_temporary_view("pf_t", df)
+    result = Table(env.sql_query("SELECT k, v FROM pf_t ORDER BY k")).execute()
+    rows = list(result.collect())
+    assert [(r["k"], r["v"]) for r in rows] == [(1, "a"), (2, "b")]
+    result.wait()  # idempotent
+    assert Table(df).to_pandas().shape == (2, 2)
