@@ -670,3 +670,55 @@ def text_repeated_spans(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     spans = repeated_spans(docs, "text", "doc_id", k=32, stride=4)
     return repeated_span_stats(docs, spans, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "corpus_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang, n_chars,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             w -> w <> '')) AS n_words,
+             CASE WHEN 10 * length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                       < length(text) THEN 1 ELSE 0 END AS sym_ok
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           sum(n_words) AS total_words,
+           count(DISTINCT lang) AS n_langs,
+           sum(sym_ok) AS n_symbol_ok,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def corpus_report(spark, sf_dir):
+    """Corpus data-card report: one scan-fused aggregate per source stratum
+    (doc/char/word totals, language count, symbol-rule pass count, length
+    range) — the health dashboard every ingest run emits. Integer-exact."""
+    from ..text.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sym_ok = (
+        F.length(F.regexp_replace(F.col("text"), r"[^\p{Punct}]", "")) * 10
+        < F.length("text")
+    ).cast("int")
+    return (
+        docs.select(
+            "source", "lang", "n_chars",
+            token_count(F.col("text")).alias("n_words"),
+            sym_ok.alias("sym_ok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("sym_ok").cast("long").alias("n_symbol_ok"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
