@@ -54,6 +54,13 @@ _INSERT_VALUES_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+(?P<values>VALUES\s+.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_SET_RE = re.compile(
+    r"^\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*$", re.IGNORECASE
+)
+_RESET_RE = re.compile(r"^\s*RESET\s+'([^']+)'\s*$", re.IGNORECASE)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
+)
 _STMT_SET_RE = re.compile(
     r"^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(?P<body>.*?)\s+END\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -76,7 +83,8 @@ class TableSpec:
 def is_ddl(sql: str) -> bool:
     s = sql.lstrip().upper()
     return s.startswith(("CREATE TABLE", "CREATE TEMPORARY TABLE", "DROP TABLE",
-                         "INSERT INTO", "EXECUTE STATEMENT SET"))
+                         "INSERT INTO", "EXECUTE STATEMENT SET", "SET ", "SET'",
+                         "RESET", "SHOW CREATE TABLE"))
 
 
 def _split_top(s: str) -> list[str]:
@@ -144,6 +152,19 @@ class FlinkDdl:
     # ------------------------------------------------------------------ #
 
     def execute(self, sql: str) -> DataFrame | None:
+        setm = _SET_RE.match(sql)
+        if setm:
+            # Flink SQL-client SET 'key' = 'value' (SetOperation) — session
+            # config lands on the SparkSession's runtime conf
+            self.spark.conf.set(setm.group(1), setm.group(2))
+            return None
+        rm = _RESET_RE.match(sql)
+        if rm:
+            self.spark.conf.unset(rm.group(1))
+            return None
+        scm = _SHOW_CREATE_RE.match(sql)
+        if scm:
+            return self._show_create(scm.group(1))
         sm = _STMT_SET_RE.match(sql)
         if sm:
             # Flink STATEMENT SET (TableEnvironmentImpl.createStatementSet /
@@ -180,6 +201,23 @@ class FlinkDdl:
         return None
 
     # ------------------------------------------------------------------ #
+
+    def _show_create(self, name: str) -> DataFrame:
+        """Reconstruct the DDL of a shim-registered table (reference
+        ShowCreateTableOperation)."""
+        spec = self.tables.get(name)
+        if spec is None:
+            raise ValueError(f"SHOW CREATE TABLE: unknown table {name!r}")
+        cols = [f"  {n} {t}" for n, t in spec.columns]
+        cols += [f"  {n} AS {e}" for n, e in spec.computed]
+        if spec.watermark:
+            ts, delay = spec.watermark
+            cols.append(f"  WATERMARK FOR {ts} AS {ts} - INTERVAL '{delay}' SECOND")
+        opts = ",\n".join(f"  '{k}' = '{v}'" for k, v in sorted(spec.options.items()))
+        stmt = (
+            f"CREATE TABLE {name} (\n" + ",\n".join(cols) + f"\n) WITH (\n{opts}\n)"
+        )
+        return self.spark.createDataFrame([(stmt,)], "result string")
 
     def _schema_str(self, spec: TableSpec) -> str:
         return ", ".join(f"{n} {t}" for n, t in spec.columns)

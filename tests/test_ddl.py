@@ -193,3 +193,19 @@ def test_execute_script_end_to_end(env, tmp_path):
     )
     assert result.first()["n"] == 1  # literal ';' did not split the script
     assert env.spark.read.parquet(out).count() == 2
+
+
+def test_set_reset_and_show_create(env):
+    env.execute_sql("SET 'spark.sql.shuffle.partitions' = '7'")
+    assert env.spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    env.execute_sql("RESET 'spark.sql.shuffle.partitions'")
+    env.execute_sql(
+        """
+        CREATE TABLE show_me (id BIGINT, ts TIMESTAMP,
+                              WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+        WITH ('connector' = 'datagen', 'number-of-rows' = '3')
+        """
+    )
+    stmt = env.execute_sql("SHOW CREATE TABLE show_me").first()["result"]
+    assert "CREATE TABLE show_me" in stmt
+    assert "WATERMARK FOR ts" in stmt and "'connector' = 'datagen'" in stmt
