@@ -95,3 +95,39 @@ def test_maxwell_ops(spark):
     out = parse_maxwell_json(_df(spark, msgs), "value", _SCHEMA).collect()
     rows = [(r["row_kind"], r["id"], r["qty"]) for r in out]
     assert rows == [("+I", 1, 5), ("-U", 1, 5), ("+U", 1, 8), ("-D", 1, 8)]
+
+
+def test_debezium_random_streams_normalize_to_state(spark):
+    """Randomized change streams (seeded): envelope -> parse -> normalize
+    must equal an independent dict state-machine replay."""
+    import random
+
+    for seed in (3, 17, 92):
+        rng = random.Random(seed)
+        state: dict[int, int] = {}
+        msgs = []
+        for step in range(120):
+            key = rng.randrange(8)
+            if key not in state:
+                state[key] = rng.randrange(100)
+                msgs.append(json.dumps({
+                    "before": None,
+                    "after": {"id": key, "name": f"k{key}", "qty": state[key]},
+                    "op": "c", "ts_ms": step}))
+            elif rng.random() < 0.3:
+                old = state.pop(key)
+                msgs.append(json.dumps({
+                    "before": {"id": key, "name": f"k{key}", "qty": old},
+                    "after": None, "op": "d", "ts_ms": step}))
+            else:
+                old, new = state[key], rng.randrange(100)
+                state[key] = new
+                msgs.append(json.dumps({
+                    "before": {"id": key, "name": f"k{key}", "qty": old},
+                    "after": {"id": key, "name": f"k{key}", "qty": new},
+                    "op": "u", "ts_ms": step}))
+        parsed = parse_debezium_json(_df(spark, msgs), "value", _SCHEMA)
+        ordered = parsed.withColumn("seq", F.monotonically_increasing_id())
+        snap = changelog_normalize(ordered, ["id"], [F.col("seq")])
+        got = {r["id"]: r["qty"] for r in snap.collect()}
+        assert got == state, f"seed {seed}"

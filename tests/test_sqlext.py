@@ -429,3 +429,45 @@ def test_window_three_formulations_equivalent(spark):
         return sorted(tuple(r) for r in frame.collect())
 
     assert canon(legacy) == canon(tvf) == canon(native)
+
+
+def test_extension_composition_tvf_then_match_recognize(spark, sf_dir):
+    """The grammar extensions compose across statements: a window-TVF
+    aggregate registered as a view, then MATCH_RECOGNIZE over it — the
+    rising-then-falling turning-point pattern on windowed counts."""
+    from fries_flink_spark.catalog import register_tables
+    from fries_flink_spark.sqlext import sql as fsql
+
+    register_tables(spark, sf_dir)
+    agg = fsql(
+        spark,
+        """
+        SELECT window_start AS ws, count(*) AS n
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        GROUP BY window_start
+        """,
+    )
+    agg.createOrReplaceTempView("win_counts")
+    spark.sql(
+        "SELECT ws, n, 0 AS grp FROM win_counts"
+    ).createOrReplaceTempView("win_counts_k")
+    peaks = fsql(
+        spark,
+        """
+        SELECT grp, peak_n FROM win_counts_k MATCH_RECOGNIZE (
+          PARTITION BY grp
+          ORDER BY ws
+          MEASURES LAST(UP.n) AS peak_n
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (UP+ DOWN)
+          DEFINE UP AS UP.n >= PREV(UP.n),
+                 DOWN AS DOWN.n < PREV(DOWN.n)
+        )
+        """,
+    ).collect()
+    # sanity: every reported peak is a real local maximum of the series
+    series = [r["n"] for r in spark.table("win_counts_k").orderBy("ws").collect()]
+    local_max = {series[i] for i in range(1, len(series) - 1)
+                 if series[i] >= series[i - 1] and series[i] > series[i + 1]}
+    assert peaks and all(r["peak_n"] in local_max for r in peaks)
