@@ -687,3 +687,61 @@ def _fix_e2e_oracle() -> None:
 
 
 _fix_e2e_oracle()
+
+
+@query(
+    "pipeline_quality_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '') AS toks,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         w -> w <> '') AS ltoks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             (least(length(text) / 500.0, 1.0)
+              + greatest(0.0, 1.0 - (length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / length(text)) * 4)
+              + greatest(0.0, 1.0 - (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)) * 4)
+              + least((len(list_filter(ltoks, w -> list_contains([PLACEHOLDER_SW], w))) * 1.0
+                       / len(ltoks)) * 4, 1.0)) / 4 AS score
+      FROM t
+    )
+    SELECT doc_id, source,
+           ntile(4) OVER (PARTITION BY source ORDER BY score, doc_id) AS quartile
+    FROM scored ORDER BY doc_id
+    """,
+)
+def q_pipeline_quality_quartiles(spark, sf_dir):
+    """Per-source quality quartile assignment (the FineWeb/CCNet 'keep the
+    best slice per stratum' selection primitive): composite quality score
+    (text/analysis.quality_score), ntile(4) per stratum with a doc_id
+    tiebreak — integer output, engine-exact given identical score
+    arithmetic."""
+    from pyspark.sql import Window as W
+
+    from ..text.analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.col("score"), F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id", "source", quality_score(F.col("text")).alias("score")
+        )
+        .withColumn("quartile", F.ntile(4).over(w))
+        .select("doc_id", "source", "quartile")
+        .orderBy("doc_id")
+    )
+
+
+def _fix_quartile_oracle() -> None:
+    from ..registry import REGISTRY
+    from .text_queries import _SW
+
+    REGISTRY["pipeline_quality_quartiles"].oracle = REGISTRY[
+        "pipeline_quality_quartiles"
+    ].oracle.replace("PLACEHOLDER_SW", _SW)
+
+
+_fix_quartile_oracle()
