@@ -38,11 +38,14 @@ from pyspark.sql import functions as F
 
 __all__ = ["FlinkDdl", "TableSpec", "is_ddl"]
 
-_CREATE_RE = re.compile(
-    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
-    r"\((?P<cols>.*)\)\s*WITH\s*\((?P<opts>.*)\)\s*$",
-    re.IGNORECASE | re.DOTALL,
+_CREATE_HEAD_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\(",
+    re.IGNORECASE,
 )
+_PARTITIONED_RE = re.compile(
+    r"^\s*PARTITIONED\s+BY\s*\(([\w\s,]+)\)\s*", re.IGNORECASE
+)
+_WITH_RE = re.compile(r"^\s*WITH\s*\(", re.IGNORECASE)
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE
 )
@@ -78,6 +81,7 @@ class TableSpec:
     options: dict[str, str]
     watermark: tuple[str, int] | None = None  # (ts col, delay seconds)
     computed: list[tuple[str, str]] = field(default_factory=list)
+    partitioned_by: list[str] = field(default_factory=list)
 
 
 def is_ddl(sql: str) -> bool:
@@ -107,15 +111,42 @@ def _split_top(s: str) -> list[str]:
 _UNIT_S = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
 
 
+def _balanced_span(s: str, open_idx: int) -> int:
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses in CREATE TABLE")
+
+
 def _parse_create(sql: str) -> TableSpec:
-    m = _CREATE_RE.match(sql)
+    m = _CREATE_HEAD_RE.match(sql)
     if not m:
         raise ValueError(f"cannot parse CREATE TABLE statement: {sql[:120]!r}")
     name = m.group(1)
+    cols_open = m.end() - 1
+    cols_close = _balanced_span(sql, cols_open)
+    cols_body = sql[cols_open + 1 : cols_close]
+    rest = sql[cols_close + 1 :]
+    part_cols: list[str] = []
+    pm = _PARTITIONED_RE.match(rest)
+    if pm:
+        part_cols = [p.strip() for p in pm.group(1).split(",") if p.strip()]
+        rest = rest[pm.end():]
+    wm_ = _WITH_RE.match(rest)
+    if not wm_:
+        raise ValueError(f"CREATE TABLE {name}: missing WITH (options)")
+    with_open = wm_.end() - 1
+    with_close = _balanced_span(rest, with_open)
+    opts_body = rest[with_open + 1 : with_close]
     columns: list[tuple[str, str]] = []
     computed: list[tuple[str, str]] = []
     watermark = None
-    for item in _split_top(m.group("cols")):
+    for item in _split_top(cols_body):
         wm = _WATERMARK_RE.match(item)
         if wm:
             watermark = (wm.group(1), int(wm.group(2)) * _UNIT_S[wm.group(3).upper()])
@@ -130,13 +161,13 @@ def _parse_create(sql: str) -> TableSpec:
         if len(parts) == 2:
             columns.append((parts[0], parts[1]))
     options = {}
-    for opt in _split_top(m.group("opts")):
+    for opt in _split_top(opts_body):
         om = re.match(r"'([^']+)'\s*=\s*'([^']*)'", opt.strip())
         if om:
             options[om.group(1).lower()] = om.group(2)
     if "connector" not in options:
         raise ValueError(f"CREATE TABLE {name}: missing 'connector' option")
-    return TableSpec(name, columns, options, watermark, computed)
+    return TableSpec(name, columns, options, watermark, computed, part_cols)
 
 
 _FMT_ALIASES = {"raw": "text"}
@@ -287,9 +318,12 @@ class FlinkDdl:
         conn = spec.options["connector"].lower()
         if conn == "filesystem":
             fmt = spec.options.get("format", "parquet").lower()
-            df.write.mode("append").format(_FMT_ALIASES.get(fmt, fmt)).save(
-                spec.options["path"]
-            )
+            writer = df.write.mode("append").format(_FMT_ALIASES.get(fmt, fmt))
+            if spec.partitioned_by:
+                # Flink PARTITIONED BY → Hive-style dynamic partition dirs
+                # (FileSystemTableSink partition-path grammar = Spark's)
+                writer = writer.partitionBy(*spec.partitioned_by)
+            writer.save(spec.options["path"])
             self._register(spec)  # the path exists now: (re)expose the view
             return None
         if conn == "print":

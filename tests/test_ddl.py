@@ -209,3 +209,27 @@ def test_set_reset_and_show_create(env):
     stmt = env.execute_sql("SHOW CREATE TABLE show_me").first()["result"]
     assert "CREATE TABLE show_me" in stmt
     assert "WATERMARK FOR ts" in stmt and "'connector' = 'datagen'" in stmt
+
+
+def test_partitioned_by_writes_partition_dirs(env, tmp_path):
+    import os
+
+    out = str(tmp_path / "parted")
+    env.execute_sql(
+        f"""
+        CREATE TABLE psink (v BIGINT, src STRING)
+        PARTITIONED BY (src)
+        WITH ('connector'='filesystem', 'path'='{out}', 'format'='parquet')
+        """
+    )
+    env.spark.range(6).createOrReplaceTempView("six")
+    env.execute_sql(
+        "INSERT INTO psink SELECT id AS v,"
+        " CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS src FROM six"
+    )
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("src=")
+    ) == ["src=a", "src=b"]
+    # partition pruning reaches the scan on read-back
+    back = env.spark.read.parquet(out).filter("src = 'a'")
+    assert back.count() == 3
