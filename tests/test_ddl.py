@@ -233,3 +233,14 @@ def test_partitioned_by_writes_partition_dirs(env, tmp_path):
     # partition pruning reaches the scan on read-back
     back = env.spark.read.parquet(out).filter("src = 'a'")
     assert back.count() == 3
+
+
+def test_nested_paren_types_parse(env):
+    env.execute_sql(
+        """
+        CREATE TABLE dec_t (amount DECIMAL(10,2), name VARCHAR(255))
+        WITH ('connector' = 'datagen', 'number-of-rows' = '5')
+        """
+    )
+    out = env.sql_query("SELECT * FROM dec_t").collect()
+    assert len(out) == 5
