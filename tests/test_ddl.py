@@ -244,3 +244,50 @@ def test_nested_paren_types_parse(env):
     )
     out = env.sql_query("SELECT * FROM dec_t").collect()
     assert len(out) == 5
+
+
+def test_ddl_stream_windowed_agg_matches_batch(env, tmp_path):
+    """The DDL-declared watermark drives a real windowed streaming agg:
+    results equal the batch rendition once the bounded stream drains."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from fries_flink_spark.streaming.windows import run_to_completion
+
+    p = str(tmp_path / "ev")
+    rows = [
+        (datetime.datetime(2024, 1, 1, 0, m % 30, (m * 13) % 60), m % 3, float(m))
+        for m in range(300)
+    ]
+    # sentinel far in the future: advances the watermark past every real
+    # window so append mode emits them all; its own (withheld) window is
+    # excluded from both sides
+    rows.append((datetime.datetime(2024, 1, 2), 99, 0.0))
+    env.spark.createDataFrame(rows, "ts timestamp, k int, v double").write.parquet(p)
+    env.execute_sql(
+        f"""
+        CREATE TABLE ddl_ev (ts TIMESTAMP, k INT, v DOUBLE,
+                             WATERMARK FOR ts AS ts - INTERVAL '2' MINUTE)
+        WITH ('connector' = 'filesystem', 'path' = '{p}', 'format' = 'parquet')
+        """
+    )
+    sdf = env.from_path_stream("ddl_ev")
+    agg = sdf.groupBy(F.window("ts", "10 minutes").alias("w"), "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+    ).select(F.unix_timestamp("w.start").alias("ws"), "k", "n", "total")
+    s = run_to_completion(agg, "ddl_win_stream", "append")
+    got = sorted(
+        tuple(r)
+        for r in s.sql("SELECT * FROM ddl_win_stream WHERE k <> 99").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in env.spark.read.parquet(p)
+        .filter("k <> 99")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "k", "n", "total")
+        .collect()
+    )
+    assert got == want
