@@ -291,3 +291,21 @@ def test_ddl_stream_windowed_agg_matches_batch(env, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_show_create_output_is_reexecutable(env):
+    env.execute_sql(
+        """
+        CREATE TABLE rt_src (id BIGINT, amount DECIMAL(10,2), ts TIMESTAMP,
+                             WATERMARK FOR ts AS ts - INTERVAL '30' SECOND)
+        WITH ('connector' = 'datagen', 'number-of-rows' = '4')
+        """
+    )
+    stmt = env.execute_sql("SHOW CREATE TABLE rt_src").first()["result"]
+    env.execute_sql(stmt.replace("rt_src", "rt_clone"))
+    a = env._ddl.tables["rt_src"]
+    b = env._ddl.tables["rt_clone"]
+    assert a.columns == b.columns
+    assert a.watermark == b.watermark
+    assert a.options == b.options
+    assert env.sql_query("SELECT count(*) AS n FROM rt_clone").first()["n"] == 4
