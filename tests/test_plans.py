@@ -247,3 +247,25 @@ def test_triadic_census_no_triple_scan(spark, registry):
     df = registry["graph_triadic_census"](spark, SF)
     js = join_strategies(df)
     assert "CartesianProduct" not in {k: v for k, v in js.items() if k != "BroadcastNestedLoopJoin"}, js
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Two tables bucketed on the same key and count join WITHOUT any
+    exchange — the co-located-join contract write_bucketed_table promises
+    for 100 TB fact-fact joins (Flink pre-partitioned inputs analog)."""
+    from fries_flink_spark.sources.connectors import write_bucketed_table
+
+    try:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(0, 10000).selectExpr("id AS k", "id * 3 AS vb")
+        write_bucketed_table(a, "bt_a", ["k"], 8, sort_cols=["k"])
+        write_bucketed_table(b, "bt_b", ["k"], 8, sort_cols=["k"])
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        assert exchange_count(joined) == 0, joined._jdf.queryExecution().toString()[:500]
+        assert joined.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
