@@ -309,3 +309,43 @@ def agg_having(spark, sf_dir):
         .agg(F.sum("l_quantity").alias("total_qty"), F.count(F.lit(1)).alias("n"))
         .filter((F.col("total_qty") > 1000) & (F.col("n") > 20))
     )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total,
+           min(value) AS mn, max(value) AS mx
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Skew-safe two-phase aggregation through a salt level
+    (operators/skew.salted_agg — the hot-key mitigation for 100 TB
+    aggregations, reference rebalance+partial-agg pattern): results equal
+    the plain aggregation's. count/min/max are salt-invariant exactly; the
+    float sum is salt-ORDER-dependent in its last ulps, so both sides apply
+    the tie-safe portable rounding (portable.py) like the other float-sum
+    oracles."""
+    from ..catalog import load_table
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("n", "count", "value"),
+            ("total", "sum", "value"),
+            ("mn", "min", "value"),
+            ("mx", "max", "value"),
+        ],
+        n_salts=8,
+    )
+    from ..portable import round_portable
+
+    return out.select(
+        "event_type", "n", round_portable(F.col("total"), 4).alias("total"),
+        "mn", "mx",
+    ).orderBy("event_type")
