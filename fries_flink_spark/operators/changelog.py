@@ -88,3 +88,39 @@ def to_changelog(
         F.lit(UPDATE_AFTER).alias("row_kind"), *[a[c].alias(c) for c in after.columns]
     )
     return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+) -> DataFrame:
+    """Merge a changelog batch into a keyed snapshot: the incremental
+    materialized-view maintenance step (reference: the state update a
+    ChangelogNormalize/upsert-sink pair performs per record; Spark shape:
+    one union + one keyed window per batch, the per-micro-batch analog).
+
+    ``snapshot`` rows are treated as ``+I`` at order −∞ (they precede every
+    change); the result is the new snapshot (no row_kind column). At scale
+    the snapshot is a bucketed table on ``keys`` so the per-batch merge is
+    co-located; with deletes dominating, compact periodically.
+    """
+    lo = F.lit(-1).cast("long")
+    snap = snapshot.withColumn("row_kind", F.lit(INSERT)).withColumn(
+        "__ord", lo
+    )
+    chg = changes.withColumn("__ord", F.lit(0).cast("long"))
+    # the snapshot lacks the changelog's ordering columns (they only break
+    # ties WITHIN the batch; __ord already orders snapshot before changes)
+    merged = snap.unionByName(chg, allowMissingColumns=True)
+    w = Window.partitionBy(*keys).orderBy(
+        *[c.desc() for c in ([F.col("__ord")] + list(order_by))]
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("row_kind") != DELETE)
+        .drop("__rn", "__ord", "row_kind")
+        .select(*snapshot.columns)
+    )

@@ -131,3 +131,62 @@ def test_debezium_random_streams_normalize_to_state(spark):
         snap = changelog_normalize(ordered, ["id"], [F.col("seq")])
         got = {r["id"]: r["qty"] for r in snap.collect()}
         assert got == state, f"seed {seed}"
+
+
+def test_streaming_cdc_snapshot_maintenance(spark, tmp_path):
+    """Debezium stream -> foreachBatch parse + apply_changelog: the
+    maintained snapshot equals an independent state-machine replay — the
+    full CDC ingestion loop (parse -> changelog -> incremental materialized
+    view)."""
+    import random
+    import shutil
+
+    from fries_flink_spark.operators.changelog import apply_changelog
+    from fries_flink_spark.streaming.sources import stream_from_df
+
+    rng = random.Random(5)
+    state: dict[int, int] = {}
+    msgs = []
+    for step in range(150):
+        key = rng.randrange(10)
+        if key not in state:
+            state[key] = rng.randrange(50)
+            msgs.append((step, json.dumps({
+                "before": None,
+                "after": {"id": key, "name": f"k{key}", "qty": state[key]},
+                "op": "c", "ts_ms": step})))
+        elif rng.random() < 0.25:
+            old = state.pop(key)
+            msgs.append((step, json.dumps({
+                "before": {"id": key, "name": f"k{key}", "qty": old},
+                "after": None, "op": "d", "ts_ms": step})))
+        else:
+            old, new = state[key], rng.randrange(50)
+            state[key] = new
+            msgs.append((step, json.dumps({
+                "before": {"id": key, "name": f"k{key}", "qty": old},
+                "after": {"id": key, "name": f"k{key}", "qty": new},
+                "op": "u", "ts_ms": step})))
+    src = spark.createDataFrame(msgs, "ts long, value string")
+    sdf, stage = stream_from_df(src, n_chunks=4, order_col="ts")
+    holder = {
+        "snap": spark.createDataFrame([], "id bigint, name string, qty bigint")
+    }
+
+    def ingest(batch_df, _epoch):
+        parsed = parse_debezium_json(batch_df.orderBy("ts"), "value", _SCHEMA)
+        ordered = parsed.withColumn("seq", F.monotonically_increasing_id())
+        holder["snap"] = apply_changelog(
+            holder["snap"], ordered, ["id"], [F.col("seq")]
+        ).localCheckpoint(eager=True)
+
+    q = (
+        sdf.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", stage + "/_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    shutil.rmtree(stage, ignore_errors=True)
+    got = {r["id"]: r["qty"] for r in holder["snap"].collect()}
+    assert got == state
