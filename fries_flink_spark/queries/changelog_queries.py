@@ -125,3 +125,44 @@ def cdc_debezium_roundtrip(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("total"))
         .orderBy("row_kind")
     )
+
+
+@query(
+    "changelog_apply",
+    oracle="""
+    WITH chg AS (
+      SELECT CASE WHEN o_orderkey % 10 = 9 THEN '-D' ELSE '+U' END AS row_kind,
+             o_custkey AS id, o_totalprice AS val, o_orderkey AS seq
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), latest AS (
+      SELECT id, row_kind, val,
+             row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+      FROM chg
+    )
+    SELECT c.c_custkey AS id,
+           round(CASE WHEN l.id IS NULL THEN c.c_acctbal ELSE l.val END, 2) AS val
+    FROM customer c
+    LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l ON l.id = c.c_custkey
+    WHERE l.row_kind IS NULL OR l.row_kind <> '-D'
+    ORDER BY id
+    """,
+)
+def changelog_apply(spark, sf_dir):
+    """Incremental snapshot maintenance (operators/changelog.apply_changelog):
+    a customer-balance snapshot merged with an orders-derived changelog
+    (+U latest-wins by seq, -D removes) — ONE union + ONE keyed window, the
+    per-micro-batch materialized-view step the streaming CDC test drives."""
+    from ..operators.changelog import apply_changelog
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.round("c_acctbal", 2).alias("val")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    changes = orders.select(
+        F.when(F.col("o_orderkey") % 10 == 9, "-D").otherwise("+U").alias("row_kind"),
+        F.col("o_custkey").alias("id"),
+        F.round("o_totalprice", 2).alias("val"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    out = apply_changelog(cust, changes, ["id"], [F.col("seq")])
+    return out.orderBy("id")
