@@ -112,3 +112,47 @@ def split_train_holdout(
     thr = F.lit(frac_to_hex(holdout_fraction))
     pfx = hash_prefix(F.col(key_col))
     return df.filter(pfx >= thr), df.filter(pfx < thr)
+
+
+def split_by_group(
+    df: DataFrame, group_col: str, holdout_fraction: float
+) -> DataFrame:
+    """Leakage-safe holdout: the SPLIT DECISION hashes the GROUP key (domain,
+    source, dedup-cluster id, ...), so every row of a group lands on the same
+    side — near-duplicates within a group can never straddle the train/eval
+    boundary (the contamination mode a per-document split invites). Adds
+    ``split`` ('train' | 'holdout'); zero exchanges, same content-hash
+    determinism contract as the other samplers."""
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_prefix(F.col(group_col)) < F.lit(frac_to_hex(holdout_fraction)),
+            F.lit("holdout"),
+        ).otherwise(F.lit("train")),
+    )
+
+
+def take_token_budget(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    budget: int,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Deterministic exact-budget subset: order documents by the content hash
+    of their id (an unbiased deterministic shuffle), keep the prefix whose
+    cumulative token count stays within ``budget`` (per ``part_col`` stratum
+    when given — the same per-shard window contract as pack_sequences; the
+    un-stratified form serializes one window partition and is for small
+    tables only). The first document exceeding the budget is excluded."""
+    keys = [part_col] if part_col else []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(hash_prefix(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__cum", F.sum(token_col).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )

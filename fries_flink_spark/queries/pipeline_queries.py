@@ -745,3 +745,68 @@ def _fix_quartile_oracle() -> None:
 
 
 _fix_quartile_oracle()
+
+
+@query(
+    "sample_group_holdout",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN substr(md5(source), 1, 8) < '{frac_to_hex(0.25)}'
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split, source, count(*) AS n
+    FROM s GROUP BY split, source ORDER BY split, source
+    """,
+)
+def q_sample_group_holdout(spark, sf_dir):
+    """Leakage-safe group holdout (pipeline/sampling.split_by_group): the
+    split decision hashes the GROUP key (source), so every document of a
+    group lands on one side — near-dups within a group cannot straddle the
+    train/eval boundary. Per-(split, group) counts prove atomicity."""
+    from ..pipeline.sampling import split_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = split_by_group(docs, "source", holdout_fraction=0.25)
+    return (
+        out.groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "source")
+    )
+
+
+@query(
+    "pipeline_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOK_SQL} AS tokens,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, tokens,
+             sum(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT source, count(*) AS n_docs, sum(tokens) AS tokens
+    FROM c WHERE cum <= 4096 GROUP BY source ORDER BY source
+    """,
+)
+def q_pipeline_token_budget(spark, sf_dir):
+    """Exact token-budget subsetting (pipeline/sampling.take_token_budget):
+    deterministic hash-order prefix of <= 4096 tokens per source stratum —
+    the 'give me exactly N tokens of this corpus' primitive. Integer window
+    arithmetic, engine-exact."""
+    from ..pipeline.sampling import take_token_budget
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4)).cast("bigint").alias("tokens"),
+    )
+    kept = take_token_budget(docs, "tokens", "doc_id", budget=4096, part_col="source")
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").alias("tokens"))
+        .orderBy("source")
+    )

@@ -375,3 +375,29 @@ def test_pca_projects_onto_dominant_axis(spark):
     # projections are centered: min and max are symmetric around 0
     vals = [v[0] for v in out.values()]
     assert abs(max(vals) + min(vals)) <= 1  # micro-unit rounding slack
+
+
+def test_split_by_group_is_atomic(spark):
+    from fries_flink_spark.pipeline.sampling import split_by_group
+
+    rows = [(i, f"dom{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, domain string")
+    out = split_by_group(df, "domain", 0.4)
+    per_group = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(
+            __import__("pyspark.sql.functions", fromlist=["countDistinct"]).countDistinct("split").alias("n")
+        ).collect()
+    }
+    assert all(n == 1 for n in per_group.values())  # no group straddles
+
+
+def test_take_token_budget_exact_prefix(spark):
+    from fries_flink_spark.pipeline.sampling import take_token_budget
+
+    rows = [(i, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, tokens int")
+    kept = take_token_budget(df, "tokens", "doc_id", budget=95)
+    # 10-token docs, budget 95 -> exactly 9 kept regardless of partitioning
+    assert kept.count() == 9
+    assert take_token_budget(df.repartition(7), "tokens", "doc_id", 95).count() == 9
