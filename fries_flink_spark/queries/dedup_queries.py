@@ -368,3 +368,50 @@ def dedup_incremental(spark, sf_dir):
     index = band_table(minhash_table(corpus, "text", "doc_id"), "doc_id")
     survivors, _ = incremental_dedup(batch, index, "text", "doc_id")
     return survivors.select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "split_cluster_safe",
+    oracle=f"""
+    WITH RECURSIVE {_CAND_CTES},
+    grp AS (
+      SELECT d.doc_id,
+             coalesce(cc.cluster_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    ), s AS (
+      SELECT doc_id, group_id,
+             CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 8) < '40000000'
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM grp
+    )
+    SELECT split, count(*) AS n_docs, count(DISTINCT group_id) AS n_groups
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def split_cluster_safe(spark, sf_dir):
+    """Contamination-safe train/holdout split keyed by NEAR-DUP CLUSTER:
+    connected components over LSH candidate pairs define the group, the
+    split hashes the cluster id (singletons = their own id), so a document
+    and its near-duplicates can never straddle the eval boundary — the
+    composition of dedup/clusters with sampling.split_by_group that a real
+    decontamination pipeline runs. 0.25 holdout (hex threshold 40000000)."""
+    from ..dedup.clusters import connected_components
+    from ..pipeline.sampling import split_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_table(docs, "text", "doc_id")
+    cc = connected_components(lsh_candidate_pairs(sig, "doc_id"), "a", "b")
+    grouped = docs.join(
+        cc.select(F.col("node").alias("doc_id"), "cluster_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("group_id")
+    )
+    out = split_by_group(grouped, "group_id", holdout_fraction=0.25)
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("group_id").alias("n_groups"),
+        )
+        .orderBy("split")
+    )
