@@ -159,7 +159,11 @@ class TableEnvironment:
                 elif up.startswith("STATEMENT SET", i):
                     in_set += 1
                 elif in_set and up.startswith("END", i) and (
-                    i + 3 >= len(script) or not script[i + 3].isalnum()
+                    i + 3 >= len(script)
+                    or not (script[i + 3].isalnum() or script[i + 3] == "_")
+                ) and (
+                    i == 0
+                    or not (script[i - 1].isalnum() or script[i - 1] == "_")
                 ):
                     in_set -= 1
                 elif ch == ";" and depth == 0 and not in_set:

@@ -267,8 +267,17 @@ class FlinkDdl:
             try:
                 df = self._read_filesystem(spec)
                 self._apply_computed(df, spec).createOrReplaceTempView(spec.name)
-            except Exception:
-                pass
+            except Exception as exc:  # defer ONLY the not-yet-written sink case
+                msg = str(exc)
+                if not (
+                    "PATH_NOT_FOUND" in msg
+                    or "Path does not exist" in msg
+                    or "No such file" in msg
+                ):
+                    # genuine misconfiguration (bad schema/format/option)
+                    # must surface at CREATE TABLE time, not as a later
+                    # unrelated 'table not found'
+                    raise
         elif conn == "datagen":
             n = int(spec.options.get("number-of-rows", "1000"))
             df = self._datagen(spec, n)

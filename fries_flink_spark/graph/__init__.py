@@ -14,6 +14,7 @@ the iteration discipline (frontier delta iterations, lineage truncation) from
 from .algorithms import (
     adamic_adar,
     clustering_coefficients,
+    clustering_coefficients_directed,
     community_detection,
     hits,
     jaccard_index,
@@ -29,6 +30,7 @@ from .algorithms import (
 __all__ = [
     "adamic_adar",
     "clustering_coefficients",
+    "clustering_coefficients_directed",
     "community_detection",
     "hits",
     "jaccard_index",

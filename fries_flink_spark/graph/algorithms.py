@@ -56,6 +56,7 @@ from ..operators.iterate import iterate
 __all__ = [
     "adamic_adar",
     "clustering_coefficients",
+    "clustering_coefficients_directed",
     "community_detection",
     "hits",
     "jaccard_index",

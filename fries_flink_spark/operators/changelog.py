@@ -114,8 +114,17 @@ def apply_changelog(
     # the snapshot lacks the changelog's ordering columns (they only break
     # ties WITHIN the batch; __ord already orders snapshot before changes)
     merged = snap.unionByName(chg, allowMissingColumns=True)
+    # Deterministic tie-break when a -U/+U pair (or a -D racing a +U) shares
+    # identical __ord and order_by values: rank the after-image first so the
+    # merged snapshot never keeps a stale UPDATE_BEFORE row.
+    kind_priority = (
+        F.when(F.col("row_kind") == UPDATE_AFTER, 3)
+        .when(F.col("row_kind") == INSERT, 2)
+        .when(F.col("row_kind") == DELETE, 1)
+        .otherwise(0)
+    )
     w = Window.partitionBy(*keys).orderBy(
-        *[c.desc() for c in ([F.col("__ord")] + list(order_by))]
+        *[c.desc() for c in ([F.col("__ord")] + list(order_by) + [kind_priority])]
     )
     return (
         merged.withColumn("__rn", F.row_number().over(w))

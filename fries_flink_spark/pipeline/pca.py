@@ -58,21 +58,32 @@ def second_moments(
         for pdf in batches:
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             xi = _to_int(x)
-            gram = (xi.T @ xi).reshape(-1)  # int64 exact
+            # Pre-sum overflow guard in exact Python ints: int64 wraps
+            # silently, so checking the aggregated Gram after the fact is
+            # unreliable — bound n_batch * max|xi|^2 BEFORE the matmul.
+            max_abs = int(np.abs(xi).max()) if len(xi) else 0
+            if len(xi) * max_abs * max_abs > (1 << 62):
+                raise OverflowError(
+                    "fixed-point Gram batch would exceed int64 — lower "
+                    "SCALE_BITS or shard the reduction"
+                )
+            gram = (xi.T @ xi).reshape(-1)  # int64 exact (bounded above)
             yield pd.DataFrame(
                 {
                     "n": [len(xi)],
+                    "m": [max_abs],
                     "s": [xi.sum(axis=0).tolist()],
                     "g": [gram.tolist()],
                 }
             )
 
     parts = df.select(vec_col).mapInPandas(
-        partials, schema="n long, s array<long>, g array<long>"
+        partials, schema="n long, m long, s array<long>, g array<long>"
     )
     # Element-wise integer reduction: posexplode to (pos, val), sum per pos.
     agg = parts.select(
         F.sum("n").alias("n"),
+        F.max("m").alias("m"),
         F.aggregate(
             F.collect_list("s"),
             F.array([F.lit(0).cast("long")] * dim),
@@ -87,11 +98,14 @@ def second_moments(
     n = int(agg["n"])
     s = np.array(agg["s"], dtype=np.int64)
     g = np.array(agg["g"], dtype=np.int64).reshape(dim, dim)
-    # overflow guard: |x_int| <= scale * max|x|; conservative bound check
-    if n and np.abs(g).max() > (1 << 62):
+    # Cross-batch guard, exact Python-int arithmetic: every Gram cell is a
+    # sum of n products each bounded by max|xi|^2, so n * max^2 < 2^62
+    # guarantees no bigint partial wrapped anywhere in the reduction.
+    max_abs = int(agg["m"] or 0)
+    if n and n * max_abs * max_abs > (1 << 62):
         raise OverflowError(
-            "fixed-point Gram partials near int64 range — shard the "
-            "reduction or lower SCALE_BITS"
+            "fixed-point Gram total n*max|x_int|^2 exceeds int64 — shard "
+            "the reduction or lower SCALE_BITS"
         )
     return n, s, g
 

@@ -68,7 +68,7 @@ def changelog_snapshot(spark, sf_dir):
       UNION ALL
       SELECT '-D', id, qty FROM src WHERE m = 9
     )
-    SELECT row_kind, count(*) AS n, sum(qty) AS total
+    SELECT row_kind, count(*) AS n, CAST(sum(qty) AS BIGINT) AS total
     FROM expanded GROUP BY row_kind ORDER BY row_kind
     """,
 )

@@ -466,14 +466,14 @@ vm AS (
   FROM deg d LEFT JOIN outd o ON o.id = d.id LEFT JOIN ind i ON i.id = d.id),
 raw AS (
   SELECT count(*) AS vc,
-         CAST(sum(us + ut) / 2 AS BIGINT) AS uec,
-         CAST(sum(bi) / 2 AS BIGINT) AS bec,
-         sum(CAST(us * (us - 1) / 2 AS BIGINT)) AS r021d,
-         sum(CAST(ut * (ut - 1) / 2 AS BIGINT)) AS r021u,
+         CAST(sum(us + ut) // 2 AS BIGINT) AS uec,
+         CAST(sum(bi) // 2 AS BIGINT) AS bec,
+         sum(CAST((us * (us - 1)) // 2 AS BIGINT)) AS r021d,
+         sum(CAST((ut * (ut - 1)) // 2 AS BIGINT)) AS r021u,
          sum(us * ut) AS r021c,
          sum(ut * bi) AS r111d,
          sum(us * bi) AS r111u,
-         sum(CAST(bi * (bi - 1) / 2 AS BIGINT)) AS r201
+         sum(CAST((bi * (bi - 1)) // 2 AS BIGINT)) AS r201
   FROM vm),
 fin AS (
   SELECT vc, uec, bec, t030t, t030c, t120d, t120u, t120c, t210, t300,
@@ -491,7 +491,7 @@ fin2 AS (
          uec * (vc - 2) - 2 * t021d - 2 * t021u - 2 * t021c - t111d - t111u
            - 3 * t030t - 3 * t030c - 2 * (t120d + t120u + t120c) - t210 AS t012
   FROM fin)
-SELECT CAST(vc * (vc - 1) * (vc - 2) / 6 AS BIGINT)
+SELECT CAST((vc * (vc - 1) * (vc - 2)) // 6 AS BIGINT)
          - t012 - t102 - t021d - t021u - t021c - t111d - t111u
          - t030t - t030c - t201 - t120d - t120u - t120c - t210 - t300 AS t003,
        CAST(t012 AS BIGINT) AS t012, CAST(t102 AS BIGINT) AS t102,
@@ -542,9 +542,9 @@ deg AS (
     SELECT x AS id FROM prs UNION ALL SELECT y FROM prs) GROUP BY id)
 SELECT d.id, d.degree, coalesce(c.tri_edges, 0) AS tri_edges,
        CASE WHEN d.degree >= 2
-            THEN round(coalesce(c.tri_edges, 0) * 1.0
-                       / (d.degree * (d.degree - 1)), 6)
-            ELSE 0.0 END AS coefficient
+            THEN CAST((coalesce(c.tri_edges, 0) * 1000000)
+                      // (d.degree * (d.degree - 1)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS coeff_micro
 FROM deg d LEFT JOIN contrib c ON c.id = d.id
 ORDER BY d.id
 """,
@@ -553,10 +553,20 @@ def graph_clustering_directed(spark, sf_dir):
     """Directed local clustering coefficients
     (clustering/directed/LocalClusteringCoefficient.java): directed edges
     among neighbors / d(d-1), via the O(m^{3/2}) triangle join with mutual
-    pairs weighted 2 (SplitTriangles bitmask semantics)."""
+    pairs weighted 2 (SplitTriangles bitmask semantics). The compared
+    coefficient is integer micro-units (floor(x*1e6) via integer division) so
+    the oracle is engine-version-proof — no float rounding on either side."""
     from ..graph.algorithms import clustering_coefficients_directed
 
     out = clustering_coefficients_directed(_edges(spark, sf_dir))
     return out.select(
-        "id", "degree", "tri_edges", F.round("coefficient", 6).alias("coefficient")
+        "id",
+        "degree",
+        "tri_edges",
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("(tri_edges * CAST(1000000 AS BIGINT)) div (degree * (degree - 1))"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("coeff_micro"),
     ).orderBy("id")

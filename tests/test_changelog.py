@@ -138,3 +138,24 @@ def test_streaming_agg_changelog_roundtrip(spark, sf_dir):
     for k, (n, total) in want.items():
         assert got[k][0] == n
         assert abs(got[k][1] - total) < 1e-6
+
+
+def test_apply_changelog_tied_update_pair_keeps_after_image(spark):
+    """A -U/+U pair sharing identical order_by values (the shape
+    to_changelog/parse_debezium_json emit, where both legs carry the same ts)
+    must resolve to the after-image, deterministically, via the row_kind
+    priority tie-break."""
+    from fries_flink_spark.operators.changelog import apply_changelog
+
+    snap = spark.createDataFrame([(1, "old"), (2, "keep")], "id long, v string")
+    # same ts for the -U and +U legs of one update; also a -D tied with a +U
+    chg = spark.createDataFrame(
+        [
+            (UPDATE_BEFORE, 1, "old", 10),
+            (UPDATE_AFTER, 1, "new", 10),
+        ],
+        "row_kind string, id long, v string, ts long",
+    )
+    out = apply_changelog(snap, chg, keys=["id"], order_by=[F.col("ts")])
+    got = {(r.id, r.v) for r in out.collect()}
+    assert got == {(1, "new"), (2, "keep")}
