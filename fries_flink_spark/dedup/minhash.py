@@ -283,11 +283,21 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     each whitespace token's md5 nibble j (>= 8 → +1). Portable: md5 nibbles
     are identical in any engine.
 
-    Formulated as explode(tokens) → md5 → groupBy(id).agg(16 vote sums) so the
-    whole computation stays in whole-stage codegen with map-side partial
-    aggregation — a higher-order-function fold would run 16 interpreted array
-    passes per row. Token-less rows (dropped by the explode) rejoin with
-    simhash 0, matching the fold semantics.
+    Formulated as explode(tokens) → md5 → groupBy(id).agg(packed vote sums)
+    so the whole computation stays in whole-stage codegen with map-side
+    partial aggregation — a higher-order-function fold would run 16
+    interpreted array passes per row. Token-less rows (dropped by the
+    explode) rejoin with simhash 0, matching the fold semantics.
+
+    The 16 per-bit ±1 vote sums are BIT-PACKED into 4 int64 lanes of 4
+    16-bit positive counters each (+ one row count): per token, nibble j's
+    high-bit test contributes ``1 << 16·(j mod 4)`` to lane ``j div 4``, and
+    the sign test recovers as ``2·count_j > n``. That cuts the aggregation
+    state 16 longs → 5 and replaces 16 ``isin``-of-8-strings predicates per
+    row with 16 single ``ascii >= 56`` compares ('8'..'f' sort after '7' in
+    ASCII for the lowercase hex alphabet). Counter overflow would need a
+    65 535-token document per 16-bit lane — far beyond any real document;
+    the oracle reproduces the same fold from raw md5 nibbles.
     """
     toks = df.select(
         F.col(id_col),
@@ -298,18 +308,26 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             )
         ).alias("__w"),
     ).select(F.col(id_col), F.md5("__w").alias("__h"))
-    hexhigh = list("89abcdef")
+
+    def lane(k: int):
+        e = None
+        for p in range(4):
+            j = 4 * k + p
+            t = F.when(
+                F.ascii(F.substring("__h", j + 1, 1)) >= 56, F.lit(1 << (16 * p))
+            ).otherwise(F.lit(0))
+            e = t if e is None else e + t
+        return e.cast("long")
+
     votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.substring("__h", j + 1, 1).isin(*hexhigh), 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(16)
-        ]
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(lane(k)).alias(f"s{k}") for k in range(4)],
     )
     bits = None
     for j in range(16):
-        b = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        k, p = divmod(j, 4)
+        cnt = F.shiftright(F.col(f"s{k}"), 16 * p).bitwiseAND(F.lit(0xFFFF))
+        b = F.when(cnt * 2 > F.col("__n"), F.lit(1 << j)).otherwise(F.lit(0))
         bits = b if bits is None else bits + b
     sig = votes.select(F.col(id_col), bits.alias("simhash"))
     return df.select(id_col).join(sig, id_col, "left").select(

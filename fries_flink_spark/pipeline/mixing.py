@@ -152,11 +152,12 @@ def mix_temperature(
     out = out.withColumn("rep", F.explode(F.sequence(F.lit(1), ceil_rate)))
     frac = rate - F.floor(rate)
     # Columnar analog of sampling.frac_to_hex: fraction -> 8-hex threshold.
-    # round() is HALF_UP for positive doubles on both engines; the cap at
-    # 2^32-1 avoids the 9-char "100000000" that would sort before any hex.
-    v = F.least(F.round(frac * F.lit(float(16**8))), F.lit(float(16**8 - 1))).cast(
-        "long"
-    )
+    # floor(x + 0.5) instead of round(): pure IEEE ops, identical on every
+    # engine version; the cap at 2^32-1 avoids the 9-char "100000000" that
+    # would sort before any hex.
+    v = F.least(
+        F.floor(frac * F.lit(float(16**8)) + F.lit(0.5)), F.lit(16**8 - 1)
+    ).cast("long")
     thr = F.format_string("%08x", v)
     keep = (F.col("rep") <= F.floor(rate)) | (
         F.substring(

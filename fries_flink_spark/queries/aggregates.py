@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_tables
-from ..registry import query
+from ..registry import micro, query
 
 
 def _t(spark, sf_dir, *names):
@@ -99,12 +99,12 @@ def agg_rollup(spark, sf_dir):
     "agg_stats",
     oracle="""
     SELECT o_orderstatus,
-           round(stddev_samp(o_totalprice), 4) AS std_samp,
-           round(stddev_pop(o_totalprice), 4)  AS std_pop,
-           round(var_samp(o_totalprice), 2)    AS v_samp,
-           round(var_pop(o_totalprice), 2)     AS v_pop,
+           CAST(floor(stddev_samp(o_totalprice) * 1e4 + 0.5) AS BIGINT) AS std_samp,
+           CAST(floor(stddev_pop(o_totalprice) * 1e4 + 0.5) AS BIGINT)  AS std_pop,
+           CAST(floor(var_samp(o_totalprice) * 1e2 + 0.5) AS BIGINT)    AS v_samp,
+           CAST(floor(var_pop(o_totalprice) * 1e2 + 0.5) AS BIGINT)     AS v_pop,
            min(o_totalprice) AS mn, max(o_totalprice) AS mx,
-           round(avg(o_totalprice), 4) AS mean
+           CAST(floor(avg(o_totalprice) * 1e4 + 0.5) AS BIGINT) AS mean
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -113,13 +113,13 @@ def agg_stats(spark, sf_dir):
     ops; SURVEY §2.4)."""
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.round(F.stddev_samp("o_totalprice"), 4).alias("std_samp"),
-        F.round(F.stddev_pop("o_totalprice"), 4).alias("std_pop"),
-        F.round(F.var_samp("o_totalprice"), 2).alias("v_samp"),
-        F.round(F.var_pop("o_totalprice"), 2).alias("v_pop"),
+        micro(F.stddev_samp("o_totalprice"), 4).alias("std_samp"),
+        micro(F.stddev_pop("o_totalprice"), 4).alias("std_pop"),
+        micro(F.var_samp("o_totalprice"), 2).alias("v_samp"),
+        micro(F.var_pop("o_totalprice"), 2).alias("v_pop"),
         F.min("o_totalprice").alias("mn"),
         F.max("o_totalprice").alias("mx"),
-        F.round(F.avg("o_totalprice"), 4).alias("mean"),
+        micro(F.avg("o_totalprice"), 4).alias("mean"),
     )
 
 

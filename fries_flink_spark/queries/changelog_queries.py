@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.changelog import DELETE, UPDATE_AFTER, changelog_normalize
-from ..registry import query
+from ..registry import micro, query
 
 
 @query(
@@ -140,7 +140,8 @@ def cdc_debezium_roundtrip(spark, sf_dir):
       FROM chg
     )
     SELECT c.c_custkey AS id,
-           round(CASE WHEN l.id IS NULL THEN c.c_acctbal ELSE l.val END, 2) AS val
+           CAST(floor(CASE WHEN l.id IS NULL THEN c.c_acctbal ELSE l.val END
+                * 1e2 + 0.5) AS BIGINT) AS val
     FROM customer c
     LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l ON l.id = c.c_custkey
     WHERE l.row_kind IS NULL OR l.row_kind <> '-D'
@@ -155,13 +156,13 @@ def changelog_apply(spark, sf_dir):
     from ..operators.changelog import apply_changelog
 
     cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"), F.round("c_acctbal", 2).alias("val")
+        F.col("c_custkey").alias("id"), micro(F.col("c_acctbal"), 2).alias("val")
     )
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
     changes = orders.select(
         F.when(F.col("o_orderkey") % 10 == 9, "-D").otherwise("+U").alias("row_kind"),
         F.col("o_custkey").alias("id"),
-        F.round("o_totalprice", 2).alias("val"),
+        micro(F.col("o_totalprice"), 2).alias("val"),
         F.col("o_orderkey").alias("seq"),
     )
     out = apply_changelog(cust, changes, ["id"], [F.col("seq")])

@@ -20,7 +20,7 @@ from ..dedup.minhash import (
     simhash_table,
 )
 from ..portable import round_portable, round_portable_sql
-from ..registry import query
+from ..registry import micro, query
 
 # Shared DuckDB fragments (k=8 char shingles, 8 md5 "permutations")
 _SH = (
@@ -184,7 +184,8 @@ def dedup_simhash(spark, sf_dir):
     "dedup_embedding_cosine",
     oracle="""
     SELECT a.vec_id AS a, b.vec_id AS b,
-           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+           CAST(floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)
+                * 1e4 + 0.5) AS BIGINT) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
     ORDER BY a, b
@@ -200,7 +201,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
-        .select("a", "b", F.round("cos", 4).alias("cos"))
+        .select("a", "b", micro(F.col("cos"), 4).alias("cos"))
         .orderBy("a", "b")
     )
 

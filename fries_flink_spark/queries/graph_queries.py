@@ -33,7 +33,7 @@ from ..graph.algorithms import (
     triangle_listing,
     vertex_degrees,
 )
-from ..registry import query
+from ..registry import micro, query
 
 _MOD = 60
 
@@ -132,9 +132,10 @@ lcc AS (
          CASE WHEN deg.d >= 2 THEN 2.0 * coalesce(pv.t, 0) / (deg.d * (deg.d - 1))
               ELSE 0.0 END AS coeff
   FROM deg LEFT JOIN pv USING (id))
-SELECT CAST(sum(t) / 3 AS BIGINT) AS triangle_count,
-       round(sum(t) / sum(d * (d - 1) / 2.0), 6) AS global_coefficient,
-       round(avg(coeff), 6) AS average_coefficient
+SELECT CAST(sum(t) // 3 AS BIGINT) AS triangle_count,
+       CAST(floor((sum(t) / sum(d * (d - 1) / 2.0)) * 1e6 + 0.5) AS BIGINT)
+         AS global_coefficient,
+       CAST(floor(avg(coeff) * 1e6 + 0.5) AS BIGINT) AS average_coefficient
 FROM lcc
 """,
 )
@@ -143,8 +144,8 @@ def graph_clustering(spark, sf_dir):
     (clustering/undirected/{Global,Average}ClusteringCoefficient.java)."""
     return clustering_coefficients(_und(spark, sf_dir)).select(
         "triangle_count",
-        F.round("global_coefficient", 6).alias("global_coefficient"),
-        F.round("average_coefficient", 6).alias("average_coefficient"),
+        micro(F.col("global_coefficient")).alias("global_coefficient"),
+        micro(F.col("average_coefficient")).alias("average_coefficient"),
     )
 
 
@@ -242,7 +243,8 @@ def _hits_oracle() -> str:
 WITH {_G},
 s0 AS (SELECT id, 1.0 AS hub, 1.0 AS authority FROM nodes),
 {steps}
-SELECT id, round(hub, 6) AS hub, round(authority, 6) AS authority
+SELECT id, CAST(floor(hub * 1e6 + 0.5) AS BIGINT) AS hub,
+       CAST(floor(authority * 1e6 + 0.5) AS BIGINT) AS authority
 FROM s{_HITS_ITERS} ORDER BY id
 """
 
@@ -254,8 +256,8 @@ def graph_hits(spark, sf_dir):
     out = hits(_edges(spark, sf_dir), iterations=_HITS_ITERS)
     return out.select(
         "id",
-        F.round("hub", 6).alias("hub"),
-        F.round("authority", 6).alias("authority"),
+        micro(F.col("hub")).alias("hub"),
+        micro(F.col("authority")).alias("authority"),
     ).orderBy("id")
 
 
@@ -289,7 +291,8 @@ deg AS (SELECT u AS id, count(*) AS d FROM sym GROUP BY u),
 wedge AS (
   SELECT n1.u AS z, n1.v AS x, n2.v AS y
   FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v)
-SELECT w.x, w.y, round(sum(1.0 / ln(deg.d)), 6) AS score
+SELECT w.x, w.y,
+       CAST(floor(sum(1.0 / ln(deg.d)) * 1e6 + 0.5) AS BIGINT) AS score
 FROM wedge w JOIN deg ON deg.id = w.z
 WHERE deg.d > 1
 GROUP BY w.x, w.y
@@ -300,7 +303,9 @@ def graph_adamic_adar(spark, sf_dir):
     """Adamic–Adar link-prediction score (similarity/AdamicAdar.java);
     6-decimal rounding on both engines (ln + sum are float)."""
     out = adamic_adar(_und(spark, sf_dir))
-    return out.select("x", "y", F.round("score", 6).alias("score")).orderBy("x", "y")
+    return out.select(
+        "x", "y", micro(F.col("score")).alias("score")
+    ).orderBy("x", "y")
 
 
 def _summarize_oracle() -> str:
@@ -338,13 +343,13 @@ def graph_summarize(spark, sf_dir):
     oracle=f"""
 WITH {_G},
 deg AS (SELECT u AS id, count(*) AS d FROM sym GROUP BY u),
-s AS (SELECT count(*) AS n, CAST(sum(d) / 2 AS BIGINT) AS m,
-             sum(CAST(d * (d - 1) / 2 AS BIGINT)) AS wedges
+s AS (SELECT count(*) AS n, CAST(sum(d) // 2 AS BIGINT) AS m,
+             sum(CAST((d * (d - 1)) // 2 AS BIGINT)) AS wedges
       FROM deg),
 tri AS (SELECT count(*) AS t3 FROM und e1
         JOIN und e2 ON e2.a = e1.b
         JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
-SELECT CAST(n * (n-1) * (n-2) / 6
+SELECT CAST((n * (n-1) * (n-2)) // 6
             - (m * (n-2) - 2 * wedges + 3 * t3)
             - (wedges - 3 * t3) - t3 AS BIGINT) AS t0,
        CAST(m * (n-2) - 2 * wedges + 3 * t3 AS BIGINT) AS t1,
@@ -491,9 +496,10 @@ fin2 AS (
          uec * (vc - 2) - 2 * t021d - 2 * t021u - 2 * t021c - t111d - t111u
            - 3 * t030t - 3 * t030c - 2 * (t120d + t120u + t120c) - t210 AS t012
   FROM fin)
-SELECT CAST((vc * (vc - 1) * (vc - 2)) // 6 AS BIGINT)
+SELECT CAST((vc * (vc - 1) * (vc - 2)) // 6
          - t012 - t102 - t021d - t021u - t021c - t111d - t111u
-         - t030t - t030c - t201 - t120d - t120u - t120c - t210 - t300 AS t003,
+         - t030t - t030c - t201 - t120d - t120u - t120c - t210 - t300
+         AS BIGINT) AS t003,
        CAST(t012 AS BIGINT) AS t012, CAST(t102 AS BIGINT) AS t102,
        CAST(t021d AS BIGINT) AS t021d, CAST(t021u AS BIGINT) AS t021u,
        CAST(t021c AS BIGINT) AS t021c, CAST(t111d AS BIGINT) AS t111d,
@@ -540,7 +546,7 @@ contrib AS (
 deg AS (
   SELECT id, count(*) AS degree FROM (
     SELECT x AS id FROM prs UNION ALL SELECT y FROM prs) GROUP BY id)
-SELECT d.id, d.degree, coalesce(c.tri_edges, 0) AS tri_edges,
+SELECT d.id, d.degree, CAST(coalesce(c.tri_edges, 0) AS BIGINT) AS tri_edges,
        CASE WHEN d.degree >= 2
             THEN CAST((coalesce(c.tri_edges, 0) * 1000000)
                       // (d.degree * (d.degree - 1)) AS BIGINT)

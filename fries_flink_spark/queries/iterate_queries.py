@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.iterate import iterate
-from ..registry import query
+from ..registry import micro, query
 
 _D = 0.85
 _ITERS = 3
@@ -25,7 +25,7 @@ deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
 n AS (SELECT count(*) AS c FROM nodes),
 r0 AS (SELECT id, 1.0 / (SELECT c FROM n) AS rank FROM nodes),
 {steps}
-SELECT id, round(rank, 6) AS rank FROM r{k} ORDER BY id
+SELECT id, CAST(floor(rank * 1e6 + 0.5) AS BIGINT) AS rank FROM r{k} ORDER BY id
 """
 
 _STEP = """
@@ -82,4 +82,4 @@ def iter_pagerank(spark, sf_dir):
         )
 
     final = iterate(ranks0, step, max_iterations=_ITERS)
-    return final.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+    return final.select("id", micro(F.col("rank")).alias("rank")).orderBy("id")

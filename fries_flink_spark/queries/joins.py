@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.joins import asof_join, interval_join, lookup_join
-from ..registry import query
+from ..registry import micro, query
 
 
 def _t(spark, sf_dir, *names):
@@ -44,7 +44,7 @@ def join_inner(spark, sf_dir):
     "join_left_outer",
     oracle="""
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0.0), 4) AS total
+           CAST(floor(coalesce(sum(o_totalprice), 0.0) * 1e4 + 0.5) AS BIGINT) AS total
     FROM customer
     LEFT JOIN orders ON c_custkey = o_custkey
         AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
@@ -64,7 +64,7 @@ def join_left_outer(spark, sf_dir):
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total"),
+            micro(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total"),
         )
     )
 
@@ -311,7 +311,7 @@ def join_lookup(spark, sf_dir):
       FROM events WHERE event_type = 'purchase')
     SELECT c.w_start, c.user_id,
            c.event_id AS click_id, p.event_id AS purchase_id,
-           round(c.value + p.value, 4) AS combined
+           CAST(floor((c.value + p.value) * 1e4 + 0.5) AS BIGINT) AS combined
     FROM c JOIN p ON c.user_id = p.user_id AND c.w_start = p.w_start
     ORDER BY c.w_start, c.user_id, click_id, purchase_id
     """,
@@ -335,7 +335,7 @@ def join_window(spark, sf_dir):
         clicks.join(purchases, ["w_start", "user_id"])
         .select(
             "w_start", "user_id", "click_id", "purchase_id",
-            F.round(F.col("c_value") + F.col("p_value"), 4).alias("combined"),
+            micro(F.col("c_value") + F.col("p_value"), 4).alias("combined"),
         )
         .orderBy("w_start", "user_id", "click_id", "purchase_id")
     )

@@ -23,7 +23,7 @@ from ..pipeline.sampling import (
     sample_stratified,
     split_train_holdout,
 )
-from ..registry import query
+from ..registry import micro, query
 from ..text.pii import PII_PATTERNS, pii_total, redact
 
 _H = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
@@ -138,7 +138,7 @@ _PACK_BUDGET = 256
                / {_PACK_BUDGET}) AS BIGINT) AS bin_id
       FROM t
     )
-    SELECT source, bin_id, count(*) AS n_docs, sum(tokens) AS tokens,
+    SELECT source, bin_id, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tokens,
            sum(tokens) / {float(_PACK_BUDGET)} AS fill_ratio
     FROM b GROUP BY source, bin_id
     """,
@@ -229,9 +229,10 @@ def q_mix_weighted(spark, sf_dir):
     )
     SELECT vec_id,
            CAST(list_sum(qq) AS BIGINT) AS q_sum,
-           round(scale, 6) AS scale_r,
-           round(list_max(list_transform(generate_series(1, len(x)),
-                 i -> abs(x[i] - qq[i] * scale))), 6) AS max_err
+           CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_r,
+           CAST(floor(list_max(list_transform(generate_series(1, len(x)),
+                 i -> abs(x[i] - qq[i] * scale))) * 1e6 + 0.5)
+                AS BIGINT) AS max_err
     FROM q ORDER BY vec_id
     """,
 )
@@ -246,8 +247,8 @@ def q_emb_quantize_int8(spark, sf_dir):
         F.aggregate("q", F.lit(0).cast("bigint"), lambda s, x: s + x.cast("bigint")).alias(
             "q_sum"
         ),
-        F.round("q_scale", 6).alias("scale_r"),
-        F.round("max_err", 6).alias("max_err"),
+        micro(F.col("q_scale")).alias("scale_r"),
+        micro(F.col("max_err")).alias("max_err"),
     ).orderBy("vec_id")
 
 
@@ -424,7 +425,7 @@ def q_pipeline_epoch_shuffle(spark, sf_dir):
              sum(CASE WHEN user_id > 0 THEN 0 ELSE 1 END) AS v_user_positive
       FROM events
     )
-    SELECT rule, n AS n_rows, v AS n_violations,
+    SELECT rule, n AS n_rows, CAST(v AS BIGINT) AS n_violations,
            {round_portable_sql('v * 1.0 / n', 6)} AS violation_rate
     FROM agg, LATERAL (VALUES
       ('value_range', v_value_range), ('known_type', v_known_type),
@@ -470,7 +471,8 @@ def q_pipeline_validate(spark, sf_dir):
     FROM reps
     WHERE rep <= CAST(floor(rate) AS BIGINT)
        OR substr(md5(concat(CAST(doc_id AS VARCHAR), '#', CAST(rep AS VARCHAR))), 1, 8)
-          < printf('%08x', CAST(least(round((rate - floor(rate)) * 4294967296.0),
+          < printf('%08x', CAST(least(floor((rate - floor(rate)) * 4294967296.0
+                                            + 0.5),
                                       4294967295.0) AS BIGINT))
     ORDER BY doc_id, rep
     """,
@@ -505,7 +507,7 @@ def q_mix_temperature(spark, sf_dir):
                        ELSE 3 - rank % 4 END AS INTEGER) AS shard
       FROM ranked
     )
-    SELECT source, shard, count(*) AS n_docs, sum(tokens) AS tokens
+    SELECT source, shard, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tokens
     FROM sharded GROUP BY source, shard
     ORDER BY source, shard
     """,
@@ -634,7 +636,7 @@ _E2E_SAMPLE_FRAC = 0.5
                / 256) AS BIGINT) AS bin_id
       FROM sampled
     )
-    SELECT source, bin_id, count(*) AS n_docs, sum(tokens) AS tokens
+    SELECT source, bin_id, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tokens
     FROM binned GROUP BY source, bin_id
     ORDER BY source, bin_id
     """.replace("{SW}", "PLACEHOLDER_SW")
@@ -789,7 +791,7 @@ def q_sample_group_holdout(spark, sf_dir):
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM t
     )
-    SELECT source, count(*) AS n_docs, sum(tokens) AS tokens
+    SELECT source, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tokens
     FROM c WHERE cum <= 4096 GROUP BY source ORDER BY source
     """,
 )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.scalar import split_index
-from ..registry import query
+from ..registry import micro, query
 
 
 @query(
@@ -101,20 +101,20 @@ def func_regex(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05)                    AS a,
-           round(l_extendedprice, 1)                 AS r1,
+           CAST(floor(l_extendedprice * 1e1 + 0.5) AS BIGINT) AS r1,
            CAST(floor(l_extendedprice) AS BIGINT)    AS fl,
            CAST(ceil(l_extendedprice) AS BIGINT)     AS ce,
-           round(sqrt(l_quantity), 6)                AS sq,
-           round(exp(l_discount), 6)                 AS ex,
-           round(ln(l_extendedprice), 6)             AS lg,
-           round(log10(l_extendedprice), 6)          AS l10,
-           round(power(l_quantity, 2), 6)            AS pw,
+           CAST(floor(sqrt(l_quantity) * 1e6 + 0.5) AS BIGINT) AS sq,
+           CAST(floor(exp(l_discount) * 1e6 + 0.5) AS BIGINT) AS ex,
+           CAST(floor(ln(l_extendedprice) * 1e6 + 0.5) AS BIGINT) AS lg,
+           CAST(floor(log10(l_extendedprice) * 1e6 + 0.5) AS BIGINT) AS l10,
+           CAST(floor(power(l_quantity, 2) * 1e6 + 0.5) AS BIGINT) AS pw,
            mod(CAST(l_quantity AS BIGINT), 7)        AS md,
            CAST(sign(l_discount - 0.05) AS DOUBLE)   AS sg,
-           round(sin(l_discount) + cos(l_discount), 6) AS trig,
-           round(atan2(l_quantity, 10.0), 6)         AS at2,
-           round(degrees(l_discount), 6)             AS dg,
-           round(radians(l_quantity), 6)             AS rd,
+           CAST(floor((sin(l_discount) + cos(l_discount)) * 1e6 + 0.5) AS BIGINT) AS trig,
+           CAST(floor(atan2(l_quantity, 10.0) * 1e6 + 0.5) AS BIGINT) AS at2,
+           CAST(floor(degrees(l_discount) * 1e6 + 0.5) AS BIGINT) AS dg,
+           CAST(floor(radians(l_quantity) * 1e6 + 0.5) AS BIGINT) AS rd,
            greatest(l_quantity, 25.0)                AS gr,
            least(l_quantity, 25.0)                   AS le
     FROM lineitem WHERE l_orderkey < 100
@@ -127,20 +127,20 @@ def func_math(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_discount") - 0.05).alias("a"),
-        F.round("l_extendedprice", 1).alias("r1"),
+        micro(F.col("l_extendedprice"), 1).alias("r1"),
         F.floor("l_extendedprice").alias("fl"),
         F.ceil("l_extendedprice").alias("ce"),
-        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
-        F.round(F.exp("l_discount"), 6).alias("ex"),
-        F.round(F.log("l_extendedprice"), 6).alias("lg"),
-        F.round(F.log10("l_extendedprice"), 6).alias("l10"),
-        F.round(F.pow("l_quantity", 2), 6).alias("pw"),
+        micro(F.sqrt("l_quantity"), 6).alias("sq"),
+        micro(F.exp("l_discount"), 6).alias("ex"),
+        micro(F.log("l_extendedprice"), 6).alias("lg"),
+        micro(F.log10("l_extendedprice"), 6).alias("l10"),
+        micro(F.pow("l_quantity", 2), 6).alias("pw"),
         (F.col("l_quantity").cast("bigint") % 7).alias("md"),
         F.signum(F.col("l_discount") - 0.05).alias("sg"),
-        F.round(F.sin("l_discount") + F.cos("l_discount"), 6).alias("trig"),
-        F.round(F.atan2(F.col("l_quantity"), F.lit(10.0)), 6).alias("at2"),
-        F.round(F.degrees("l_discount"), 6).alias("dg"),
-        F.round(F.radians("l_quantity"), 6).alias("rd"),
+        micro(F.sin("l_discount") + F.cos("l_discount"), 6).alias("trig"),
+        micro(F.atan2(F.col("l_quantity"), F.lit(10.0)), 6).alias("at2"),
+        micro(F.degrees("l_discount"), 6).alias("dg"),
+        micro(F.radians("l_quantity"), 6).alias("rd"),
         F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("gr"),
         F.least(F.col("l_quantity"), F.lit(25.0)).alias("le"),
     ).orderBy("l_orderkey", "l_linenumber")
@@ -331,14 +331,16 @@ def func_json(spark, sf_dir):
            abs(n_chars - 500) AS a,
            CAST(ceil(n_chars / 7.0) AS BIGINT) AS ce,
            CAST(floor(n_chars / 7.0) AS BIGINT) AS fl,
-           round(n_chars / 7.0, 2) AS ro,
-           round(sqrt(n_chars), 6) AS sq,
-           round(ln(n_chars + 1), 6) AS lnp,
-           round(log10(n_chars + 1), 6) AS lg,
+           CAST(floor(n_chars / 7.0 * 1e2 + 0.5) AS BIGINT) AS ro,
+           CAST(floor(sqrt(n_chars) * 1e6 + 0.5) AS BIGINT) AS sq,
+           CAST(floor(ln(n_chars + 1) * 1e6 + 0.5) AS BIGINT) AS lnp,
+           CAST(floor(log10(n_chars + 1) * 1e6 + 0.5) AS BIGINT) AS lg,
            pow(doc_id % 5, 2) AS pw, doc_id % 7 AS md,
            CAST(sign(n_chars - 300) AS DOUBLE) AS sg,
-           round(sin(doc_id % 10), 6) AS sn, round(cos(doc_id % 10), 6) AS cs,
-           round(degrees(1.0), 6) AS dg, round(radians(90.0), 6) AS rd,
+           CAST(floor(sin(doc_id % 10) * 1e6 + 0.5) AS BIGINT) AS sn,
+           CAST(floor(cos(doc_id % 10) * 1e6 + 0.5) AS BIGINT) AS cs,
+           CAST(floor(degrees(1.0) * 1e6 + 0.5) AS BIGINT) AS dg,
+           CAST(floor(radians(90.0) * 1e6 + 0.5) AS BIGINT) AS rd,
            greatest(n_chars, doc_id) AS gr, least(n_chars, doc_id) AS le,
            coalesce(nullif(lang, 'en'), 'english') AS co,
            CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS cl,
@@ -373,17 +375,17 @@ def func_parity_wide(spark, sf_dir):
         F.abs(c("n_chars") - 500).alias("a"),
         F.ceil(c("n_chars") / 7.0).alias("ce"),
         F.floor(c("n_chars") / 7.0).alias("fl"),
-        F.round(c("n_chars") / 7.0, 2).alias("ro"),
-        F.round(F.sqrt("n_chars"), 6).alias("sq"),
-        F.round(F.log(c("n_chars") + 1), 6).alias("lnp"),
-        F.round(F.log10(c("n_chars") + 1), 6).alias("lg"),
+        micro(c("n_chars") / 7.0, 2).alias("ro"),
+        micro(F.sqrt("n_chars"), 6).alias("sq"),
+        micro(F.log(c("n_chars") + 1), 6).alias("lnp"),
+        micro(F.log10(c("n_chars") + 1), 6).alias("lg"),
         F.pow(c("doc_id") % 5, 2).alias("pw"),
         (c("doc_id") % 7).alias("md"),
         F.signum(c("n_chars") - 300).alias("sg"),
-        F.round(F.sin(c("doc_id") % 10), 6).alias("sn"),
-        F.round(F.cos(c("doc_id") % 10), 6).alias("cs"),
-        F.round(F.degrees(F.lit(1.0)), 6).alias("dg"),
-        F.round(F.radians(F.lit(90.0)), 6).alias("rd"),
+        micro(F.sin(c("doc_id") % 10), 6).alias("sn"),
+        micro(F.cos(c("doc_id") % 10), 6).alias("cs"),
+        micro(F.degrees(F.lit(1.0)), 6).alias("dg"),
+        micro(F.radians(F.lit(90.0)), 6).alias("rd"),
         F.greatest("n_chars", "doc_id").alias("gr"),
         F.least("n_chars", "doc_id").alias("le"),
         F.coalesce(F.nullif(c("lang"), F.lit("en")), F.lit("english")).alias("co"),

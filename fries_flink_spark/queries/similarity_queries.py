@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..registry import query
+from ..registry import micro, query
 from ..similarity.ann import cosine_lit, cosine_topk, ivf_topk, lsh_bucket_topk, _as_double
 from . import golden as _golden
 
@@ -26,7 +26,8 @@ def _query_vec(spark, sf_dir):
     oracle="""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
-           round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS cos
+           CAST(floor(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE)
+                * 1e4 + 0.5) AS BIGINT) AS cos
     FROM embeddings e, q
     WHERE e.vec_id <> 0
     ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
@@ -38,7 +39,7 @@ def sim_topk_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     qv = _query_vec(spark, sf_dir)
     out = cosine_topk(emb, "embedding", "vec_id", qv, k=10)
-    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+    return out.select("vec_id", micro(F.col("cos"), 4).alias("cos"))
 
 
 @query(
@@ -46,7 +47,8 @@ def sim_topk_bruteforce(spark, sf_dir):
     oracle="""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
-           round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS cos
+           CAST(floor(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE)
+                * 1e4 + 0.5) AS BIGINT) AS cos
     FROM embeddings e, q
     WHERE e.vec_id <> 0 AND list_cosine_similarity(e.embedding, q.qv) >= 0.15
     ORDER BY e.vec_id
@@ -61,7 +63,7 @@ def sim_range_search(spark, sf_dir):
             "vec_id", cosine_lit(F.col("embedding"), qv).alias("__cos")
         )
         .filter(F.col("__cos") >= 0.15)
-        .select("vec_id", F.round("__cos", 4).alias("cos"))
+        .select("vec_id", micro(F.col("__cos"), 4).alias("cos"))
         .orderBy("vec_id")
     )
 
@@ -94,7 +96,8 @@ def _bucket_sql_expr() -> str:
     ),
     q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
     SELECT e.vec_id,
-           round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4)
+           CAST(floor(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE)
+                * 1e4 + 0.5) AS BIGINT)
              AS cos
     FROM b e, q
     WHERE e.vec_id <> 0 AND bit_count(xor(e.bucket, q.qb)) <= 1
@@ -110,7 +113,7 @@ def sim_topk_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     qv = _query_vec(spark, sf_dir)
     out = lsh_bucket_topk(emb, "embedding", "vec_id", qv, k=10)
-    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+    return out.select("vec_id", micro(F.col("cos"), 4).alias("cos"))
 
 
 @query(
@@ -162,7 +165,8 @@ def sim_ivf_recall(spark, sf_dir):
     oracle="""
     SELECT label,
            count(*) AS n,
-           round(avg(list_aggregate(embedding, 'sum')), 4) AS avg_component_sum
+           CAST(floor(avg(list_aggregate(embedding, 'sum')) * 1e4 + 0.5) AS BIGINT)
+             AS avg_component_sum
     FROM embeddings GROUP BY label
     """,
 )
@@ -175,7 +179,7 @@ def sim_label_centroids(spark, sf_dir):
     )
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(comp_sum), 4).alias("avg_component_sum"),
+        micro(F.avg(comp_sum), 4).alias("avg_component_sum"),
     )
 
 

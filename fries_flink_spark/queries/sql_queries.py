@@ -19,7 +19,7 @@ from ..sqlext import sql as fsql
     "sql_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4) AS sum_qty,
+           CAST(floor(sum(l_quantity) * 1e4 + 0.5) AS BIGINT) AS sum_qty,
            count(*) AS n,
            grouping(l_returnflag) AS g_flag,
            grouping(l_linestatus) AS g_status
@@ -35,7 +35,7 @@ def sql_grouping_sets(spark, sf_dir):
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 4) AS sum_qty,
+               CAST(floor(sum(l_quantity) * 1e4 + 0.5) AS BIGINT) AS sum_qty,
                count(*) AS n,
                grouping(l_returnflag) AS g_flag,
                grouping(l_linestatus) AS g_status
@@ -81,7 +81,7 @@ def sql_exists_subquery(spark, sf_dir):
     "sql_window_tvf",
     oracle="""
     SELECT time_bucket(INTERVAL '15 minutes', ts) AS w_start, event_type,
-           count(*) AS n, round(sum(value), 4) AS total
+           count(*) AS n, CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
     FROM events
     GROUP BY 1, 2
     ORDER BY w_start, event_type
@@ -94,7 +94,7 @@ def sql_window_tvf(spark, sf_dir):
     return spark.sql(
         """
         SELECT window.start AS w_start, event_type,
-               count(*) AS n, round(sum(value), 4) AS total
+               count(*) AS n, CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
         FROM events
         GROUP BY window(ts, '15 minutes'), event_type
         ORDER BY w_start, event_type
@@ -106,7 +106,7 @@ def sql_window_tvf(spark, sf_dir):
     "sql_tumble_tvf",
     oracle="""
     SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS w_start,
-           event_type, count(*) AS n, round(sum(value), 4) AS total
+           event_type, count(*) AS n, CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
     FROM events
     GROUP BY 1, 2
     ORDER BY w_start, event_type
@@ -121,7 +121,7 @@ def sql_tumble_tvf(spark, sf_dir):
         spark,
         """
         SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS w_start,
-               event_type, count(*) AS n, round(sum(value), 4) AS total
+               event_type, count(*) AS n, CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
         FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '900' SECOND))
         GROUP BY window_start, event_type
         ORDER BY w_start, event_type
@@ -133,7 +133,7 @@ def sql_tumble_tvf(spark, sf_dir):
     "sql_hop_tvf",
     oracle="""
     SELECT CAST((floor(epoch(ts) / 300) - g.k) * 300 AS BIGINT) AS w_start,
-           count(*) AS n, round(sum(value), 4) AS total
+           count(*) AS n, CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
     FROM events, generate_series(0, 1) AS g(k)
     GROUP BY 1
     ORDER BY w_start
@@ -149,7 +149,7 @@ def sql_hop_tvf(spark, sf_dir):
         spark,
         """
         SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS w_start,
-               count(*) AS n, round(sum(value), 4) AS total
+               count(*) AS n, CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
         FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),
                        INTERVAL '300' SECOND, INTERVAL '600' SECOND))
         GROUP BY window_start
@@ -168,7 +168,7 @@ def sql_hop_tvf(spark, sf_dir):
       FROM events
     )
     SELECT w_start, w_start + g.k * 900 AS w_end,
-           count(*) AS n, round(sum(value), 4) AS total
+           count(*) AS n, CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
     FROM slices, generate_series(1, 4) AS g(k)
     WHERE slice_end <= w_start + g.k * 900
     GROUP BY 1, 2
@@ -184,7 +184,7 @@ def sql_cumulate_tvf(spark, sf_dir):
         """
         SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS w_start,
                CAST(unix_timestamp(window_end) AS BIGINT) AS w_end,
-               count(*) AS n, round(sum(value), 4) AS total
+               count(*) AS n, CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
         FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts),
                             INTERVAL '900' SECOND, INTERVAL '3600' SECOND))
         GROUP BY window_start, window_end
@@ -211,7 +211,7 @@ def sql_cumulate_tvf(spark, sf_dir):
     )
     SELECT user_id,
            CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-           count(*) AS n, round(sum(value), 4) AS total
+           count(*) AS n, CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
     FROM sessions
     GROUP BY user_id, session_id
     ORDER BY user_id, session_start
@@ -227,7 +227,7 @@ def sql_session_tvf(spark, sf_dir):
         """
         SELECT user_id,
                CAST(unix_timestamp(window_start) AS BIGINT) AS session_start,
-               count(*) AS n, round(sum(value), 4) AS total
+               count(*) AS n, CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
         FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts),
                            INTERVAL '1800' SECOND))
         GROUP BY user_id, window_start
@@ -330,7 +330,7 @@ def sql_match_recognize(spark, sf_dir):
       FROM events)
     SELECT user_id, event_id AS first_id, id2 AS last_id,
            CAST(3 AS BIGINT) AS n_errors,
-           round(value + v1 + v2, 4) AS total_value
+           CAST(floor((value + v1 + v2) * 1e4 + 0.5) AS BIGINT) AS total_value
     FROM w
     WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'
       AND ts2 <= ts + INTERVAL 2 HOUR
@@ -345,7 +345,7 @@ def sql_mr_quantifier(spark, sf_dir):
         spark,
         """
         SELECT user_id, first_id, last_id, n_errors,
-               round(total_value, 4) AS total_value
+               CAST(floor(total_value * 1e4 + 0.5) AS BIGINT) AS total_value
         FROM events MATCH_RECOGNIZE (
           PARTITION BY user_id
           ORDER BY ts, event_id
@@ -529,7 +529,7 @@ def sql_mr_cross_var(spark, sf_dir):
       FROM flagged)
     SELECT user_id,
            CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-           count(*) AS n, round(sum(value), 4) AS total
+           count(*) AS n, CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
     FROM sess GROUP BY user_id, sid
     ORDER BY user_id, session_start
     """,
@@ -546,7 +546,7 @@ def sql_session_dynamic(spark, sf_dir):
         """
         SELECT user_id,
                CAST(unix_timestamp(window_start) AS BIGINT) AS session_start,
-               count(*) AS n, round(sum(value), 4) AS total
+               count(*) AS n, CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
         FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts),
                            CASE WHEN event_type = 'error' THEN 600 ELSE 1800 END))
         GROUP BY user_id, window_start

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.windows import cumulate_agg
-from ..registry import query
+from ..registry import micro, query
 
 
 def _ev(spark, sf_dir):
@@ -66,7 +66,8 @@ def win_tumble(spark, sf_dir):
     "win_hop",
     oracle="""
     SELECT CAST((floor(epoch(ts) / 300) - g.k) * 300 AS BIGINT) AS w_start,
-           count(*) AS n, round(sum(value), 4) AS total
+           count(*) AS n,
+           CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
     FROM events, generate_series(0, 1) AS g(k)
     GROUP BY 1
     """,
@@ -88,7 +89,7 @@ def win_hop(spark, sf_dir):
         slide_s=300,
         group_cols=[],
         aggs=[("n", "count", ""), ("total", "sum", "value")],
-    ).withColumn("total", F.round("total", 4))
+    ).withColumn("total", micro(F.col("total"), 4))
 
 
 @query(
@@ -142,7 +143,8 @@ def win_session(spark, sf_dir):
     )
     SELECT w_start,
            w_start + g.k * 900 AS w_end,
-           count(*) AS n, round(sum(value), 4) AS total
+           count(*) AS n,
+           CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
     FROM slices, generate_series(1, 4) AS g(k)
     WHERE slice_end <= w_start + g.k * 900
     GROUP BY 1, 2
@@ -168,7 +170,7 @@ def win_cumulate(spark, sf_dir):
         F.unix_timestamp("window_start").alias("w_start"),
         F.unix_timestamp("window_end").alias("w_end"),
         "n",
-        F.round("total", 4).alias("total"),
+        micro(F.col("total"), 4).alias("total"),
     )
 
 
@@ -210,7 +212,8 @@ def win_topn(spark, sf_dir):
     oracle="""
     SELECT user_id,
            strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           count(*) AS n, round(sum(value), 4) AS total,
+           count(*) AS n,
+           CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total,
            count(DISTINCT event_type) AS n_types
     FROM events
     GROUP BY 1, 2
@@ -224,7 +227,7 @@ def win_grouped_user_day(spark, sf_dir):
         "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("total"),
+        micro(F.sum("value"), 4).alias("total"),
         F.countDistinct("event_type").alias("n_types"),
     )
 
@@ -251,7 +254,8 @@ def win_grouped_user_day(spark, sf_dir):
     SELECT user_id,
            CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
            CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
-           count(*) AS n, round(sum(value), 4) AS total
+           count(*) AS n,
+           CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
     FROM sess GROUP BY user_id, sid
     ORDER BY user_id, session_start
     """,
@@ -269,7 +273,7 @@ def win_session_dynamic(spark, sf_dir):
         "ts",
         ["user_id"],
         F.col("__gap"),
-        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")],
+        [F.count(F.lit(1)).alias("n"), micro(F.sum("value"), 4).alias("total")],
     )
     return out.select(
         "user_id", "session_start", "session_end", "n", "total"

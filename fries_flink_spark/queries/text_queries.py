@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..portable import round_portable, round_portable_sql
-from ..registry import query
+from ..registry import micro, query
 from ..text.analysis import (
     EN_STOPWORDS,
     detect_language,
@@ -152,7 +152,7 @@ def text_fingerprint(spark, sf_dir):
     "text_lang_stats",
     oracle="""
     SELECT lang, source, count(*) AS n_docs,
-           sum(n_chars) AS total_chars, avg(n_chars) AS avg_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars, avg(n_chars) AS avg_chars
     FROM documents GROUP BY lang, source
     """,
 )
@@ -200,8 +200,9 @@ def text_vocab_topk(spark, sf_dir):
       SELECT token, count(*) AS doc_freq FROM toks GROUP BY token
     )
     SELECT token, doc_freq,
-           round(ln(((SELECT count(*) FROM documents) + 1.0) / (doc_freq + 1.0))
-                 + 1.0, 6) AS idf_r
+           CAST(floor((ln(((SELECT count(*) FROM documents) + 1.0)
+                          / (doc_freq + 1.0)) + 1.0) * 1e6 + 0.5)
+                AS BIGINT) AS idf_r
     FROM df
     WHERE doc_freq >= 50
     ORDER BY doc_freq DESC, token
@@ -217,7 +218,7 @@ def text_doc_freq(spark, sf_dir):
     return (
         doc_frequency(docs, "text", "doc_id")
         .filter(F.col("doc_freq") >= 50)
-        .select("token", "doc_freq", F.round("idf", 6).alias("idf_r"))
+        .select("token", "doc_freq", micro(F.col("idf")).alias("idf_r"))
         .orderBy(F.desc("doc_freq"), "token")
     )
 
@@ -281,7 +282,8 @@ def text_ngram_topk(spark, sf_dir):
       SELECT tf.doc_id, tf.token, tf.tf, tf.tf * idf.idf AS tfidf
       FROM tf JOIN idf USING (token)
     )
-    SELECT doc_id, token, tf, round(tfidf, 6) AS tfidf_r, rank FROM (
+    SELECT doc_id, token, tf,
+           CAST(floor(tfidf * 1e6 + 0.5) AS BIGINT) AS tfidf_r, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY tfidf DESC, token) AS rank
       FROM scored
@@ -302,7 +304,7 @@ def text_tfidf_topterms(spark, sf_dir):
             "doc_id",
             "token",
             "tf",
-            F.round("tfidf", 6).alias("tfidf_r"),
+            micro(F.col("tfidf")).alias("tfidf_r"),
             "rank",
         )
         .orderBy("doc_id", "rank")
@@ -413,8 +415,8 @@ def text_line_dedup(spark, sf_dir):
       ) WHERE nd >= 3
     )
     SELECT l.doc_id,
-           sum(CASE WHEN bp.line IS NULL THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN bp.line IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+           CAST(sum(CASE WHEN bp.line IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN bp.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
            coalesce(string_agg(CASE WHEN bp.line IS NULL THEN l.line END, ' '
                                ORDER BY l.line_no), '') AS cleaned
     FROM lines l LEFT JOIN bp ON l.line = bp.line
@@ -598,7 +600,7 @@ def text_gopher_filter(spark, sf_dir):
                         + 0.5) AS BIGINT) AS c
       FROM toks t LEFT JOIN vocab v ON v.word = t.word, tot
     )
-    SELECT doc_id, count(*) AS n_tokens, sum(c) AS cost_micro,
+    SELECT doc_id, count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS cost_micro,
            CAST(floor(sum(c) * 1.0 / count(*)) AS BIGINT) AS mean_cost_micro
     FROM costed GROUP BY doc_id ORDER BY doc_id
     """,
@@ -654,8 +656,8 @@ def text_unigram_logppl(spark, sf_dir):
       FROM per_isl GROUP BY doc_id
     )
     SELECT d.doc_id,
-           coalesce(p.n_spans, 0) AS n_spans,
-           coalesce(p.chars_covered, 0) AS chars_covered
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.chars_covered, 0) AS BIGINT) AS chars_covered
     FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     ORDER BY d.doc_id
     """,
@@ -685,10 +687,10 @@ def text_repeated_spans(spark, sf_dir):
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
-           sum(n_words) AS total_words,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
            count(DISTINCT lang) AS n_langs,
-           sum(sym_ok) AS n_symbol_ok,
+           CAST(sum(sym_ok) AS BIGINT) AS n_symbol_ok,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars
     FROM t GROUP BY source ORDER BY source
     """,

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..registry import query
+from ..registry import micro, query
 
 
 def _t(spark, sf_dir, *names):
@@ -129,7 +129,7 @@ def tpch_q3(spark, sf_dir):
     "tpch_q5",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT) AS revenue
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -170,7 +170,7 @@ def tpch_q5(spark, sf_dir):
         )
         .groupBy("n_name")
         .agg(
-            F.round(
+            micro(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
@@ -339,7 +339,7 @@ def tpch_q4(spark, sf_dir):
 @query(
     "tpch_q7",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    SELECT supp_nation, cust_nation, l_year, CAST(floor(sum(volume) * 1e4 + 0.5) AS BIGINT) AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  year(l_shipdate) AS l_year,
                  l_extendedprice * (1 - l_discount) AS volume
@@ -403,7 +403,7 @@ def tpch_q7(spark, sf_dir):
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
+        .agg(micro(F.sum("volume"), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -414,8 +414,8 @@ def tpch_q7(spark, sf_dir):
     "tpch_q8",
     oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           CAST(floor(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume) * 1e6 + 0.5) AS BIGINT) AS mkt_share
     FROM (SELECT year(o_orderdate) AS o_year,
                  l_extendedprice * (1 - l_discount) AS volume,
                  n2.n_name AS nation
@@ -462,7 +462,7 @@ def tpch_q8(spark, sf_dir):
         df.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
         .groupBy("o_year")
         .agg(
-            F.round(
+            micro(
                 F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
                 / F.sum("volume"),
                 6,
@@ -479,10 +479,10 @@ def tpch_q8(spark, sf_dir):
     "tpch_q12",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -547,10 +547,11 @@ def tpch_q13(spark, sf_dir):
 @query(
     "tpch_q14",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+    SELECT CAST(floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
                                   THEN l_extendedprice * (1 - l_discount)
                                   ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+                 / sum(l_extendedprice * (1 - l_discount)) * 1e6 + 0.5)
+            AS BIGINT) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01'
       AND l_shipdate < TIMESTAMP '1996-10-01'
@@ -566,7 +567,7 @@ def tpch_q14(spark, sf_dir):
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
+            micro(
                 100.0
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
                 / F.sum(rev),
@@ -588,7 +589,7 @@ def tpch_q14(spark, sf_dir):
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+    SELECT s_suppkey, s_name, CAST(floor(total_revenue * 1e4 + 0.5) AS BIGINT) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     ORDER BY s_suppkey
@@ -608,7 +609,7 @@ def tpch_q15(spark, sf_dir):
     return (
         revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
-        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+        .select("s_suppkey", "s_name", micro(F.col("total_revenue"), 4).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
 
@@ -619,7 +620,7 @@ def tpch_q15(spark, sf_dir):
 @query(
     "tpch_q17",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+    SELECT CAST(floor(sum(l_extendedprice) / 7.0 * 1e6 + 0.5) AS BIGINT) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN (SELECT l_partkey AS ap_key, 0.2 * avg(l_quantity) AS avg_qty
@@ -639,7 +640,7 @@ def tpch_q17(spark, sf_dir):
         )
         .join(per_part, F.col("ap_key") == F.col("p_partkey"))
         .filter(F.col("l_quantity") < F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+        .agg(micro(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
     )
 
 
@@ -649,7 +650,7 @@ def tpch_q17(spark, sf_dir):
 @query(
     "tpch_q19",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    SELECT CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
            AND l_quantity BETWEEN 1 AND 20)
@@ -672,7 +673,7 @@ def tpch_q19(spark, sf_dir):
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
-            F.round(
+            micro(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
@@ -755,7 +756,7 @@ def tpch_q21(spark, sf_dir):
     "tpch_q22",
     oracle="""
     SELECT c_nationkey % 7 AS cntrycode, count(*) AS numcust,
-           round(sum(c_acctbal), 4) AS totacctbal
+           CAST(floor(sum(c_acctbal) * 1e4 + 0.5) AS BIGINT) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -782,7 +783,7 @@ def tpch_q22(spark, sf_dir):
         .groupBy((F.col("c_nationkey") % 7).alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+            micro(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -804,7 +805,7 @@ def tpch_q22(spark, sf_dir):
       FROM cost GROUP BY l_partkey
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
-           round(unit_cost, 6) AS unit_cost
+           CAST(floor(unit_cost * 1e6 + 0.5) AS BIGINT) AS unit_cost
     FROM cost
     JOIN best     ON b_partkey = l_partkey AND unit_cost = best_cost
     JOIN part     ON p_partkey = l_partkey
@@ -846,7 +847,7 @@ def tpch_q2(spark, sf_dir):
         .join(F.broadcast(dims), F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
-            F.round("unit_cost", 6).alias("unit_cost"),
+            micro(F.col("unit_cost"), 6).alias("unit_cost"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -862,8 +863,9 @@ def tpch_q2(spark, sf_dir):
     oracle="""
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - p_retailprice * l_quantity * 0.1), 4) AS sum_profit
+           CAST(floor(sum(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * 0.1) * 1e4 + 0.5)
+            AS BIGINT) AS sum_profit
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -892,7 +894,7 @@ def tpch_q9(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .agg(micro(F.sum(profit), 4).alias("sum_profit"))
     )
 
 
@@ -911,7 +913,7 @@ def tpch_q9(spark, sf_dir):
       WHERE n_name = 'NATION_3'
       GROUP BY l_partkey
     )
-    SELECT l_partkey, round(value, 4) AS value
+    SELECT l_partkey, CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS value
     FROM vals
     WHERE value > (SELECT sum(value) * 0.003 FROM vals)
     ORDER BY value DESC, l_partkey
@@ -929,7 +931,7 @@ def tpch_q11(spark, sf_dir):
     threshold = vals.agg((F.sum("value") * 0.003).alias("thr"))
     return (
         vals.join(F.broadcast(threshold), F.col("value") > F.col("thr"))
-        .select("l_partkey", F.round("value", 4).alias("value"))
+        .select("l_partkey", micro(F.col("value"), 4).alias("value"))
         .orderBy(F.desc("value"), "l_partkey")
     )
 

@@ -25,7 +25,7 @@ from ..operators.triggers import (
     delta_evictor_agg,
     time_evictor_agg,
 )
-from ..registry import query
+from ..registry import micro, query
 
 
 def _ev(spark, sf_dir):
@@ -64,7 +64,7 @@ def _ev(spark, sf_dir):
     )
     SELECT event_type, w_start,
            CAST(ceil(rn / 25.0) AS BIGINT) AS fire_seq,
-           sec AS fired_at, n_so_far, total_cents, mx
+           sec AS fired_at, n_so_far, CAST(total_cents AS BIGINT) AS total_cents, mx
     FROM ranked
     WHERE rn % 25 = 0 OR rn = cnt
     """,
@@ -107,7 +107,7 @@ def trig_count_fires(spark, sf_dir):
     )
     SELECT w_start, event_type,
            CAST(floor((rn - 1) / 25) AS BIGINT) AS pane,
-           count(*) AS n, sum(cents) AS total_cents
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
     FROM ranked GROUP BY 1, 2, 3
     """,
 )
@@ -140,7 +140,8 @@ def trig_count_purging(spark, sf_dir):
       FROM events
     )
     SELECT w_start, w_start + g.k * 1200 AS fire_at, event_type,
-           count(*) AS n, round(sum(value), 4) AS total
+           count(*) AS n,
+           CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
     FROM slices, generate_series(1, 3) AS g(k)
     WHERE slice_end <= w_start + g.k * 1200
     GROUP BY 1, 2, 3
@@ -168,7 +169,7 @@ def trig_continuous(spark, sf_dir):
         F.unix_timestamp("window_end").alias("fire_at"),
         "event_type",
         "n",
-        F.round("total", 4).alias("total"),
+        micro(F.col("total"), 4).alias("total"),
     )
 
 
@@ -185,7 +186,7 @@ def trig_continuous(spark, sf_dir):
       FROM events
     )
     SELECT w_start, event_type, count(*) AS n,
-           sum(cents) AS total_cents, min(value) AS mn
+           CAST(sum(cents) AS BIGINT) AS total_cents, min(value) AS mn
     FROM ranked WHERE rev <= 3 GROUP BY 1, 2
     """,
 )
@@ -222,7 +223,7 @@ def evict_count(spark, sf_dir):
              max(sec) OVER (PARTITION BY w_start, event_type) AS max_sec
       FROM base
     )
-    SELECT w_start, event_type, count(*) AS n, sum(cents) AS total_cents
+    SELECT w_start, event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
     FROM mx WHERE sec > max_sec - 600 GROUP BY 1, 2
     """,
 )
@@ -256,7 +257,7 @@ def evict_time(spark, sf_dir):
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lastv
       FROM events
     )
-    SELECT w_start, event_type, count(*) AS n, sum(cents) AS total_cents
+    SELECT w_start, event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
     FROM lasts WHERE abs(value - lastv) < 20.0 GROUP BY 1, 2
     """,
 )

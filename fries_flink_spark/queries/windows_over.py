@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..registry import query
+from ..registry import micro, query
 
 
 @query(
@@ -87,7 +87,7 @@ def over_lead_lag(spark, sf_dir):
     "over_running_sum",
     oracle="""
     SELECT user_id, event_id,
-           round(sum(value) OVER w, 4) AS running_sum,
+           CAST(floor(sum(value) OVER w * 1e4 + 0.5) AS BIGINT) AS running_sum,
            count(*)     OVER w AS running_n,
            min(value)   OVER w AS running_min,
            max(value)   OVER w AS running_max
@@ -110,7 +110,7 @@ def over_running_sum(spark, sf_dir):
         ev.select(
             "user_id",
             "event_id",
-            F.round(F.sum("value").over(w), 4).alias("running_sum"),
+            micro(F.sum("value").over(w), 4).alias("running_sum"),
             F.count(F.lit(1)).over(w).alias("running_n"),
             F.min("value").over(w).alias("running_min"),
             F.max("value").over(w).alias("running_max"),
@@ -150,8 +150,9 @@ def over_moving_avg(spark, sf_dir):
     "over_range_frame",
     oracle="""
     SELECT l_orderkey, l_linenumber, qty,
-           sum(qty) OVER (PARTITION BY l_orderkey ORDER BY qty
-                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS range_sum
+           CAST(sum(qty) OVER (PARTITION BY l_orderkey ORDER BY qty
+                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS range_sum
     FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
           FROM lineitem)
     ORDER BY l_orderkey, l_linenumber
@@ -214,8 +215,10 @@ def over_first_last_value(spark, sf_dir):
     "over_global_agg",
     oracle="""
     SELECT o_orderkey, o_totalprice,
-           round(o_totalprice / sum(o_totalprice) OVER (), 10) AS price_share,
-           round(avg(o_totalprice) OVER (PARTITION BY o_orderstatus), 4) AS status_avg
+           CAST(floor(o_totalprice / sum(o_totalprice) OVER () * 1e10 + 0.5)
+                AS BIGINT) AS price_share,
+           CAST(floor(avg(o_totalprice) OVER (PARTITION BY o_orderstatus) * 1e4 + 0.5)
+                AS BIGINT) AS status_avg
     FROM orders
     ORDER BY o_orderkey
     """,
@@ -227,12 +230,12 @@ def over_global_agg(spark, sf_dir):
         orders.select(
             "o_orderkey",
             "o_totalprice",
-            F.round(
+            micro(
                 F.col("o_totalprice")
                 / F.sum("o_totalprice").over(Window.partitionBy()),
                 10,
             ).alias("price_share"),
-            F.round(
+            micro(
                 F.avg("o_totalprice").over(Window.partitionBy("o_orderstatus")), 4
             ).alias("status_avg"),
         )

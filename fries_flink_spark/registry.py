@@ -31,6 +31,19 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def micro(col, digits: int = 6):
+    """Engine-version-proof fixed-point emit for a compared double column:
+    ``floor(x * 10^digits + 0.5)`` as BIGINT. Spelled identically in the
+    DuckDB oracle (``CAST(floor(x * 1e{digits} + 0.5) AS BIGINT)``), it uses
+    only IEEE-deterministic ops — unlike ``round()``, whose float-vs-exact
+    strategy has changed across DuckDB versions and differs from Spark's
+    BigDecimal HALF_UP on near-tie values (the only driver-red class in
+    rounds 1-5)."""
+    from pyspark.sql import functions as F
+
+    return F.floor(col * F.lit(float(10**digits)) + F.lit(0.5)).cast("long")
+
+
 def query(name: str, oracle: str | None = None):
     """Register a query under ``name`` with an optional DuckDB oracle SQL."""
 

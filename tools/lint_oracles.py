@@ -58,11 +58,34 @@ def _cast_spans(sql: str):
         i = k
 
 
+def _strip_floored(body: str) -> str:
+    """Remove floor(...)/ceil(...) balanced spans: a division inside floor()
+    is integral before the cast, so the cast is exact and version-proof."""
+    up = body.upper()
+    out, i = [], 0
+    while i < len(body):
+        m = re.match(r"(FLOOR|CEIL|CEILING)\s*\(", up[i:])
+        if m:
+            depth, k = 1, i + m.end()
+            while k < len(body) and depth:
+                if body[k] == "(":
+                    depth += 1
+                elif body[k] == ")":
+                    depth -= 1
+                k += 1
+            i = k
+            continue
+        out.append(body[i])
+        i += 1
+    return "".join(out)
+
+
 def _float_div_in_bigint_cast(sql: str) -> bool:
     for arg in _cast_spans(sql):
         if not re.search(r"AS\s+(BIGINT|INTEGER|INT|SMALLINT)\s*$", arg.strip(), re.I):
             continue
         body = re.sub(r"AS\s+\w+\s*$", "", arg.strip(), flags=re.I)
+        body = _strip_floored(body)
         # single '/' that is not the '//' integer-division operator
         if re.search(r"(?<!/)/(?!/)", body):
             return True
