@@ -71,10 +71,30 @@ HEADLINE = [
     "dedup_incremental",
     "pipeline_shard_balance",
     "graph_triadic_census_directed",
+    # round-6 additions: the TPC-DS slice's heaviest planner shapes
+    "tpcds_q4",
+    "tpcds_q14",
+    "tpcds_q47",
 ]
 
 
 WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.01")
+
+
+#: Fixed CPU-bound probe timed before and after the query sweep. Its solo
+#: steady-state time on this box is ~0.20 s (32 threads); a contaminated run
+#: (concurrent build/test load) shows up as a sentinel 2x+ above that, so
+#: BENCH json files are self-identifying — the round-5 lesson, where a run
+#: under machine load fabricated two phantom regressions.
+SENTINEL_SOLO_SEC = 0.21
+
+
+def _sentinel(spark) -> float:
+    t0 = time.time()
+    spark.range(400_000_000).selectExpr(
+        "count(if(pmod(id, 97) = 3, 1, null)) AS c"
+    ).collect()
+    return round(time.time() - t0, 3)
 
 
 def main() -> None:
@@ -86,6 +106,8 @@ def main() -> None:
     # local micro-bench measures JVM warmup, not operator throughput — e.g.
     # minhash LSH is 12.7s cold vs ~4s steady-state for identical work.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    _sentinel(spark)  # JIT the sentinel path itself
+    sentinel_pre = _sentinel(spark)
     for name in HEADLINE:
         try:
             registry[name].fn(spark, WARMUP_SF_DIR).write.mode("overwrite").format(
@@ -111,8 +133,10 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.2f}s  {[round(s, 2) for s in samples]}",
               file=sys.stderr)
 
+    sentinel_post = _sentinel(spark)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sentinel = max(sentinel_pre, sentinel_post)
     print(
         json.dumps(
             {
@@ -121,6 +145,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sentinel_sec": {"pre": sentinel_pre, "post": sentinel_post},
+                "sentinel_solo_sec": SENTINEL_SOLO_SEC,
+                "load_state": (
+                    "quiesced"
+                    if sentinel <= SENTINEL_SOLO_SEC * 2.0
+                    else "CONTAMINATED"
+                ),
             }
         )
     )

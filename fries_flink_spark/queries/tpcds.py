@@ -1,0 +1,761 @@
+"""TPC-DS slice: the hardest planner shapes from the reference's primary
+correctness artifact, on a deterministic TPC-DS-lite star schema derived
+from the TPC-H fixtures.
+
+Reference: flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/ (103
+query variants) matched against official answer sets by
+TpcdsResultComparator.java:37-47 via test_tpcds.sh:22. The reference's TPC-DS
+run is its deepest planner workout — decorrelation (q1, q23), multi-channel
+CTE self-joins (q4, q11), INTERSECT + ROLLUP (q14), chained fact-fact-fact
+joins (q17), grouped-window + self-join neighbors (q47, q57), week-seq
+year-over-year joins (q2, q59), scalar-subquery batteries (q88) and
+semi-join/EXISTS shapes (q95). This module ports those shapes 1:1; only the
+data is adapted.
+
+**TPC-DS-lite schema** — derived 100% deterministically from the fixture
+tables, identically on both engines, so no extra data files are needed:
+
+- ``lineitem ⋈ orders`` fans out into three sales channels by
+  ``l_linenumber % 3`` (0 → store_sales, 1 → catalog_sales, 2 → web_sales);
+  returns are the ``l_returnflag = 'R'`` subset of each channel.
+- All money columns are integer CENTS (``floor(x * 100 + 0.5)`` of the
+  TPC-H doubles) — every aggregate over them is engine-exact by
+  construction, the repo's integer-micro-unit oracle discipline.
+- ``date_dim`` derives from the distinct order dates (epoch-day surrogate
+  key, week_seq = floor(sk/7), dow = (sk+4) % 7).
+- ``item`` ← part (category = p_type, brand = p_brand, manufact = key % 50);
+  ``store`` (12) / ``warehouse`` (5) ← supplier key ranges;
+  ``customer_dim`` ← customer; ``inventory`` ← part × warehouse × month ×
+  week with a hash-formula quantity.
+
+At 100 TB the derivations are plain scans/broadcast joins (the dims stay
+dim-sized); every query below shuffles only on its natural aggregation keys
+and Catalyst plans the decorrelation/semi-joins exactly as it would on real
+TPC-DS data.
+"""
+
+from __future__ import annotations
+
+from ..catalog import register_tables
+from ..registry import query
+
+# --------------------------------------------------------------------------- #
+# Schema derivation: one text per engine dialect, same values.
+# --------------------------------------------------------------------------- #
+
+_CENTS = """
+         CAST(l_quantity AS BIGINT) AS quantity,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS list_cents,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+           AS paid_cents,
+         CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)
+           AS disc_cents,
+         CAST(floor(l_extendedprice * 0.8 * 100 + 0.5) AS BIGINT) AS cost_cents
+"""
+
+_BASE_COMMON = f"""
+  SELECT l_orderkey AS ticket, l_linenumber, l_partkey AS item_sk,
+         o_custkey AS customer_sk,
+         l_suppkey %% 12 AS store_sk, l_suppkey %% 5 AS warehouse_sk,
+         l_linenumber %% 3 AS channel, l_returnflag,
+         {{sk}} AS sold_date_sk,
+{_CENTS}
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""".replace("%%", "%")
+
+_SK_DUCK = (
+    "CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)"
+)
+_SK_SPARK = "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)"
+
+_DATE_DIM_COMMON = """
+  SELECT DISTINCT {sk} AS d_date_sk,
+         CAST(year(o_orderdate) AS BIGINT) AS d_year,
+         CAST(month(o_orderdate) AS BIGINT) AS d_moy,
+         CAST(quarter(o_orderdate) AS BIGINT) AS d_qoy,
+         CAST(day(o_orderdate) AS BIGINT) AS d_dom,
+         CAST(floor({sk} / 7.0) AS BIGINT) AS d_week_seq,
+         ({sk} + 4) % 7 AS d_dow
+  FROM orders
+"""
+
+_ITEM = """
+  SELECT p_partkey AS i_item_sk, p_brand AS i_brand, p_type AS i_category,
+         p_partkey % 50 AS i_manufact_id, p_name AS i_product_name,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS i_price_cents
+  FROM part
+"""
+
+_STORE = """
+  SELECT DISTINCT s_suppkey % 12 AS s_store_sk,
+         concat('store_', CAST(s_suppkey % 12 AS STRING)) AS s_store_name,
+         concat('county_', CAST(s_suppkey % 12 % 4 AS STRING)) AS s_county,
+         concat('ST_', CAST(s_suppkey % 12 % 3 AS STRING)) AS s_state
+  FROM supplier
+"""
+
+_WAREHOUSE = """
+  SELECT DISTINCT s_suppkey % 5 AS w_warehouse_sk,
+         concat('warehouse_', CAST(s_suppkey % 5 AS STRING)) AS w_warehouse_name
+  FROM supplier
+"""
+
+_CUSTOMER_DIM = """
+  SELECT c_custkey AS c_customer_sk, c_name,
+         concat('county_', CAST(c_nationkey % 4 AS STRING)) AS c_county,
+         c_mktsegment FROM customer
+"""
+
+# inventory: item x warehouse x month(1-4) x week(1-4), hash-formula quantity
+_INV_ROW = """
+  SELECT p_partkey AS inv_item_sk, w.w AS inv_warehouse_sk,
+         m.m AS inv_moy, k.k AS inv_week,
+         (p_partkey * 31 + w.w * 17 + m.m * 7 + k.k * 13) % 97 AS inv_qty
+  FROM part{cross} WHERE p_partkey % 7 = 0
+"""
+_INV_DUCK = _INV_ROW.format(
+    cross=(
+        " CROSS JOIN generate_series(0, 4) w(w)"
+        " CROSS JOIN generate_series(1, 4) m(m)"
+        " CROSS JOIN generate_series(1, 4) k(k)"
+    )
+)
+_INV_SPARK = _INV_ROW.format(
+    cross=(
+        " CROSS JOIN (SELECT explode(sequence(0, 4)) AS w) w"
+        " CROSS JOIN (SELECT explode(sequence(1, 4)) AS m) m"
+        " CROSS JOIN (SELECT explode(sequence(1, 4)) AS k) k"
+    )
+)
+
+
+def _channel(base: str, ch: int, returns: bool = False) -> str:
+    flt = f"channel = {ch}" + (" AND l_returnflag = 'R'" if returns else "")
+    return f"SELECT * FROM ({base}) b WHERE {flt}"
+
+
+def _oracle_ctes() -> str:
+    base = _BASE_COMMON.format(sk=_SK_DUCK)
+    dd = _DATE_DIM_COMMON.format(sk=_SK_DUCK).replace("AS STRING", "AS VARCHAR")
+    return ",\n".join(
+        [
+            f"ds_base AS MATERIALIZED ({base})",
+            "store_sales AS (SELECT * FROM ds_base WHERE channel = 0)",
+            "catalog_sales AS (SELECT * FROM ds_base WHERE channel = 1)",
+            "web_sales AS (SELECT * FROM ds_base WHERE channel = 2)",
+            "store_returns AS (SELECT * FROM ds_base WHERE channel = 0 AND l_returnflag = 'R')",
+            "catalog_returns AS (SELECT * FROM ds_base WHERE channel = 1 AND l_returnflag = 'R')",
+            "web_returns AS (SELECT * FROM ds_base WHERE channel = 2 AND l_returnflag = 'R')",
+            f"date_dim AS MATERIALIZED ({dd})",
+            f"item AS ({_ITEM})",
+            f"store AS ({_STORE.replace('AS STRING', 'AS VARCHAR')})",
+            f"warehouse AS ({_WAREHOUSE.replace('AS STRING', 'AS VARCHAR')})",
+            f"customer_dim AS ({_CUSTOMER_DIM.replace('AS STRING', 'AS VARCHAR')})",
+            f"inventory AS ({_INV_DUCK})",
+        ]
+    )
+
+
+_ORACLE_CTES = _oracle_ctes()
+
+
+def register_tpcds(spark, sf_dir: str) -> None:
+    """Register the TPC-DS-lite views (idempotent per session+sf)."""
+    register_tables(spark, sf_dir)
+    base = _BASE_COMMON.format(sk=_SK_SPARK)
+    views = {
+        "ds_base": base,
+        "store_sales": "SELECT * FROM ds_base WHERE channel = 0",
+        "catalog_sales": "SELECT * FROM ds_base WHERE channel = 1",
+        "web_sales": "SELECT * FROM ds_base WHERE channel = 2",
+        "store_returns": "SELECT * FROM ds_base WHERE channel = 0 AND l_returnflag = 'R'",
+        "catalog_returns": "SELECT * FROM ds_base WHERE channel = 1 AND l_returnflag = 'R'",
+        "web_returns": "SELECT * FROM ds_base WHERE channel = 2 AND l_returnflag = 'R'",
+        "date_dim": _DATE_DIM_COMMON.format(sk=_SK_SPARK),
+        "item": _ITEM,
+        "store": _STORE,
+        "warehouse": _WAREHOUSE,
+        "customer_dim": _CUSTOMER_DIM,
+        "inventory": _INV_SPARK,
+    }
+    for name, sel in views.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sel}")
+
+
+def _ds(name: str, sql: str, doc: str):
+    """Register a TPC-DS query whose body text is shared verbatim between
+    Spark SQL and the DuckDB oracle (the lite views/CTEs carry the dialect
+    differences)."""
+    body = sql.strip()
+    if body.upper().startswith("WITH "):
+        oracle = f"WITH {_ORACLE_CTES},\n{body[5:]}"
+    else:
+        oracle = f"WITH {_ORACLE_CTES}\n{body}"
+
+    @query(name, oracle=oracle)
+    def fn(spark, sf_dir, _body=body):
+        register_tpcds(spark, sf_dir)
+        return spark.sql(_body)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    return fn
+
+
+# --------------------------------------------------------------------------- #
+# q1: per-store correlated average subquery (decorrelation).
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q1",
+    """
+WITH ctr AS (
+  SELECT sr.customer_sk AS ctr_customer_sk, sr.store_sk AS ctr_store_sk,
+         CAST(sum(sr.paid_cents) AS BIGINT) AS ctr_total_return
+  FROM store_returns sr JOIN date_dim d ON sr.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1998
+  GROUP BY sr.customer_sk, sr.store_sk)
+SELECT c.c_name AS customer_name, ctr1.ctr_store_sk AS store_sk,
+       ctr1.ctr_total_return AS total_return_cents
+FROM ctr ctr1
+JOIN store s ON s.s_store_sk = ctr1.ctr_store_sk
+JOIN customer_dim c ON c.c_customer_sk = ctr1.ctr_customer_sk
+WHERE ctr1.ctr_total_return > (
+    SELECT avg(ctr2.ctr_total_return) * 1.2 FROM ctr ctr2
+    WHERE ctr2.ctr_store_sk = ctr1.ctr_store_sk)
+  AND s.s_state = 'ST_1'
+ORDER BY customer_name, store_sk
+LIMIT 100
+""",
+    "TPC-DS q1 (tpcds-tool/query/query1.sql): customers returning more than "
+    "1.2x their store's average — correlated scalar subquery over a grouped "
+    "CTE; Catalyst decorrelates to an aggregate + co-keyed join.",
+)
+
+# --------------------------------------------------------------------------- #
+# q2: catalog+web weekly dow sums, year-over-year via week_seq + 53 self-join.
+# --------------------------------------------------------------------------- #
+
+_DOWS = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+_DOW_SUMS = ",\n".join(
+    f"         CAST(sum(CASE WHEN d.d_dow = {i} THEN w.paid_cents ELSE 0 END)"
+    f" AS BIGINT) AS {d}_cents"
+    for i, d in enumerate(_DOWS)
+)
+_DOW_RATIOS = ",\n".join(
+    f"       CAST(floor(y1.{d}_cents * 1.0 / (y2.{d}_cents + 1) * 1e6 + 0.5)"
+    f" AS BIGINT) AS {d}_ratio_micro"
+    for d in _DOWS
+)
+
+_ds(
+    "tpcds_q2",
+    f"""
+WITH wscs AS (
+  SELECT sold_date_sk, paid_cents FROM web_sales
+  UNION ALL
+  SELECT sold_date_sk, paid_cents FROM catalog_sales),
+wswscs AS (
+  SELECT d.d_week_seq,
+{_DOW_SUMS}
+  FROM wscs w JOIN date_dim d ON w.sold_date_sk = d.d_date_sk
+  GROUP BY d.d_week_seq)
+SELECT y1.d_week_seq AS d_week_seq1,
+{_DOW_RATIOS}
+FROM wswscs y1
+JOIN (SELECT DISTINCT d_week_seq FROM date_dim WHERE d_year = 1996) wy
+  ON y1.d_week_seq = wy.d_week_seq
+JOIN wswscs y2 ON y2.d_week_seq = y1.d_week_seq + 53
+ORDER BY d_week_seq1
+""",
+    "TPC-DS q2 (query2.sql): channel-union weekly day-of-week pivot sums, "
+    "year-over-year ratios via the week_seq + 53 self-join. Ratios emitted "
+    "as micro-units of exact integer cents (denominator +1 guards empty "
+    "weeks; the lite calendar has no leap-week alignment).",
+)
+
+# --------------------------------------------------------------------------- #
+# q4 / q11: cross-channel year-over-year customer growth (CTE self-joins).
+# --------------------------------------------------------------------------- #
+
+_YEAR_TOTAL = """
+year_total AS (
+  SELECT customer_sk, 's' AS sale_type, d.d_year AS dyear,
+         CAST(sum(paid_cents - cost_cents) AS BIGINT) AS year_total
+  FROM store_sales ss JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  GROUP BY customer_sk, d.d_year
+  UNION ALL
+  SELECT customer_sk, 'c' AS sale_type, d.d_year AS dyear,
+         CAST(sum(paid_cents - cost_cents) AS BIGINT) AS year_total
+  FROM catalog_sales cs JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+  GROUP BY customer_sk, d.d_year
+  UNION ALL
+  SELECT customer_sk, 'w' AS sale_type, d.d_year AS dyear,
+         CAST(sum(paid_cents - cost_cents) AS BIGINT) AS year_total
+  FROM web_sales ws JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  GROUP BY customer_sk, d.d_year)
+"""
+
+_ds(
+    "tpcds_q4",
+    f"""
+WITH {_YEAR_TOTAL}
+SELECT t_s_secyear.customer_sk, c.c_name
+FROM year_total t_s_firstyear
+JOIN year_total t_s_secyear ON t_s_secyear.customer_sk = t_s_firstyear.customer_sk
+JOIN year_total t_c_firstyear ON t_c_firstyear.customer_sk = t_s_firstyear.customer_sk
+JOIN year_total t_c_secyear ON t_c_secyear.customer_sk = t_s_firstyear.customer_sk
+JOIN year_total t_w_firstyear ON t_w_firstyear.customer_sk = t_s_firstyear.customer_sk
+JOIN year_total t_w_secyear ON t_w_secyear.customer_sk = t_s_firstyear.customer_sk
+JOIN customer_dim c ON c.c_customer_sk = t_s_firstyear.customer_sk
+WHERE t_s_firstyear.sale_type = 's' AND t_s_firstyear.dyear = 1996
+  AND t_s_secyear.sale_type = 's' AND t_s_secyear.dyear = 1997
+  AND t_c_firstyear.sale_type = 'c' AND t_c_firstyear.dyear = 1996
+  AND t_c_secyear.sale_type = 'c' AND t_c_secyear.dyear = 1997
+  AND t_w_firstyear.sale_type = 'w' AND t_w_firstyear.dyear = 1996
+  AND t_w_secyear.sale_type = 'w' AND t_w_secyear.dyear = 1997
+  AND t_s_firstyear.year_total > 0
+  AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND t_c_secyear.year_total * 1.0 / t_c_firstyear.year_total
+      > t_s_secyear.year_total * 1.0 / t_s_firstyear.year_total
+  AND t_c_secyear.year_total * 1.0 / t_c_firstyear.year_total
+      > t_w_secyear.year_total * 1.0 / t_w_firstyear.year_total
+ORDER BY t_s_secyear.customer_sk
+LIMIT 100
+""",
+    "TPC-DS q4 (query4.sql): customers whose catalog growth outpaces both "
+    "store and web growth — six self-joins of the 3-channel year_total CTE. "
+    "Growth ratios are double divisions of exact integers (identical IEEE "
+    "ops on both engines).",
+)
+
+_ds(
+    "tpcds_q11",
+    f"""
+WITH {_YEAR_TOTAL}
+SELECT t_s_secyear.customer_sk, c.c_name,
+       t_s_secyear.year_total AS s_year_total_cents,
+       t_w_secyear.year_total AS w_year_total_cents
+FROM year_total t_s_firstyear
+JOIN year_total t_s_secyear ON t_s_secyear.customer_sk = t_s_firstyear.customer_sk
+JOIN year_total t_w_firstyear ON t_w_firstyear.customer_sk = t_s_firstyear.customer_sk
+JOIN year_total t_w_secyear ON t_w_secyear.customer_sk = t_s_firstyear.customer_sk
+JOIN customer_dim c ON c.c_customer_sk = t_s_firstyear.customer_sk
+WHERE t_s_firstyear.sale_type = 's' AND t_s_firstyear.dyear = 1997
+  AND t_s_secyear.sale_type = 's' AND t_s_secyear.dyear = 1998
+  AND t_w_firstyear.sale_type = 'w' AND t_w_firstyear.dyear = 1997
+  AND t_w_secyear.sale_type = 'w' AND t_w_secyear.dyear = 1998
+  AND t_s_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND t_w_secyear.year_total * 1.0 / t_w_firstyear.year_total
+      > t_s_secyear.year_total * 1.0 / t_s_firstyear.year_total
+ORDER BY t_s_secyear.customer_sk
+LIMIT 100
+""",
+    "TPC-DS q11 (query11.sql): web growth beats store growth per customer — "
+    "the two-channel variant of the year_total self-join family.",
+)
+
+# --------------------------------------------------------------------------- #
+# q14: 3-channel INTERSECT cross-items + ROLLUP with HAVING scalar subquery.
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q14",
+    """
+WITH cim AS (
+  SELECT i.i_brand AS brand, i.i_category AS cat
+  FROM store_sales ss JOIN item i ON ss.item_sk = i.i_item_sk
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  WHERE d.d_year BETWEEN 1996 AND 1998
+  INTERSECT
+  SELECT i.i_brand, i.i_category
+  FROM catalog_sales cs JOIN item i ON cs.item_sk = i.i_item_sk
+  JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+  WHERE d.d_year BETWEEN 1996 AND 1998
+  INTERSECT
+  SELECT i.i_brand, i.i_category
+  FROM web_sales ws JOIN item i ON ws.item_sk = i.i_item_sk
+  JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  WHERE d.d_year BETWEEN 1996 AND 1998),
+cross_items AS (
+  SELECT i.i_item_sk AS ss_item_sk FROM item i
+  JOIN cim ON i.i_brand = cim.brand AND i.i_category = cim.cat),
+avg_sales AS (
+  SELECT avg(quantity * list_cents) AS average_cents FROM (
+    SELECT ss.quantity AS quantity, ss.list_cents AS list_cents
+    FROM store_sales ss JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+    WHERE d.d_year BETWEEN 1996 AND 1998
+    UNION ALL
+    SELECT cs.quantity, cs.list_cents
+    FROM catalog_sales cs JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+    WHERE d.d_year BETWEEN 1996 AND 1998
+    UNION ALL
+    SELECT ws.quantity, ws.list_cents
+    FROM web_sales ws JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+    WHERE d.d_year BETWEEN 1996 AND 1998) x)
+SELECT channel, brand, cat,
+       CAST(sum(sales_cents) AS BIGINT) AS sales_cents,
+       CAST(count(*) AS BIGINT) AS num_sales
+FROM (
+  SELECT 'store' AS channel, i.i_brand AS brand, i.i_category AS cat,
+         ss.quantity * ss.list_cents AS sales_cents
+  FROM store_sales ss JOIN item i ON ss.item_sk = i.i_item_sk
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1998 AND ss.item_sk IN (SELECT ss_item_sk FROM cross_items)
+  UNION ALL
+  SELECT 'catalog', i.i_brand, i.i_category, cs.quantity * cs.list_cents
+  FROM catalog_sales cs JOIN item i ON cs.item_sk = i.i_item_sk
+  JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1998 AND cs.item_sk IN (SELECT ss_item_sk FROM cross_items)
+  UNION ALL
+  SELECT 'web', i.i_brand, i.i_category, ws.quantity * ws.list_cents
+  FROM web_sales ws JOIN item i ON ws.item_sk = i.i_item_sk
+  JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1998 AND ws.item_sk IN (SELECT ss_item_sk FROM cross_items)
+) y
+GROUP BY ROLLUP (channel, brand, cat)
+HAVING sum(sales_cents) > (SELECT average_cents FROM avg_sales)
+""",
+    "TPC-DS q14 (query14.sql): items sold through ALL three channels "
+    "(two INTERSECTs), total-sales ROLLUP over channel/brand/category with "
+    "a scalar-subquery HAVING floor. The heaviest grouping-sets shape in "
+    "the reference's suite.",
+)
+
+# --------------------------------------------------------------------------- #
+# q17: store sale -> store return -> catalog re-purchase chain + stats.
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q17",
+    """
+SELECT i.i_category AS i_category, s.s_state AS s_state,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(floor(avg(ss.quantity) * 1e4 + 0.5) AS BIGINT) AS store_qty_avg,
+       CAST(floor(stddev_samp(ss.quantity) * 1e4 + 0.5) AS BIGINT)
+         AS store_qty_stdev,
+       CAST(floor(avg(cs.quantity) * 1e4 + 0.5) AS BIGINT) AS catalog_qty_avg
+FROM store_sales ss
+JOIN store_returns sr ON sr.ticket = ss.ticket AND sr.item_sk = ss.item_sk
+  AND sr.l_linenumber = ss.l_linenumber
+JOIN catalog_sales cs ON cs.item_sk = sr.item_sk
+JOIN date_dim d1 ON ss.sold_date_sk = d1.d_date_sk
+JOIN date_dim d2 ON sr.sold_date_sk = d2.d_date_sk
+JOIN date_dim d3 ON cs.sold_date_sk = d3.d_date_sk
+JOIN item i ON i.i_item_sk = ss.item_sk
+JOIN store s ON s.s_store_sk = ss.store_sk
+WHERE d1.d_qoy = 1 AND d1.d_year = 1997
+  AND d2.d_qoy IN (1, 2, 3) AND d2.d_year = 1997
+  AND d3.d_qoy IN (1, 2, 3) AND d3.d_year = 1997
+GROUP BY i.i_category, s.s_state
+ORDER BY i_category, s_state
+""",
+    "TPC-DS q17 (query17.sql): store sale returned then re-sold through "
+    "catalog in the same three quarters — fact-fact-fact chain with three "
+    "date_dim role joins and quantity statistics per category x state. "
+    "(Lite adaptation: the catalog leg matches on item only — the synthetic "
+    "fixture rarely repeats a customer x item pair across channels.)",
+)
+
+# --------------------------------------------------------------------------- #
+# q23: frequent items x best customers, month of cross-channel sales.
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q23",
+    """
+WITH frequent_ss_items AS (
+  SELECT ss.item_sk AS item_sk
+  FROM store_sales ss JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  WHERE d.d_year IN (1996, 1997, 1998)
+  GROUP BY ss.item_sk
+  HAVING count(*) > 4),
+max_store_sales AS (
+  SELECT max(csales) AS tpcds_cmax FROM (
+    SELECT ss.customer_sk, CAST(sum(ss.quantity * ss.list_cents) AS BIGINT)
+             AS csales
+    FROM store_sales ss JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+    WHERE d.d_year IN (1996, 1997, 1998)
+    GROUP BY ss.customer_sk) x),
+best_ss_customer AS (
+  SELECT ss.customer_sk AS customer_sk
+  FROM store_sales ss
+  GROUP BY ss.customer_sk
+  HAVING sum(ss.quantity * ss.list_cents)
+         > 0.5 * (SELECT tpcds_cmax FROM max_store_sales))
+SELECT CAST(sum(sales_cents) AS BIGINT) AS total_cents
+FROM (
+  SELECT cs.quantity * cs.list_cents AS sales_cents
+  FROM catalog_sales cs JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1998 AND d.d_moy = 2
+    AND cs.item_sk IN (SELECT item_sk FROM frequent_ss_items)
+    AND cs.customer_sk IN (SELECT customer_sk FROM best_ss_customer)
+  UNION ALL
+  SELECT ws.quantity * ws.list_cents
+  FROM web_sales ws JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1998 AND d.d_moy = 2
+    AND ws.item_sk IN (SELECT item_sk FROM frequent_ss_items)
+    AND ws.customer_sk IN (SELECT customer_sk FROM best_ss_customer)) y
+""",
+    "TPC-DS q23 (query23.sql): February catalog+web revenue from frequently "
+    "sold items bought by the best store customers — HAVING with a nested "
+    "max-over-group scalar subquery plus two IN semi-joins per channel.",
+)
+
+# --------------------------------------------------------------------------- #
+# q31: county-level quarter-over-quarter growth, store vs web.
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q31",
+    """
+WITH ss AS (
+  SELECT s.s_county AS county, d.d_qoy AS qoy, d.d_year AS dyear,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS store_cents
+  FROM store_sales ss JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  JOIN store s ON s.s_store_sk = ss.store_sk
+  GROUP BY s.s_county, d.d_qoy, d.d_year),
+ws AS (
+  SELECT c.c_county AS county, d.d_qoy AS qoy, d.d_year AS dyear,
+         CAST(sum(ws.paid_cents) AS BIGINT) AS web_cents
+  FROM web_sales ws JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  JOIN customer_dim c ON c.c_customer_sk = ws.customer_sk
+  GROUP BY c.c_county, d.d_qoy, d.d_year)
+SELECT ss1.county AS county,
+       CAST(floor(ss2.store_cents * 1.0 / ss1.store_cents * 1e6 + 0.5)
+            AS BIGINT) AS store_q1_q2_increase_micro,
+       CAST(floor(ws2.web_cents * 1.0 / ws1.web_cents * 1e6 + 0.5)
+            AS BIGINT) AS web_q1_q2_increase_micro
+FROM ss ss1
+JOIN ss ss2 ON ss1.county = ss2.county AND ss2.qoy = 2 AND ss2.dyear = 1997
+JOIN ws ws1 ON ss1.county = ws1.county AND ws1.qoy = 1 AND ws1.dyear = 1997
+JOIN ws ws2 ON ss1.county = ws2.county AND ws2.qoy = 2 AND ws2.dyear = 1997
+WHERE ss1.qoy = 1 AND ss1.dyear = 1997
+  AND ss1.store_cents > 0 AND ws1.web_cents > 0
+  AND ws2.web_cents * 1.0 / ws1.web_cents
+      > ss2.store_cents * 1.0 / ss1.store_cents
+ORDER BY county
+""",
+    "TPC-DS q31 (query31.sql): counties where web sales grew faster than "
+    "store sales quarter-over-quarter — four self-joins of two channel CTEs "
+    "keyed on county, with cross-CTE ratio predicates.",
+)
+
+# --------------------------------------------------------------------------- #
+# q33: manufacturer totals across all three channels for one category.
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q33",
+    """
+WITH ss AS (
+  SELECT i.i_manufact_id AS m, CAST(sum(ss.list_cents) AS BIGINT) AS total
+  FROM store_sales ss JOIN item i ON ss.item_sk = i.i_item_sk
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  WHERE i.i_category = 'PROMO' AND d.d_year = 1998 AND d.d_moy = 5
+  GROUP BY i.i_manufact_id),
+cs AS (
+  SELECT i.i_manufact_id AS m, CAST(sum(cs.list_cents) AS BIGINT) AS total
+  FROM catalog_sales cs JOIN item i ON cs.item_sk = i.i_item_sk
+  JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+  WHERE i.i_category = 'PROMO' AND d.d_year = 1998 AND d.d_moy = 5
+  GROUP BY i.i_manufact_id),
+ws AS (
+  SELECT i.i_manufact_id AS m, CAST(sum(ws.list_cents) AS BIGINT) AS total
+  FROM web_sales ws JOIN item i ON ws.item_sk = i.i_item_sk
+  JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  WHERE i.i_category = 'PROMO' AND d.d_year = 1998 AND d.d_moy = 5
+  GROUP BY i.i_manufact_id)
+SELECT m AS i_manufact_id, CAST(sum(total) AS BIGINT) AS total_cents
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) t
+GROUP BY m
+ORDER BY total_cents DESC, i_manufact_id
+LIMIT 100
+""",
+    "TPC-DS q33 (query33.sql): per-manufacturer May revenue for one "
+    "category summed across the three channel CTEs (union-then-reaggregate).",
+)
+
+# --------------------------------------------------------------------------- #
+# q39: inventory mean/stdev per item-warehouse-month, consecutive-month join.
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q39",
+    """
+WITH inv AS (
+  SELECT inv_warehouse_sk AS w, inv_item_sk AS i, inv_moy AS moy,
+         avg(inv_qty) AS mean, stddev_samp(inv_qty) AS stdev
+  FROM inventory
+  GROUP BY inv_warehouse_sk, inv_item_sk, inv_moy),
+flagged AS (
+  SELECT w, i, moy, mean, stdev,
+         CASE WHEN mean = 0 THEN NULL ELSE stdev / mean END AS cov
+  FROM inv)
+SELECT inv1.w AS w, inv1.i AS i, inv1.moy AS moy1,
+       CAST(floor(inv1.mean * 1e4 + 0.5) AS BIGINT) AS mean1,
+       CAST(floor(inv1.cov * 1e4 + 0.5) AS BIGINT) AS cov1,
+       inv2.moy AS moy2,
+       CAST(floor(inv2.mean * 1e4 + 0.5) AS BIGINT) AS mean2,
+       CAST(floor(inv2.cov * 1e4 + 0.5) AS BIGINT) AS cov2
+FROM flagged inv1
+JOIN flagged inv2 ON inv1.i = inv2.i AND inv1.w = inv2.w
+  AND inv1.moy = 1 AND inv2.moy = 2
+WHERE inv1.cov > 0.5 AND inv2.cov > 0.5
+ORDER BY w, i
+""",
+    "TPC-DS q39 (query39.sql): inventory demand variability — coefficient "
+    "of variation per item x warehouse x month, joined across consecutive "
+    "months where both exceed the volatility floor.",
+)
+
+# --------------------------------------------------------------------------- #
+# q47 / q57: monthly sums vs yearly average window + neighbor self-joins.
+# --------------------------------------------------------------------------- #
+
+
+def _v1_body(fact: str, loc_join: str, loc_key: str) -> str:
+    return f"""
+v1 AS (
+  SELECT i.i_category AS cat, i.i_brand AS brand, {loc_key} AS loc,
+         d.d_year AS dyear, d.d_moy AS moy,
+         CAST(sum(f.paid_cents) AS BIGINT) AS sum_cents,
+         avg(sum(f.paid_cents)) OVER (
+           PARTITION BY i.i_category, i.i_brand, {loc_key}, d.d_year)
+           AS avg_monthly_cents,
+         rank() OVER (
+           PARTITION BY i.i_category, i.i_brand, {loc_key}
+           ORDER BY d.d_year, d.d_moy) AS rn
+  FROM {fact} f
+  JOIN item i ON f.item_sk = i.i_item_sk
+  JOIN date_dim d ON f.sold_date_sk = d.d_date_sk
+  {loc_join}
+  GROUP BY i.i_category, i.i_brand, {loc_key}, d.d_year, d.d_moy),
+v2 AS (
+  SELECT v1.cat, v1.brand, v1.loc, v1.dyear, v1.moy, v1.sum_cents,
+         v1.avg_monthly_cents,
+         v1_lag.sum_cents AS psum, v1_lead.sum_cents AS nsum
+  FROM v1
+  JOIN v1 v1_lag ON v1.cat = v1_lag.cat AND v1.brand = v1_lag.brand
+    AND v1.loc = v1_lag.loc AND v1.rn = v1_lag.rn + 1
+  JOIN v1 v1_lead ON v1.cat = v1_lead.cat AND v1.brand = v1_lead.brand
+    AND v1.loc = v1_lead.loc AND v1.rn = v1_lead.rn - 1)
+SELECT cat, brand, loc, dyear, moy, sum_cents,
+       CAST(floor(avg_monthly_cents * 1e4 + 0.5) AS BIGINT)
+         AS avg_monthly_micro,
+       psum AS psum_cents, nsum AS nsum_cents
+FROM v2
+WHERE dyear = 1997 AND avg_monthly_cents > 0
+  AND abs(sum_cents - avg_monthly_cents) / avg_monthly_cents > 0.1
+ORDER BY sum_cents - avg_monthly_cents, cat, brand, loc, moy
+LIMIT 100
+"""
+
+
+_ds(
+    "tpcds_q47",
+    "WITH " + _v1_body(
+        "store_sales",
+        "JOIN store s ON f.store_sk = s.s_store_sk",
+        "s.s_store_sk",
+    ),
+    "TPC-DS q47 (query47.sql): store-channel months deviating >10% from the "
+    "brand x store yearly average — window-over-aggregate (avg of sum), "
+    "rank-based lag/lead neighbor self-joins. The reference's hardest "
+    "windowed-agg plan.",
+)
+
+_ds(
+    "tpcds_q57",
+    "WITH " + _v1_body(
+        "catalog_sales",
+        "JOIN warehouse w ON f.warehouse_sk = w.w_warehouse_sk",
+        "w.w_warehouse_sk",
+    ),
+    "TPC-DS q57 (query57.sql): the catalog-channel twin of q47, keyed on "
+    "warehouse instead of store.",
+)
+
+# --------------------------------------------------------------------------- #
+# q59: weekly store sales year-over-year per day-of-week.
+# --------------------------------------------------------------------------- #
+
+_WSS_SUMS = ",\n".join(
+    f"         CAST(sum(CASE WHEN d.d_dow = {i} THEN ss.paid_cents ELSE 0 END)"
+    f" AS BIGINT) AS {d}_cents"
+    for i, d in enumerate(_DOWS)
+)
+_WSS_RATIOS = ",\n".join(
+    f"       CAST(floor(y.{d}_cents * 1.0 / (x.{d}_cents + 1) * 1e6 + 0.5)"
+    f" AS BIGINT) AS {d}_ratio_micro"
+    for d in _DOWS
+)
+
+_ds(
+    "tpcds_q59",
+    f"""
+WITH wss AS (
+  SELECT d.d_week_seq AS week_seq, ss.store_sk AS store_sk,
+{_WSS_SUMS}
+  FROM store_sales ss JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  GROUP BY d.d_week_seq, ss.store_sk)
+SELECT s.s_store_name AS s_store_name, y.week_seq AS week_seq1,
+{_WSS_RATIOS}
+FROM wss y
+JOIN (SELECT DISTINCT d_week_seq FROM date_dim WHERE d_year = 1997) wy
+  ON y.week_seq = wy.d_week_seq
+JOIN wss x ON x.week_seq = y.week_seq - 53 AND x.store_sk = y.store_sk
+JOIN store s ON s.s_store_sk = y.store_sk
+ORDER BY s_store_name, week_seq1
+""",
+    "TPC-DS q59 (query59.sql): per-store weekly day-of-week sales ratios "
+    "against the same week one year earlier (week_seq - 53 self-join).",
+)
+
+# --------------------------------------------------------------------------- #
+# q88: battery of cross-joined scalar-subquery counts.
+# --------------------------------------------------------------------------- #
+
+_BANDS = [(1, 5), (6, 10), (11, 15), (16, 20), (21, 25), (26, 30), (31, 40), (41, 50)]
+_BAND_SUBQS = " CROSS JOIN ".join(
+    f"""(SELECT CAST(count(*) AS BIGINT) AS h{k + 1}
+  FROM store_sales ss JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  WHERE ss.quantity BETWEEN {lo} AND {hi} AND d.d_dow = {k % 7}
+    AND ss.store_sk < 6) b{k + 1}"""
+    for k, (lo, hi) in enumerate(_BANDS)
+)
+
+_ds(
+    "tpcds_q88",
+    f"SELECT * FROM {_BAND_SUBQS}",
+    "TPC-DS q88 (query88.sql): eight independent filtered-count scalar "
+    "subqueries cross-joined into one row — the multi-scan shape the "
+    "reference plans as parallel subplans (here: quantity bands x day-of-"
+    "week instead of time-of-day bands).",
+)
+
+# --------------------------------------------------------------------------- #
+# q95: web orders shipped from more than one warehouse, with a return.
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q95",
+    """
+WITH ws_wh AS (
+  SELECT DISTINCT ws1.ticket AS order_number
+  FROM web_sales ws1 JOIN web_sales ws2 ON ws1.ticket = ws2.ticket
+  WHERE ws1.warehouse_sk <> ws2.warehouse_sk)
+SELECT CAST(count(DISTINCT ws.ticket) AS BIGINT) AS order_count,
+       CAST(sum(ws.paid_cents) AS BIGINT) AS total_shipping_cents
+FROM web_sales ws
+JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+WHERE d.d_year = 1997 AND d.d_moy BETWEEN 2 AND 4
+  AND ws.ticket IN (SELECT order_number FROM ws_wh)
+  AND ws.ticket IN (SELECT ticket FROM web_returns)
+""",
+    "TPC-DS q95 (query95.sql): web orders shipped from at least two "
+    "distinct warehouses that also had a return — self-join distinct + two "
+    "IN semi-joins feeding a count-distinct aggregate.",
+)

@@ -73,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
         sql_queries,
         streaming_batch,
         text_queries,
+        tpcds,
         tpch,
         trigger_queries,
         windows_over,
