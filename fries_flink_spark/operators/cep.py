@@ -487,12 +487,221 @@ def _match_from(
     return None
 
 
+def _select_from_expr(select_expr: dict[str, tuple]) -> Callable:
+    """Generic select callable equivalent to a declarative ``select_expr``
+    spec — the NFA-path rendition, so fast path and fallback emit identical
+    rows for the same spec."""
+
+    def sel(key: dict, m: dict[str, list[dict]]) -> dict:
+        out = {}
+        for name, spec in select_expr.items():
+            kind = spec[0]
+            if kind == "key":
+                out[name] = key[spec[1]]
+            elif kind == "first":
+                rows = m.get(spec[1], [])
+                out[name] = rows[0][spec[2]] if rows else None
+            elif kind == "last":
+                rows = m.get(spec[1], [])
+                out[name] = rows[-1][spec[2]] if rows else None
+            elif kind == "count":
+                out[name] = len(m.get(spec[1], []))
+            else:
+                raise ValueError(f"unknown select_expr kind {kind!r}")
+        return out
+
+    return sel
+
+
+def _branchy_fast_path(
+    df: DataFrame,
+    pattern: Pattern,
+    key_cols: list[str],
+    time_col: str,
+    tiebreak: list[str],
+    select_expr: dict[str, tuple],
+    output_schema: str,
+) -> DataFrame | None:
+    """Vectorized JVM plan for the two-stage branch-enumeration shape:
+
+        begin(a)[mask] . followed_by_any(b)[mask].one_or_more(N) [.within(W)]
+        with NO_SKIP + emit='all' + one row per match
+
+    — the NFA's worst case (every in-window b event starts a branch and every
+    run prefix is a distinct match; ~8 µs/emitted row in Python, PERF.md).
+    Relationally it is clicks x error-islands: flag masks evaluate once per
+    Arrow batch (the only Python), then islands/positions are window
+    functions, the run-prefix cap is a bounded collect_list slice, and the
+    match explosion is explode(sequence(1, k_max)) — all WholeStageCodegen.
+    Returns None when the pattern/spec falls outside the shape (NFA path)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    sts = pattern.stages
+    if len(sts) != 2:
+        return None
+    s1, s2 = sts
+    if s1.negated or s2.negated or s1.has_ctx or s2.has_ctx:
+        return None
+    if s1.min_times != 1 or s1.max_times != 1:
+        return None
+    if s2.contiguity != "relaxed_any" or s2.min_times != 1 or s2.greedy:
+        return None
+    for spec in select_expr.values():
+        if spec[0] == "key" and spec[1] in key_cols:
+            continue
+        if spec[0] == "first" and spec[1] in (s1.name, s2.name):
+            continue
+        if spec[0] == "count" and spec[1] == s2.name:
+            continue
+        return None  # last()/other refs: NFA path
+
+    data_cols = df.columns
+    needs_records = s1.needs_records or s2.needs_records
+
+    def add_masks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            records = pdf.to_dict("records") if needs_records else None
+            m0 = s1.mask(pdf, records)
+            m1 = s2.mask(pdf, records)
+            pdf = pdf.copy()
+            pdf["__m0"] = m0
+            pdf["__m1"] = m1
+            yield pdf
+
+    # Mask BEFORE the key exchange: MapInPandas reports unknown output
+    # partitioning, so running it after the shuffle would force the join to
+    # re-exchange both sides. Below the exchange, the scan + Python mask
+    # pass sit in an identical subtree under both join branches and AQE
+    # dedupes them via ReusedExchange; above it, window/filter/project all
+    # preserve hashpartitioning(keys) and the self-join needs NO further
+    # shuffle.
+    pre = df.withColumn(
+        # TIMESTAMP_NTZ (the parquet nanos path) rejects unix_micros; casting
+        # through TIMESTAMP first is exact at microsecond precision
+        "__us",
+        F.unix_micros(F.col(time_col).cast("timestamp")),
+    )
+    masked = pre.mapInPandas(
+        add_masks,
+        schema=StructType(
+            list(pre.schema.fields)
+            + [StructField("__m0", BooleanType()), StructField("__m1", BooleanType())]
+        ),
+    )
+    wk = Window.partitionBy(*key_cols).orderBy(time_col, *tiebreak)
+    ev = masked.withColumn("__rn", F.row_number().over(wk))
+
+    non_key = [c for c in data_cols if c not in key_cols]
+    # Columns the select spec actually reads from each side: keep the
+    # carried structs/arrays minimal.
+    a_cols = sorted(
+        {s[2] for s in select_expr.values() if s[0] == "first" and s[1] == s1.name}
+        - set(key_cols)
+    )
+    # JOIN-FREE pairing: for every row, the in-window preceding a-candidates
+    # as an array via a RANGE frame over event-time micros (b is admissible
+    # for click a iff b.us <= a.us + W iff a.us >= b.us - W); exploding that
+    # array replaces the a x b self-join, so the whole plan is ONE key
+    # exchange + windows + explodes — no second shuffle, no subtree
+    # recomputation. Array size is bounded by the a-rate within the match
+    # window (exactly the NFA's branch scope).
+    if pattern.window is not None:
+        w_us = int(pattern.window.total_seconds() * 1_000_000)
+        wa = (
+            Window.partitionBy(*key_cols)
+            .orderBy("__us")
+            .rangeBetween(-w_us, 0)
+        )
+    else:
+        wa = (
+            Window.partitionBy(*key_cols)
+            .orderBy("__rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    a_struct = F.struct(
+        F.col("__rn").alias("rn"),
+        F.col("__us").alias("us"),
+        *[F.col(c).alias(c) for c in a_cols],
+    )
+    ev = ev.withColumn(
+        "__as", F.collect_list(F.when(F.col("__m0"), a_struct)).over(wa)
+    )
+    # Bounded lookahead for the run prefix: the next max_times b-events'
+    # (rn, us) pairs. A run prefix of length k exists iff element j
+    # (0-based, j < k) sits at rn == b_rn + j (strict adjacency in the
+    # ORIGINAL sequence) and within the window — once adjacency or the
+    # deadline breaks it can never re-establish (rn strictly increases), so
+    # a flat filter() size IS the prefix length.
+    wb = Window.partitionBy(*key_cols).orderBy("__rn").rowsBetween(
+        Window.currentRow, s2.max_times - 1
+    )
+    b = (
+        ev.filter("__m1")
+        .withColumn(
+            "__nxt",
+            F.collect_list(F.struct(F.col("__rn").alias("rn"),
+                                    F.col("__us").alias("us"))).over(wb),
+        )
+        .select(
+            *key_cols,
+            *[F.col(c).alias(f"__b_{c}") for c in non_key],
+            F.col("__rn").alias("__b_rn"),
+            "__as",
+            "__nxt",
+        )
+    )
+
+    # every strictly-earlier in-window a is a branch root (followedByAny)
+    pairs = b.withColumn(
+        "__a", F.explode(F.filter("__as", lambda a: a["rn"] < F.col("__b_rn")))
+    )
+    if pattern.window is not None:
+        deadline = F.col("__a")["us"] + F.lit(w_us)
+        pairs = pairs.where(F.col("__us") <= deadline)
+        kmax = F.size(
+            F.filter(
+                "__nxt",
+                lambda x, j: (x["rn"] == F.col("__b_rn") + j)
+                & (x["us"] <= deadline),
+            )
+        )
+    else:
+        kmax = F.size(
+            F.filter("__nxt", lambda x, j: x["rn"] == F.col("__b_rn") + j)
+        )
+    exploded = pairs.withColumn("__n", F.explode(F.sequence(F.lit(1), kmax)))
+
+    types = {
+        f.strip().split()[0]: f.strip().split(None, 1)[1]
+        for f in output_schema.split(",")
+    }
+    out_cols = []
+    for name, spec in select_expr.items():
+        if spec[0] == "key":
+            c = F.col(spec[1])
+        elif spec[0] == "count":
+            c = F.col("__n")
+        else:  # first
+            _k, var, col = spec
+            if col in key_cols:
+                c = F.col(col)
+            elif var == s1.name:
+                c = F.col("__a")[col]
+            else:
+                c = F.col(f"__b_{col}")
+        out_cols.append(c.cast(types[name]).alias(name))
+    return exploded.select(*out_cols)
+
+
 def match_pattern(
     df: DataFrame,
     pattern: Pattern,
     key_cols: list[str],
     time_col: str,
-    select: Callable[[dict[str, Any], dict[str, list[dict]]], dict[str, Any]],
+    select: Callable[[dict[str, Any], dict[str, list[dict]]], dict[str, Any]]
+    | None,
     output_schema: str,
     order_tiebreak: list[str] | None = None,
     skip_strategy: str = NO_SKIP,
@@ -500,8 +709,18 @@ def match_pattern(
     rows_per_match: str = "one",
     skip_var: str | None = None,
     with_match_number: bool = False,
+    select_expr: dict[str, tuple] | None = None,
+    vectorized: bool = False,
 ) -> DataFrame:
     """CEP.pattern(stream.keyBy(...), pattern).select(...) analog.
+
+    ``select_expr`` is the declarative alternative to ``select``: a mapping
+    ``out_col -> ("key", col) | ("first"|"last", var, col) | ("count", var)``.
+    With ``vectorized=True`` and a qualifying two-stage branch-enumeration
+    shape (begin + followed_by_any.one_or_more, NO_SKIP, emit='all') it
+    routes to the JVM-side plan in ``_branchy_fast_path``; otherwise the
+    spec is synthesized into an equivalent ``select`` callable and the NFA
+    runs — both paths emit identical rows for the same spec.
 
     ``select(key_dict, {stage: [event dicts]}) -> output dict`` — the
     reference's PatternSelectFunction (flink-cep .../PatternSelectFunction.java).
@@ -529,6 +748,29 @@ def match_pattern(
     pattern._validate()
     if rows_per_match not in ("one", "all"):
         raise ValueError(f"rows_per_match must be 'one' or 'all', got {rows_per_match!r}")
+    if select_expr is not None:
+        if (
+            vectorized
+            and skip_strategy == NO_SKIP
+            and emit == "all"
+            and rows_per_match == "one"
+            and not with_match_number
+        ):
+            fast = _branchy_fast_path(
+                df,
+                pattern,
+                key_cols,
+                time_col,
+                order_tiebreak or [],
+                select_expr,
+                output_schema,
+            )
+            if fast is not None:
+                return fast
+        if select is None:
+            select = _select_from_expr(select_expr)
+    if select is None:
+        raise ValueError("match_pattern needs select or select_expr")
     if skip_strategy in (SKIP_TO_FIRST, SKIP_TO_LAST):
         stage_names = {st.name for st in pattern.stages}
         if skip_var not in stage_names:

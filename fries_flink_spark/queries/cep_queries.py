@@ -282,9 +282,7 @@ def cep_or_where(spark, sf_dir):
     return out.orderBy("user_id", "a_id")
 
 
-@query(
-    "cep_branchy_any",
-    oracle="""
+_BRANCHY_ORACLE = """
     WITH o AS (
       SELECT user_id, event_id, event_type, ts,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -316,8 +314,28 @@ def cep_or_where(spark, sf_dir):
     FROM capped CROSS JOIN generate_series(1, 64) AS g(k)
     WHERE g.k <= k_max
     ORDER BY user_id, a_id, b_id, n_err
-    """,
-)
+    """
+
+_BRANCHY_SELECT = {
+    "user_id": ("key", "user_id"),
+    "a_id": ("first", "a", "event_id"),
+    "b_id": ("first", "b", "event_id"),
+    "n_err": ("count", "b"),
+}
+
+
+def _branchy_pattern():
+    return (
+        Pattern.begin("a")
+        .where_mask(lambda d: d["event_type"] == "click")
+        .followed_by_any("b")
+        .where_mask(lambda d: d["event_type"] == "error")
+        .one_or_more(64)
+        .within(timedelta(minutes=30))
+    )
+
+
+@query("cep_branchy_any", oracle=_BRANCHY_ORACLE)
 def cep_branchy_any(spark, sf_dir):
     """ADVERSARIAL branch enumeration: click followed-by-ANY error run, every
     branch emitted (Pattern.followedByAny + oneOrMore + NO_SKIP + all
@@ -326,25 +344,39 @@ def cep_branchy_any(spark, sf_dir):
     match expansion (the engine's documented throughput ceiling, PERF.md);
     the oracle restates it as gaps-and-islands + correlated run caps."""
     events = load_table(spark, sf_dir, "events")
-    pat = (
-        Pattern.begin("a")
-        .where_mask(lambda d: d["event_type"] == "click")
-        .followed_by_any("b")
-        .where_mask(lambda d: d["event_type"] == "error")
-        .one_or_more(64)
-        .within(timedelta(minutes=30))
-    )
     out = match_pattern(
         events,
-        pat,
+        _branchy_pattern(),
         key_cols=["user_id"],
         time_col="ts",
-        select=lambda key, m: {
-            "user_id": key["user_id"],
-            "a_id": m["a"][0]["event_id"],
-            "b_id": m["b"][0]["event_id"],
-            "n_err": len(m["b"]),
-        },
+        select=None,
+        select_expr=_BRANCHY_SELECT,
+        output_schema="user_id long, a_id long, b_id long, n_err long",
+        order_tiebreak=["event_id"],
+        emit="all",
+    )
+    return out.orderBy("user_id", "a_id", "b_id", "n_err")
+
+
+@query("cep_branchy_vectorized", oracle=_BRANCHY_ORACLE)
+def cep_branchy_vectorized(spark, sf_dir):
+    """The SAME branch-enumeration pattern routed through the JVM-side
+    vectorized plan (cep._branchy_fast_path: range-frame click arrays +
+    bounded run-prefix lookahead + explode — Python only for the one
+    per-batch mask pass). Measured crossover on local[32] at sf0.1: the NFA
+    wins below ~10^5 emitted branches (one shuffle + one Python stage beats
+    the window/explode stage chain), the vectorized plan is the scale path —
+    per-key work is JVM-parallel within a key, where the NFA sweep is serial
+    per key. Both engines are oracled against the identical SQL."""
+    events = load_table(spark, sf_dir, "events")
+    out = match_pattern(
+        events,
+        _branchy_pattern(),
+        key_cols=["user_id"],
+        time_col="ts",
+        select=None,
+        select_expr=_BRANCHY_SELECT,
+        vectorized=True,
         output_schema="user_id long, a_id long, b_id long, n_err long",
         order_tiebreak=["event_id"],
         emit="all",

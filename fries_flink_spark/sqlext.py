@@ -682,6 +682,210 @@ def _measure_type(func: str, col_type: str) -> str:
     return col_type
 
 
+# --------------------------------------------------------------------------- #
+# MATCH_RECOGNIZE vectorized fast path: single-variable contiguous runs.
+#
+# PATTERN (V+) / (V{n[,m]}) with a DEFINE that references only the current
+# row and physical predecessors (PREV) is a gaps-and-islands query — the per-
+# row flag is a lag() window expression and the NFA's greedy bounded-repeat +
+# SKIP PAST LAST ROW semantics are exact integer chunking of each flag island.
+# Lowering it to pure Spark SQL windows removes Python from the plan entirely
+# (the ~8 µs/row NFA measure-evaluation ceiling documented in PERF.md);
+# everything runs in Catalyst/WholeStageCodegen. The general NFA remains the
+# fallback for multi-variable patterns, WITHIN, and match-state predicates.
+# --------------------------------------------------------------------------- #
+
+
+class _NotVectorizable(Exception):
+    pass
+
+
+_CMP_SQL = {"le": "<=", "ge": ">=", "ne": "<>", "eq": "=", "lt": "<", "gt": ">"}
+
+
+def _ast_to_sql(node, lag_over: str) -> str:
+    """DEFINE AST → Spark SQL expression text. Comparisons are wrapped in
+    coalesce(…, FALSE) so NULL operands (lag() past the partition edge)
+    behave exactly like the NFA's null-rejecting comparison — including
+    under NOT. Raises _NotVectorizable on match-state navigation."""
+    kind = node[0]
+    if kind == "lit":
+        v = node[1]
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+    if kind == "col":
+        return f"`{node[1]}`"
+    if kind == "prev":
+        _, col, off = node
+        return f"lag(`{col}`, {off}) OVER {lag_over}"
+    if kind == "arith":
+        _, op, a, b = node
+        return f"({_ast_to_sql(a, lag_over)} {op} {_ast_to_sql(b, lag_over)})"
+    if kind == "cmp":
+        _, op, a, b = node
+        return (
+            f"coalesce({_ast_to_sql(a, lag_over)} {_CMP_SQL[op]} "
+            f"{_ast_to_sql(b, lag_over)}, FALSE)"
+        )
+    if kind == "and":
+        return f"({_ast_to_sql(node[1], lag_over)} AND {_ast_to_sql(node[2], lag_over)})"
+    if kind == "or":
+        return f"({_ast_to_sql(node[1], lag_over)} OR {_ast_to_sql(node[2], lag_over)})"
+    if kind == "not":
+        return f"(NOT {_ast_to_sql(node[1], lag_over)})"
+    raise _NotVectorizable(kind)
+
+
+def _quant_bounds(quant: str | None) -> tuple[int, int] | None:
+    if quant is None:
+        return (1, 1)
+    if quant == "+":
+        return (1, _MAX_REPEAT)
+    if quant in ("*", "?"):
+        return None  # optional: empty matches — NFA path
+    nums = re.findall(r"\d+", quant)
+    if "," in quant:
+        hi = int(nums[1]) if len(nums) > 1 else _MAX_REPEAT
+        return (int(nums[0]), hi)
+    return (int(nums[0]), int(nums[0]))
+
+
+def _try_single_var_runs(
+    spark: SparkSession,
+    table: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    pattern_sql: str,
+    defines: dict[str, str],
+    measures: list[tuple[str, str, str, str]],
+    after: str | None,
+    rows_mode: str,
+    has_within: bool,
+) -> DataFrame | None:
+    """Build the windowed-SQL plan for the single-variable-run subset, or
+    None when the query needs the general NFA."""
+    if has_within:
+        return None
+    if after and "SKIP PAST LAST ROW" not in re.sub(r"\s+", " ", after.upper()):
+        return None
+    toks = [
+        (m.group(1), m.group(2))
+        for m in _PATTERN_TOKEN_RE.finditer(pattern_sql)
+        if m.group(1)
+    ]
+    if len(toks) != 1:
+        return None
+    var, quant = toks[0]
+    bounds = _quant_bounds(quant)
+    if bounds is None:
+        return None
+    lo, hi = bounds
+    if var not in defines:
+        return None
+    for f, v, _c, _n in measures:
+        if f in ("CLASSIFIER", "MATCH_NUMBER"):
+            continue
+        if v.upper() != var.upper():
+            return None
+    keys = ", ".join(f"`{k}`" for k in key_cols)
+    order = ", ".join(f"`{c}`" for c in order_cols)
+    lag_over = f"(PARTITION BY {keys} ORDER BY {order})"
+    try:
+        ast = _CondParser(_tokenize(defines[var]), var).parse()
+        flag = _ast_to_sql(ast, lag_over)
+    except (_NotVectorizable, ValueError, NotImplementedError):
+        return None
+
+    df = spark.table(table)
+    types = dict(df.dtypes)
+    in_cols = df.columns
+    mw = f"(PARTITION BY {keys}, __isl, __chunk)"
+    mw_run = (
+        f"(PARTITION BY {keys}, __isl, __chunk ORDER BY __rn "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    mw_full = (
+        f"(PARTITION BY {keys}, __isl, __chunk ORDER BY __rn "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+
+    def measure_sql(func: str, col: str, running: bool) -> str:
+        if func == "CLASSIFIER":
+            return f"'{var}'"
+        if func == "MATCH_NUMBER":
+            return f"dense_rank() OVER (PARTITION BY {keys} ORDER BY __isl, __chunk)"
+        if func == "COUNT":
+            return "__mpos" if running else "__sz"
+        frame = mw_run if running else mw_full
+        if func == "FIRST":
+            return f"first_value(`{col}`) OVER {frame}"
+        if func == "LAST" or func == "":
+            # running LAST == current row (every row is mapped)
+            return f"`{col}`" if running else f"last_value(`{col}`) OVER {frame}"
+        agg_frame = mw_run if running else mw
+        return f"{func.lower()}(`{col}`) OVER {agg_frame}"
+
+    def measure_cast(func: str, col: str, expr: str) -> str:
+        col_t = "bigint" if col in ("", "*") else types[col]
+        t = _measure_type(func, col_t) if func not in ("CLASSIFIER", "MATCH_NUMBER") else (
+            "string" if func == "CLASSIFIER" else "bigint"
+        )
+        return f"CAST({expr} AS {t})"
+
+    running = rows_mode == "all"
+    meas_sel = ", ".join(
+        f"{measure_cast(f, c, measure_sql(f, c, running))} AS `{n}`"
+        for f, _v, c, n in measures
+    )
+    out_names = (
+        [f"`{c}`" for c in in_cols] if running else [f"`{k}`" for k in key_cols]
+    ) + [f"`{n}`" for _f, _v, _c, n in measures]
+    pass_sel = (
+        ", ".join(f"`{c}`" for c in in_cols)
+        if running
+        else keys
+    )
+    # Measures are window expressions and must be evaluated BEFORE the
+    # one-row-per-match filter (a WHERE in the same block would filter the
+    # window input down to the final rows).
+    final_filter = "" if running else "WHERE __mpos = __sz"
+    min_filter = f"WHERE __sz >= {lo}" if lo > 1 else ""
+    # Chunk index, in-match position and match size all derive ARITHMETICALLY
+    # from one in-island row_number + one island count — no third window
+    # partition pass over (key, isl, chunk): pos-in-match = (pos-1) % hi + 1
+    # and sz = least(hi, island - chunk*hi), since chunks tile each island.
+    sql_text = f"""
+WITH __f AS (
+  SELECT *, {flag} AS __flag,
+         row_number() OVER (PARTITION BY {keys} ORDER BY {order}) AS __rn
+  FROM {table}
+), __i AS (
+  SELECT *, __rn - row_number() OVER (PARTITION BY {keys} ORDER BY __rn)
+              AS __isl
+  FROM __f WHERE __flag
+), __c AS (
+  SELECT *, row_number() OVER (PARTITION BY {keys}, __isl ORDER BY __rn)
+              AS __pos,
+         count(*) OVER (PARTITION BY {keys}, __isl) AS __icnt
+  FROM __i
+), __m AS (
+  SELECT *, CAST((__pos - 1) div {hi} AS BIGINT) AS __chunk,
+         CAST((__pos - 1) % {hi} + 1 AS BIGINT) AS __mpos,
+         CAST(least({hi}, __icnt - ((__pos - 1) div {hi}) * {hi}) AS BIGINT)
+           AS __sz
+  FROM __c
+), __v AS (SELECT * FROM __m {min_filter}),
+__o AS (
+  SELECT {pass_sel}, {meas_sel}, __mpos, __sz FROM __v
+)
+SELECT {', '.join(out_names)} FROM __o {final_filter}
+"""
+    return spark.sql(sql_text)
+
+
 _MR_HEAD_RE = re.compile(r"(\w+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
 
 
@@ -750,6 +954,23 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         if not dm:
             raise ValueError(f"cannot parse DEFINE item {item!r}")
         defines[dm.group(1)] = dm.group(2).strip()
+
+    fast = _try_single_var_runs(
+        spark,
+        table,
+        key_cols,
+        order_cols,
+        pattern_m.group(1),
+        defines,
+        _parse_measures(measures_sql),
+        after,
+        rows_mode,
+        within_m is not None,
+    )
+    if fast is not None:
+        view = _fresh_view("mr")
+        fast.createOrReplaceTempView(view)
+        return q[: m.start()] + view + q[consumed:]
 
     pat = _parse_pattern(pattern_m.group(1), defines)
     if within_m:

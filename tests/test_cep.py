@@ -234,3 +234,98 @@ class TestSkipToVariable:
 
         with pytest.raises(ValueError, match="skip_var"):
             self._starts(spark, skip_strategy=SKIP_TO_LAST, skip_var="Z")
+
+
+def test_branchy_vectorized_equals_nfa(spark, sf_dir):
+    """The JVM-side branch-enumeration plan (_branchy_fast_path) and the NFA
+    emit identical rows for the same pattern + declarative select."""
+    from datetime import timedelta
+
+    from fries_flink_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+
+    def build(vectorized):
+        pat = (
+            Pattern.begin("a")
+            .where_mask(lambda d: d["event_type"] == "click")
+            .followed_by_any("b")
+            .where_mask(lambda d: d["event_type"] == "error")
+            .one_or_more(64)
+            .within(timedelta(minutes=45))
+        )
+        return match_pattern(
+            events,
+            pat,
+            key_cols=["user_id"],
+            time_col="ts",
+            select=None,
+            select_expr={
+                "user_id": ("key", "user_id"),
+                "a_id": ("first", "a", "event_id"),
+                "b_id": ("first", "b", "event_id"),
+                "n_err": ("count", "b"),
+            },
+            vectorized=vectorized,
+            output_schema="user_id long, a_id long, b_id long, n_err long",
+            order_tiebreak=["event_id"],
+            emit="all",
+        )
+
+    fast = {tuple(r) for r in build(True).collect()}
+    nfa = {tuple(r) for r in build(False).collect()}
+    assert fast == nfa and len(fast) > 0
+
+
+def test_branchy_vectorized_small_cap_and_unbounded(spark):
+    """max_times cap + no WITHIN window, on a handcrafted sequence with a
+    broken run: prefixes must stop at the break and at the cap."""
+    from fries_flink_spark.operators.cep import match_pattern as mp
+
+    rows = [
+        # key, ts-second, id, type   (errors at 2,3,4 then gap then 6,7)
+        (1, 1, 10, "click"),
+        (1, 2, 11, "error"),
+        (1, 3, 12, "error"),
+        (1, 4, 13, "error"),
+        (1, 5, 14, "view"),
+        (1, 6, 15, "error"),
+        (1, 7, 16, "error"),
+    ]
+    df = spark.createDataFrame(
+        [(k, f"2024-01-01 00:00:{s:02d}", i, t) for k, s, i, t in rows],
+        "user_id long, ts_s string, event_id long, event_type string",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id", "event_type")
+
+    def build(vectorized):
+        pat = (
+            Pattern.begin("a")
+            .where_mask(lambda d: d["event_type"] == "click")
+            .followed_by_any("b")
+            .where_mask(lambda d: d["event_type"] == "error")
+            .one_or_more(2)  # cap runs at 2
+        )
+        return mp(
+            df,
+            pat,
+            key_cols=["user_id"],
+            time_col="ts",
+            select=None,
+            select_expr={
+                "b_id": ("first", "b", "event_id"),
+                "n_err": ("count", "b"),
+            },
+            vectorized=vectorized,
+            output_schema="b_id long, n_err long",
+            order_tiebreak=["event_id"],
+            emit="all",
+        )
+
+    fast = sorted(tuple(r) for r in build(True).collect())
+    nfa = sorted(tuple(r) for r in build(False).collect())
+    assert fast == nfa
+    # runs from 11: (11,1),(11,2) capped at 2; from 12: (12,1),(12,2);
+    # 13 run of 1; 15: (15,1),(15,2); 16: 1
+    assert fast == sorted(
+        [(11, 1), (11, 2), (12, 1), (12, 2), (13, 1), (15, 1), (15, 2), (16, 1)]
+    )

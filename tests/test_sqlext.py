@@ -471,3 +471,58 @@ def test_extension_composition_tvf_then_match_recognize(spark, sf_dir):
     local_max = {series[i] for i in range(1, len(series) - 1)
                  if series[i] >= series[i - 1] and series[i] > series[i + 1]}
     assert peaks and all(r["peak_n"] in local_max for r in peaks)
+
+
+def test_mr_single_var_fast_path_plan_and_parity(spark, sf_dir):
+    """PATTERN (D+) with a PREV-only DEFINE routes to the windowed-SQL fast
+    path (no Python stage in the plan) and emits the same rows as the NFA
+    rendition of the same query on a pattern the fast path declines."""
+    from fries_flink_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    q = """
+        SELECT user_id, first_id, n_down
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(D.event_id) AS first_id, COUNT(D.*) AS n_down
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D+)
+          DEFINE D AS D.value < PREV(D.value)
+        )
+    """
+    out = fsql(spark, q)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan  # vectorized: no Python stage
+    fast_rows = {tuple(r) for r in out.collect()}
+
+    # NFA path on the same semantics: D{1,64} with a cross-variable-free but
+    # nav-style DEFINE (LAST forces the ctx/NFA route)
+    q_nfa = q.replace("D.value < PREV(D.value)",
+                      "LAST(D.value, 0) < PREV(D.value)")
+    nfa_rows = {tuple(r) for r in fsql(spark, q_nfa).collect()}
+    assert fast_rows == nfa_rows and len(fast_rows) > 0
+
+
+def test_mr_fast_path_exact_quantifier_chunks(spark):
+    """D{2} splits a 5-long falling run into two matches (greedy + SKIP PAST
+    LAST ROW), dropping the 1-row remainder — identical to the NFA."""
+    rows = [(1, i, float(100 - i)) for i in range(1, 7)]  # strictly falling
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    df.createOrReplaceTempView("mr_chunks")
+    q = """
+        SELECT k, first_seq, n
+        FROM mr_chunks MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY seq
+          MEASURES FIRST(D.seq) AS first_seq, COUNT(D.*) AS n
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D{2})
+          DEFINE D AS D.v < PREV(D.v)
+        )
+    """
+    got = sorted(tuple(r) for r in fsql(spark, q).collect())
+    # falling rows are seq 2..6 (5 rows): chunks (2,3), (4,5); 6 dropped
+    assert got == [(1, 2, 2), (1, 4, 2)]
