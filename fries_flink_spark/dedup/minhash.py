@@ -309,13 +309,22 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ).alias("__w"),
     ).select(F.col(id_col), F.md5("__w").alias("__h"))
 
+    # Two conv() calls decode the 16 nibbles into two 32-bit ints; each
+    # nibble's high bit is then one shift+AND — far smaller codegen than 16
+    # per-nibble substring predicates (large generated methods fall out of
+    # C2's code cache in long sessions and drop to the interpreter).
+    h1 = F.conv(F.substring("__h", 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring("__h", 9, 8), 16, 10).cast("long")
+
+    def bit(j: int):
+        h = h1 if j < 8 else h2
+        p = j % 8
+        return F.shiftright(h, 4 * (7 - p) + 3).bitwiseAND(F.lit(1))
+
     def lane(k: int):
         e = None
         for p in range(4):
-            j = 4 * k + p
-            t = F.when(
-                F.ascii(F.substring("__h", j + 1, 1)) >= 56, F.lit(1 << (16 * p))
-            ).otherwise(F.lit(0))
+            t = bit(4 * k + p) * F.lit(1 << (16 * p))
             e = t if e is None else e + t
         return e.cast("long")
 

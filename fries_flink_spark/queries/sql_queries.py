@@ -745,3 +745,60 @@ def sql_window_join_tvf(spark, sf_dir):
         ORDER BY ws, user_id, click_id, purchase_id
         """,
     )
+
+@query(
+    "sql_mr_expr_measures",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value < lag(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS dn
+      FROM events
+    ), g AS (
+      SELECT *, sum(1 - dn) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM w
+    ), runs AS (
+      SELECT user_id, grp, value, event_id,
+             row_number() OVER
+               (PARTITION BY user_id, grp ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, grp) AS n
+      FROM g WHERE dn = 1
+    )
+    SELECT user_id,
+           max(CASE WHEN rn = 1 THEN event_id END) AS first_id,
+           CAST(max(CASE WHEN rn = 1 THEN value END)
+                - max(CASE WHEN rn = n THEN value END) AS DOUBLE) AS drop_total,
+           CAST(sum(event_id * 2 + 1) AS DOUBLE) AS agg_sum
+    FROM runs GROUP BY user_id, grp
+    ORDER BY user_id, first_id
+    """,
+)
+def sql_mr_expr_measures(spark, sf_dir):
+    """MEASURES beyond plain column refs (r5 "What's missing" #3): a scalar
+    expression over navigation calls (FIRST(D.value) - LAST(D.value)) and an
+    aggregate over an arithmetic operand (SUM(D.event_id * 2 + 1)) — the
+    reference's MatchCodeGenerator generates arbitrary measure expressions
+    (MatchCodeGenerator.scala generateOneRowPerMatchExpression). Exactness:
+    the subtraction is two order-free navigation reads; the aggregate operand
+    is integer-valued, so the Python fold and DuckDB's sum agree exactly."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id, first_id, drop_total, agg_sum
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(D.event_id) AS first_id,
+                   FIRST(D.value) - LAST(D.value) AS drop_total,
+                   SUM(D.event_id * 2 + 1) AS agg_sum
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D+)
+          DEFINE D AS D.value < PREV(D.value)
+        )
+        ORDER BY user_id, first_id
+        """,
+    )

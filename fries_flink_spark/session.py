@@ -68,6 +68,15 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Long benchmark/driver sessions compile hundreds of WholeStageCodegen
+        # methods; the JVM default 240m code cache fills and C2 silently stops
+        # compiling (observed: md5-heavy queries 1.0s solo -> 4s late in a
+        # 47-query sweep). Irrelevant on a real cluster where executors are
+        # per-job, but required for a faithful local bench.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)

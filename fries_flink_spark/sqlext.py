@@ -38,7 +38,10 @@ may reference the current variable, physical predecessors via
 idiom stays on the mask hot path), and other pattern variables via
 ``LAST(X.col [, n])`` / ``FIRST(X.col [, n])`` / bare ``X.col`` (= LAST),
 which compile to exact match-state tests threaded through the NFA walk.
-Measures: FIRST/LAST/bare column, COUNT/SUM/AVG/MIN/MAX, CLASSIFIER().
+Measures: FIRST/LAST/bare column, COUNT/SUM/AVG/MIN/MAX over a column OR
+an arithmetic expression of one variable's columns (SUM(A.p * A.q)),
+scalar arithmetic over navigation calls (LAST(A.p) - FIRST(A.p)),
+CLASSIFIER().
 Output modes: ONE ROW PER MATCH (default) and ALL ROWS PER MATCH (running
 measure semantics). AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | NO SKIP.
 Measures also: MATCH_NUMBER() (1-based per-partition match index).
@@ -648,28 +651,173 @@ _MATCH_NUMBER_RE = re.compile(
 )
 
 
-def _parse_measures(measures_sql: str) -> list[tuple[str, str, str, str]]:
-    """Each measure → (func, var, col, out_name); func '' = first-row ref."""
+_AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+
+_AGG_EXPR_RE = re.compile(
+    r"^(COUNT|SUM|AVG|MIN|MAX)\s*\((.*)\)\s+AS\s+(\w+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AS_TAIL_RE = re.compile(r"^(.*?)\s+AS\s+(\w+)$", re.IGNORECASE | re.DOTALL)
+
+
+def _expr_vars(node, acc: set) -> None:
+    if not isinstance(node, tuple):
+        return
+    if node[0] == "nav":
+        acc.add(node[2].upper())
+    for c in node[1:]:
+        if isinstance(c, tuple):
+            _expr_vars(c, acc)
+
+
+def _parse_measures(measures_sql: str) -> list[tuple]:
+    """Each measure → one of:
+
+    - ``(func, var, col, out_name)`` — the simple forms (func '' = first-row
+      ref, CLASSIFIER, MATCH_NUMBER)
+    - ``("AGGEXPR:<func>", var, ast, out_name)`` — an aggregate over an
+      ARITHMETIC expression of the variable's columns, e.g.
+      ``SUM(A.price * A.qty)`` (reference MatchCodeGenerator generates
+      arbitrary aggregate-call operands)
+    - ``("EXPR", "", ast, out_name)`` — a scalar expression over navigation
+      calls, e.g. ``LAST(A.price) - FIRST(A.price)``
+    """
     out = []
     for item in _split_args(measures_sql):
-        cm = _CLASSIFIER_RE.match(item.strip())
+        item = item.strip()
+        cm = _CLASSIFIER_RE.match(item)
         if cm:
             out.append(("CLASSIFIER", "", "", cm.group(1)))
             continue
-        nm = _MATCH_NUMBER_RE.match(item.strip())
+        nm = _MATCH_NUMBER_RE.match(item)
         if nm:
             out.append(("MATCH_NUMBER", "", "", nm.group(1)))
             continue
-        m = _MEASURE_RE.match(item.strip())
-        if not m:
-            raise NotImplementedError(
-                f"unsupported measure {item!r} (supported: [FIRST|LAST|COUNT|"
-                "SUM|AVG|MIN|MAX](Var.col) AS name, Var.col AS name, "
-                "CLASSIFIER() AS name, MATCH_NUMBER() AS name)"
-            )
-        func = (m.group(1) or "").upper()
-        out.append((func, m.group(2), m.group(3), m.group(4)))
+        m = _MEASURE_RE.match(item)
+        if m:
+            out.append(((m.group(1) or "").upper(), m.group(2), m.group(3), m.group(4)))
+            continue
+        # General forms: FUNC(<arith over Var.cols>) AS name, or
+        # <arith over FIRST/LAST navigations> AS name.
+        am = _AGG_EXPR_RE.match(item)
+        if am:
+            func, inner, name = am.group(1).upper(), am.group(2), am.group(3)
+            try:
+                ast = _CondParser(_tokenize(inner), "\0").operand()
+            except ValueError as exc:
+                raise NotImplementedError(
+                    f"unsupported measure {item!r}: {exc}"
+                ) from exc
+            vars_ = set()
+            _expr_vars(ast, vars_)
+            if len(vars_) == 1:
+                out.append((f"AGGEXPR:{func}", next(iter(vars_)), ast, name))
+                continue
+            # fall through: multi/zero-var aggregate operand → scalar EXPR try
+        tm = _AS_TAIL_RE.match(item)
+        if tm:
+            try:
+                ast = _CondParser(_tokenize(tm.group(1)), "\0").operand()
+                if _expr_nav_only(ast):
+                    out.append(("EXPR", "", ast, tm.group(2)))
+                    continue
+            except (ValueError, NotImplementedError):
+                pass
+        raise NotImplementedError(
+            f"unsupported measure {item!r} (supported: [FIRST|LAST|COUNT|"
+            "SUM|AVG|MIN|MAX](Var.col) AS name, FUNC(<arith of Var.cols>) "
+            "AS name, <arith of FIRST/LAST(Var.col)> AS name, Var.col AS "
+            "name, CLASSIFIER() AS name, MATCH_NUMBER() AS name)"
+        )
     return out
+
+
+def _expr_nav_only(node) -> bool:
+    """A scalar-EXPR measure may only combine literals, arithmetic and
+    FIRST/LAST navigation — bare column refs (ambiguous variable) and PREV
+    (physical offsets are meaningless post-match) are rejected at parse
+    time."""
+    if not isinstance(node, tuple):
+        return True
+    if node[0] in ("col", "prev"):
+        return False
+    return all(_expr_nav_only(c) for c in node[1:] if isinstance(c, tuple))
+
+
+def _eval_measure_rows(node, rows_of, running_var=None):
+    """Evaluate a measure AST against a match given ``rows_of(var) -> [row
+    dicts]``. ``nav`` FIRST/LAST index into the variable's mapped rows; a
+    bare ``col`` node carrying a dotted ref was already turned into nav by
+    the parser (var '\\0' never matches a stage, so current-var shorthand is
+    rejected at parse time → every column ref is explicit Var.col)."""
+    kind = node[0]
+    if kind == "lit":
+        return node[1]
+    if kind == "nav":
+        _, fname, var, col, off = node
+        rows = rows_of(var)
+        j = off if fname == "FIRST" else len(rows) - 1 - off
+        return rows[j][col] if 0 <= j < len(rows) else None
+    if kind == "arith":
+        _, op, a, b = node
+        a = _eval_measure_rows(a, rows_of)
+        b = _eval_measure_rows(b, rows_of)
+        if a is None or b is None:
+            return None
+        return {"+": lambda: a + b, "-": lambda: a - b,
+                "*": lambda: a * b, "/": lambda: a / b}[op]()
+    if kind == "prev":
+        raise NotImplementedError("PREV() is not valid in MEASURES")
+    raise NotImplementedError(f"measure node {kind!r}")
+
+
+def _eval_row_expr(node, row: dict, var: str):
+    """Per-row evaluation of an AGGEXPR operand: Var.col refs resolve against
+    the single mapped row ``row``."""
+    kind = node[0]
+    if kind == "lit":
+        return node[1]
+    if kind == "nav":  # LAST(V.col, 0) == the row itself in per-row context
+        return row[node[3]]
+    if kind == "col":
+        return row[node[1]]
+    if kind == "arith":
+        _, op, a, b = node
+        a = _eval_row_expr(a, row, var)
+        b = _eval_row_expr(b, row, var)
+        if a is None or b is None:
+            return None
+        return {"+": lambda: a + b, "-": lambda: a - b,
+                "*": lambda: a * b, "/": lambda: a / b}[op]()
+    raise NotImplementedError(f"aggregate operand node {kind!r}")
+
+
+def _match_lookup(match: dict, var: str) -> list:
+    if var in match:
+        return match[var]
+    for k, v in match.items():
+        if k.upper() == var.upper():
+            return v
+    return []
+
+
+def _as_double(func: str, v):
+    if v is None or func == "COUNT":
+        return v
+    return float(v)
+
+
+def _agg_over(func: str, vals: list):
+    vals = [v for v in vals if v is not None]
+    if func == "COUNT":
+        return len(vals)
+    if not vals:
+        return None
+    if func == "SUM":
+        return sum(vals)
+    if func == "AVG":
+        return sum(vals) / len(vals)
+    return {"MIN": min, "MAX": max}[func](vals)
 
 
 def _measure_type(func: str, col_type: str) -> str:
@@ -788,6 +936,8 @@ def _try_single_var_runs(
     for f, v, _c, _n in measures:
         if f in ("CLASSIFIER", "MATCH_NUMBER"):
             continue
+        if f.startswith("AGGEXPR:") or f == "EXPR":
+            return None  # expression measures: NFA path
         if v.upper() != var.upper():
             return None
     keys = ", ".join(f"`{k}`" for k in key_cols)
@@ -1008,6 +1158,10 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
             return f"{name} string"
         if func == "MATCH_NUMBER":
             return f"{name} bigint"
+        if func == "AGGEXPR:COUNT":
+            return f"{name} bigint"
+        if func.startswith("AGGEXPR:") or func == "EXPR":
+            return f"{name} double"
         col_t = "bigint" if col == "*" else types[col]
         return f"{name} {_measure_type(func, col_t)}"
 
@@ -1030,6 +1184,16 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
                     )
                 elif func == "COUNT":
                     row[name] = len(rows)
+                elif func.startswith("AGGEXPR:"):
+                    vrows = _match_lookup(match, var)
+                    v = _agg_over(
+                        func[8:],
+                        [_eval_row_expr(col, r, var) for r in vrows],
+                    )
+                    row[name] = _as_double(func[8:], v)
+                elif func == "EXPR":
+                    v = _eval_measure_rows(col, lambda vn: _match_lookup(match, vn))
+                    row[name] = None if v is None else float(v)
                 elif not rows:
                     row[name] = None
                 elif func in ("", "FIRST"):
@@ -1073,6 +1237,18 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
                     row[name] = cur_var
                 elif func == "COUNT":
                     row[name] = len(rows)
+                elif func.startswith("AGGEXPR:"):
+                    vrows = _match_lookup(running, var)
+                    v = _agg_over(
+                        func[8:],
+                        [_eval_row_expr(col, r, var) for r in vrows],
+                    )
+                    row[name] = _as_double(func[8:], v)
+                elif func == "EXPR":
+                    v = _eval_measure_rows(
+                        col, lambda vn: _match_lookup(running, vn)
+                    )
+                    row[name] = None if v is None else float(v)
                 elif not rows:
                     row[name] = None
                 elif func == "FIRST":

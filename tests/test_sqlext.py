@@ -526,3 +526,28 @@ def test_mr_fast_path_exact_quantifier_chunks(spark):
     got = sorted(tuple(r) for r in fsql(spark, q).collect())
     # falling rows are seq 2..6 (5 rows): chunks (2,3), (4,5); 6 dropped
     assert got == [(1, 2, 2), (1, 4, 2)]
+
+
+def test_mr_expression_measures_all_rows_running(spark):
+    """Running semantics for expression measures under ALL ROWS PER MATCH."""
+    rows = [(1, 1, 10.0), (1, 2, 8.0), (1, 3, 5.0), (1, 4, 9.0)]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    df.createOrReplaceTempView("mr_exprm")
+    q = """
+        SELECT k, seq, span, wsum
+        FROM mr_exprm MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY seq
+          MEASURES FIRST(D.v) - LAST(D.v) AS span,
+                   SUM(D.v * 2) AS wsum
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D+)
+          DEFINE D AS D.v < PREV(D.v)
+        )
+        ORDER BY seq
+    """
+    got = [tuple(r) for r in fsql(spark, q).collect()]
+    # falling run = seq 2 (8.0), seq 3 (5.0); running: at seq2 span=0,
+    # wsum=16; at seq3 span=3, wsum=26
+    assert got == [(1, 2, 0.0, 16.0), (1, 3, 3.0, 26.0)]
