@@ -816,10 +816,15 @@ def match_pattern(
             # was O(L²) per match and dominated long-run patterns (D+ falling
             # runs measured 2.0 s -> see PERF.md).
             pairs = sorted((i, nm) for nm, idxs in m.items() for i in idxs)
+            # the COMPLETE match (for SQL FINAL measure semantics), built
+            # once per match — the per-row state stays incremental
+            full = {nm: [row_at(i) for i in idxs] for nm, idxs in m.items()}
             running: dict[str, list[dict]] = {}
             for i, nm in pairs:
                 running.setdefault(nm, []).append(row_at(i))
-                out.append(select(key, running, row_at(i), nm, *extra))
+                out.append(
+                    select(key, running, row_at(i), nm, *extra, full_match=full)
+                )
 
         barrier = 0  # next-match frontier for the skip-* strategies
         barriered = (SKIP_PAST_LAST_EVENT, SKIP_TO_FIRST, SKIP_TO_LAST)

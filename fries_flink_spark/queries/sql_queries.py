@@ -802,3 +802,64 @@ def sql_mr_expr_measures(spark, sf_dir):
         ORDER BY user_id, first_id
         """,
     )
+
+
+@query(
+    "sql_mr_subset_final",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    err AS (
+      SELECT user_id, event_id, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS isl
+      FROM o WHERE event_type = 'error'),
+    isl AS (
+      SELECT user_id, isl, min(rn) AS start_rn,
+             least(count(*), 64) AS k
+      FROM err GROUP BY user_id, isl),
+    m AS (
+      SELECT i.user_id, i.isl, i.start_rn, i.k, c.rn AS a_rn
+      FROM isl i JOIN o c ON c.user_id = i.user_id AND c.rn = i.start_rn - 1
+      WHERE c.event_type = 'click'),
+    bsum AS (
+      SELECT m.user_id, m.isl, CAST(sum(e2.event_id * 2) AS DOUBLE) AS final_sum
+      FROM m JOIN err e2 ON e2.user_id = m.user_id AND e2.isl = m.isl
+        AND e2.rn <= m.start_rn + m.k - 1
+      GROUP BY m.user_id, m.isl)
+    SELECT m.user_id AS user_id, r.event_id AS event_id,
+           CAST(r.rn - m.a_rn + 1 AS BIGINT) AS total_n, b.final_sum
+    FROM m JOIN o r ON r.user_id = m.user_id
+      AND r.rn BETWEEN m.a_rn AND m.start_rn + m.k - 1
+    JOIN bsum b ON b.user_id = m.user_id AND b.isl = m.isl
+    ORDER BY m.user_id, r.event_id
+    """,
+)
+def sql_mr_subset_final(spark, sf_dir):
+    """SUBSET union variables + FINAL measure semantics (the last two
+    MATCH_RECOGNIZE grammar gaps; reference parserImpls.ftl SUBSET clause,
+    MatchCodeGenerator FINAL aggregates): a click strictly followed by an
+    error run, ALL ROWS PER MATCH, with a running COUNT over the union
+    variable U = (A, B) and a FINAL (whole-match) aggregate over an
+    arithmetic operand — the same value on every row of the match."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id, event_id, total_n, final_sum
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES COUNT(U.*) AS total_n,
+                   FINAL SUM(B.event_id * 2) AS final_sum
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          SUBSET U = (A, B)
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'error'
+        )
+        ORDER BY user_id, event_id
+        """,
+    )

@@ -102,6 +102,7 @@ _WAREHOUSE = """
 
 _CUSTOMER_DIM = """
   SELECT c_custkey AS c_customer_sk, c_name,
+         CAST(c_nationkey AS BIGINT) AS c_nationkey,
          concat('county_', CAST(c_nationkey % 4 AS STRING)) AS c_county,
          c_mktsegment FROM customer
 """
@@ -159,8 +160,20 @@ def _oracle_ctes() -> str:
 _ORACLE_CTES = _oracle_ctes()
 
 
+_REGISTERED: dict[tuple[int, str], bool] = {}
+
+
 def register_tpcds(spark, sf_dir: str) -> None:
-    """Register the TPC-DS-lite views (idempotent per session+sf)."""
+    """Register the TPC-DS-lite views (idempotent per session+sf).
+
+    ``ds_base`` and ``date_dim`` are persisted (memory/disk) on first
+    registration: they are FIXTURE DERIVATIONS — the lite analog of the
+    materialized TPC-DS tables every real run scans — and each of the 18
+    queries references them 1-6 times. The DuckDB oracle marks the same two
+    CTEs MATERIALIZED for the same reason."""
+    key = (id(spark), sf_dir)
+    if _REGISTERED.get(key):
+        return
     register_tables(spark, sf_dir)
     base = _BASE_COMMON.format(sk=_SK_SPARK)
     views = {
@@ -179,7 +192,12 @@ def register_tpcds(spark, sf_dir: str) -> None:
         "inventory": _INV_SPARK,
     }
     for name, sel in views.items():
-        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sel}")
+        if name in ("ds_base", "date_dim"):
+            df = spark.sql(sel).persist()
+            df.createOrReplaceTempView(name)
+        else:
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sel}")
+    _REGISTERED[key] = True
 
 
 def _ds(name: str, sql: str, doc: str):
@@ -758,4 +776,93 @@ WHERE d.d_year = 1997 AND d.d_moy BETWEEN 2 AND 4
     "TPC-DS q95 (query95.sql): web orders shipped from at least two "
     "distinct warehouses that also had a return — self-join distinct + two "
     "IN semi-joins feeding a count-distinct aggregate.",
+)
+
+# --------------------------------------------------------------------------- #
+# q6: items priced 20% above their category average (correlated subquery on
+# the dimension), customer geography of their buyers in one month.
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q6",
+    """
+SELECT c.c_nationkey AS state, CAST(count(*) AS BIGINT) AS cnt
+FROM store_sales ss
+JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+JOIN item i ON ss.item_sk = i.i_item_sk
+JOIN customer_dim c ON ss.customer_sk = c.c_customer_sk
+WHERE d.d_year = 1998 AND d.d_moy = 3
+  AND i.i_price_cents > 1.03 * (
+        SELECT avg(j.i_price_cents) FROM item j
+        WHERE j.i_category = i.i_category)
+GROUP BY c.c_nationkey
+HAVING count(*) >= 1
+ORDER BY cnt, state
+LIMIT 100
+""",
+    "TPC-DS q6 (query6.sql, factor adapted to the fixture's uniform 900-1000 "
+    "price band): buyers of items priced 3% above their "
+    "category's average — correlated average subquery on the item dimension "
+    "decorrelated into a category-keyed aggregate join.",
+)
+
+# --------------------------------------------------------------------------- #
+# q35: customers active in store AND (web OR catalog), demographic stats.
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q35",
+    """
+SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(c.c_nationkey) AS BIGINT) AS min_nk,
+       CAST(max(c.c_nationkey) AS BIGINT) AS max_nk,
+       CAST(floor(avg(c.c_nationkey) * 1e4 + 0.5) AS BIGINT) AS avg_nk_micro
+FROM customer_dim c
+WHERE EXISTS (
+    SELECT 1 FROM store_sales ss JOIN date_dim d
+      ON ss.sold_date_sk = d.d_date_sk
+    WHERE ss.customer_sk = c.c_customer_sk
+      AND d.d_year = 1997 AND d.d_qoy < 4)
+  AND (EXISTS (
+        SELECT 1 FROM web_sales ws JOIN date_dim d
+          ON ws.sold_date_sk = d.d_date_sk
+        WHERE ws.customer_sk = c.c_customer_sk
+          AND d.d_year = 1997 AND d.d_qoy < 4)
+    OR EXISTS (
+        SELECT 1 FROM catalog_sales cs JOIN date_dim d
+          ON cs.sold_date_sk = d.d_date_sk
+        WHERE cs.customer_sk = c.c_customer_sk
+          AND d.d_year = 1997 AND d.d_qoy < 4))
+GROUP BY c.c_mktsegment
+ORDER BY segment
+""",
+    "TPC-DS q35 (query35.sql): customers active in the store channel AND at "
+    "least one remote channel — three correlated EXISTS semi-joins (one "
+    "under OR, the planner's hardest semi-join rewrite) + grouped "
+    "demographic statistics.",
+)
+
+# --------------------------------------------------------------------------- #
+# q93: sales net of returns per customer (fact left-join fact).
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q93",
+    """
+SELECT customer_sk, CAST(sum(act_sales) AS BIGINT) AS sumsales
+FROM (
+  SELECT ss.customer_sk,
+         CASE WHEN sr.ticket IS NOT NULL
+              THEN (ss.quantity - sr.quantity) * ss.list_cents
+              ELSE ss.quantity * ss.list_cents END AS act_sales
+  FROM store_sales ss
+  LEFT JOIN store_returns sr
+    ON sr.ticket = ss.ticket AND sr.l_linenumber = ss.l_linenumber) t
+GROUP BY customer_sk
+ORDER BY sumsales, customer_sk
+LIMIT 100
+""",
+    "TPC-DS q93 (query93.sql): per-customer revenue with returned "
+    "quantities netted out — fact-to-fact left join on the ticket/line "
+    "compound key feeding a grouped sum.",
 )

@@ -50,8 +50,11 @@ offset ("Flink does not support physical offsets within partition",
 MatchCodeGenerator.scala:334-343), so this repo's PREV(col, n) with
 arbitrary n exceeds the reference; NEXT(x, 0) is the identity there and
 needs no special form here.
-Still unsupported (raise): PREV over another variable,
-FINAL/RUNNING keywords, SUBSET, permute/alternation pattern syntax.
+RUNNING/FINAL measure qualifiers are supported (RUNNING is the all-rows
+default; FINAL evaluates over the complete match on every row); SUBSET
+union variables resolve in MEASURES (member rows merged in row order).
+Still unsupported (raise): PREV over another variable (reference rejects it
+too), SUBSET refs inside DEFINE, permute/alternation pattern syntax.
 """
 
 from __future__ import annotations
@@ -685,6 +688,18 @@ def _parse_measures(measures_sql: str) -> list[tuple]:
     out = []
     for item in _split_args(measures_sql):
         item = item.strip()
+        final = False
+        fm = re.match(r"^(RUNNING|FINAL)\s+(.*)$", item, re.IGNORECASE | re.DOTALL)
+        if fm:
+            final = fm.group(1).upper() == "FINAL"
+            item = fm.group(2).strip()
+        def _fin(func: str) -> str:
+            if not final:
+                return func
+            if func in ("CLASSIFIER", "MATCH_NUMBER"):
+                raise NotImplementedError(f"FINAL {func}() is not valid")
+            return f"FINAL:{func}"
+
         cm = _CLASSIFIER_RE.match(item)
         if cm:
             out.append(("CLASSIFIER", "", "", cm.group(1)))
@@ -695,7 +710,9 @@ def _parse_measures(measures_sql: str) -> list[tuple]:
             continue
         m = _MEASURE_RE.match(item)
         if m:
-            out.append(((m.group(1) or "").upper(), m.group(2), m.group(3), m.group(4)))
+            out.append(
+                (_fin((m.group(1) or "").upper()), m.group(2), m.group(3), m.group(4))
+            )
             continue
         # General forms: FUNC(<arith over Var.cols>) AS name, or
         # <arith over FIRST/LAST navigations> AS name.
@@ -711,7 +728,7 @@ def _parse_measures(measures_sql: str) -> list[tuple]:
             vars_ = set()
             _expr_vars(ast, vars_)
             if len(vars_) == 1:
-                out.append((f"AGGEXPR:{func}", next(iter(vars_)), ast, name))
+                out.append((_fin(f"AGGEXPR:{func}"), next(iter(vars_)), ast, name))
                 continue
             # fall through: multi/zero-var aggregate operand → scalar EXPR try
         tm = _AS_TAIL_RE.match(item)
@@ -719,7 +736,7 @@ def _parse_measures(measures_sql: str) -> list[tuple]:
             try:
                 ast = _CondParser(_tokenize(tm.group(1)), "\0").operand()
                 if _expr_nav_only(ast):
-                    out.append(("EXPR", "", ast, tm.group(2)))
+                    out.append((_fin("EXPR"), "", ast, tm.group(2)))
                     continue
             except (ValueError, NotImplementedError):
                 pass
@@ -936,8 +953,8 @@ def _try_single_var_runs(
     for f, v, _c, _n in measures:
         if f in ("CLASSIFIER", "MATCH_NUMBER"):
             continue
-        if f.startswith("AGGEXPR:") or f == "EXPR":
-            return None  # expression measures: NFA path
+        if f not in ("", "FIRST", "LAST", "COUNT", "SUM", "AVG", "MIN", "MAX"):
+            return None  # expression / FINAL-qualified measures: NFA path
         if v.upper() != var.upper():
             return None
     keys = ", ".join(f"`{k}`" for k in key_cols)
@@ -1075,7 +1092,7 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         consumed += alias_m.end()
 
     stops = (r"ORDER\s+BY|MEASURES|ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|"
-             r"PATTERN|WITHIN|DEFINE")
+             r"PATTERN|WITHIN|SUBSET|DEFINE")
     part = _clause(body, r"PARTITION\s+BY", stops)
     order = _clause(body, r"ORDER\s+BY", stops)
     measures_sql = _clause(body, r"MEASURES", stops)
@@ -1083,6 +1100,7 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
     pattern_m = re.search(r"PATTERN\s*\(([^)]*)\)", body, re.IGNORECASE)
     within_m = re.search(r"\)\s*(WITHIN\s+INTERVAL\s+'\d+'\s+\w+)", body,
                          re.IGNORECASE)
+    subset_sql = _clause(body, r"SUBSET", stops)
     define_sql = _clause(body, r"DEFINE", r"$")
     rows_mode = (
         "all"
@@ -1097,6 +1115,26 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
 
     key_cols = [c.strip() for c in part.split(",")]
     order_cols = [c.strip() for c in order.split(",")]
+    # SUBSET u = (A, B): union variables, usable in MEASURES (reference
+    # parserImpls.ftl SUBSET grammar / MatchCodeGenerator subset resolution);
+    # member rows merge in row order (the ORDER BY key).
+    subsets: dict[str, list[str]] = {}
+    if subset_sql:
+        for item in _split_args(subset_sql):
+            sm = re.match(r"(\w+)\s*=\s*\(([^)]*)\)$", item.strip())
+            if not sm:
+                raise ValueError(f"cannot parse SUBSET item {item!r}")
+            subsets[sm.group(1).upper()] = [
+                v.strip() for v in sm.group(2).split(",")
+            ]
+
+    def rows_of(src_match: dict, vn: str) -> list:
+        members = subsets.get(vn.upper())
+        if members is None:
+            return _match_lookup(src_match, vn)
+        merged = [r for mv in members for r in _match_lookup(src_match, mv)]
+        merged.sort(key=lambda r: tuple(r[c] for c in order_cols))
+        return merged
     defines = {}
     for item in _split_args(define_sql):
         dm = re.match(r"(\w+)\s+AS\s+(.*)$", item.strip(),
@@ -1154,6 +1192,8 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
     stage_order = [st.name for st in pat.stages]
 
     def measure_field(func, col, name):
+        if func.startswith("FINAL:"):
+            func = func[6:]
         if func == "CLASSIFIER":
             return f"{name} string"
         if func == "MATCH_NUMBER":
@@ -1173,7 +1213,9 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         def select(key, match, match_no=None):
             row = dict(key)
             for func, var, col, name in measures:
-                rows = match.get(var, [])
+                if func.startswith("FINAL:"):
+                    func = func[6:]  # ONE ROW: FINAL == default semantics
+                rows = rows_of(match, var) if var else []
                 if func == "MATCH_NUMBER":
                     row[name] = match_no
                 elif func == "CLASSIFIER":
@@ -1185,14 +1227,14 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
                 elif func == "COUNT":
                     row[name] = len(rows)
                 elif func.startswith("AGGEXPR:"):
-                    vrows = _match_lookup(match, var)
+                    vrows = rows_of(match, var)
                     v = _agg_over(
                         func[8:],
                         [_eval_row_expr(col, r, var) for r in vrows],
                     )
                     row[name] = _as_double(func[8:], v)
                 elif func == "EXPR":
-                    v = _eval_measure_rows(col, lambda vn: _match_lookup(match, vn))
+                    v = _eval_measure_rows(col, lambda vn: rows_of(match, vn))
                     row[name] = None if v is None else float(v)
                 elif not rows:
                     row[name] = None
@@ -1227,10 +1269,17 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         out_fields += [measure_field(f, c, n) for f, _v, c, n in measures]
         schema = ", ".join(out_fields)
 
-        def select(key, running, cur_row, cur_var, match_no=None):
+        def select(key, running, cur_row, cur_var, match_no=None, full_match=None):
             row = {c: cur_row[c] for c in in_cols}
             for func, var, col, name in measures:
-                rows = running.get(var, [])
+                src_m = running
+                if func.startswith("FINAL:"):
+                    # FINAL: the measure sees the COMPLETE match on every row
+                    # (SQL:2016 RUNNING/FINAL semantics; reference
+                    # MatchCodeGenerator FINAL aggregates)
+                    func = func[6:]
+                    src_m = full_match if full_match is not None else running
+                rows = rows_of(src_m, var) if var else []
                 if func == "MATCH_NUMBER":
                     row[name] = match_no
                 elif func == "CLASSIFIER":
@@ -1238,7 +1287,7 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
                 elif func == "COUNT":
                     row[name] = len(rows)
                 elif func.startswith("AGGEXPR:"):
-                    vrows = _match_lookup(running, var)
+                    vrows = rows_of(src_m, var)
                     v = _agg_over(
                         func[8:],
                         [_eval_row_expr(col, r, var) for r in vrows],
@@ -1246,7 +1295,7 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
                     row[name] = _as_double(func[8:], v)
                 elif func == "EXPR":
                     v = _eval_measure_rows(
-                        col, lambda vn: _match_lookup(running, vn)
+                        col, lambda vn, s=src_m: rows_of(s, vn)
                     )
                     row[name] = None if v is None else float(v)
                 elif not rows:

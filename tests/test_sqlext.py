@@ -551,3 +551,41 @@ def test_mr_expression_measures_all_rows_running(spark):
     # falling run = seq 2 (8.0), seq 3 (5.0); running: at seq2 span=0,
     # wsum=16; at seq3 span=3, wsum=26
     assert got == [(1, 2, 0.0, 16.0), (1, 3, 3.0, 26.0)]
+
+
+def test_mr_subset_and_final_semantics(spark):
+    """SUBSET merges member rows in order; FINAL shows whole-match values on
+    every output row while RUNNING (default) grows."""
+    rows = [
+        (1, 1, "c", 5.0),
+        (1, 2, "e", 3.0),
+        (1, 3, "e", 7.0),
+        (1, 4, "x", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, t string, v double")
+    df.createOrReplaceTempView("mr_subset")
+    q = """
+        SELECT k, seq, n_all, run_sum, fin_sum
+        FROM mr_subset MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY seq
+          MEASURES COUNT(U.*) AS n_all,
+                   RUNNING SUM(B.v) AS run_sum,
+                   FINAL SUM(B.v) AS fin_sum
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          SUBSET U = (A, B)
+          DEFINE A AS A.t = 'c',
+                 B AS B.t = 'e'
+        )
+        ORDER BY seq
+    """
+    got = [tuple(r) for r in fsql(spark, q).collect()]
+    # match = rows 1(A),2(B),3(B): n_all runs 1,2,3; running sum of B.v
+    # None,3,10; final 10 everywhere
+    assert got == [
+        (1, 1, 1, None, 10.0),
+        (1, 2, 2, 3.0, 10.0),
+        (1, 3, 3, 10.0, 10.0),
+    ]
