@@ -487,6 +487,26 @@ def _match_from(
     return None
 
 
+def _split_schema(schema: str) -> list[str]:
+    """Split a DDL schema string on top-level commas only — parameterized
+    types (decimal(10,2), array<struct<...>>) contain commas that a naive
+    split would corrupt."""
+    out, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    return out
+
+
 def _select_from_expr(select_expr: dict[str, tuple]) -> Callable:
     """Generic select callable equivalent to a declarative ``select_expr``
     spec — the NFA-path rendition, so fast path and fallback emit identical
@@ -675,7 +695,7 @@ def _branchy_fast_path(
 
     types = {
         f.strip().split()[0]: f.strip().split(None, 1)[1]
-        for f in output_schema.split(",")
+        for f in _split_schema(output_schema)
     }
     out_cols = []
     for name, spec in select_expr.items():
@@ -779,7 +799,19 @@ def match_pattern(
                 f"pattern variable (got {skip_var!r}, have {sorted(stage_names)})"
             )
     tiebreak = order_tiebreak or []
-    out_cols = [c.strip().split()[0] for c in output_schema.split(",")]
+    out_cols = [c.strip().split()[0] for c in _split_schema(output_schema)]
+    accepts_full_match = False
+    if rows_per_match == "all":
+        import inspect
+
+        try:
+            params = inspect.signature(select).parameters.values()
+            accepts_full_match = any(
+                p.kind == p.VAR_KEYWORD or p.name == "full_match"
+                for p in params
+            )
+        except (TypeError, ValueError):  # builtins/partials: assume modern
+            accepts_full_match = True
 
     def run_group(pdf: pd.DataFrame, out: list) -> None:
         """NFA sweep over ONE key group (rows already time-sorted)."""
@@ -816,15 +848,21 @@ def match_pattern(
             # was O(L²) per match and dominated long-run patterns (D+ falling
             # runs measured 2.0 s -> see PERF.md).
             pairs = sorted((i, nm) for nm, idxs in m.items() for i in idxs)
-            # the COMPLETE match (for SQL FINAL measure semantics), built
-            # once per match — the per-row state stays incremental
-            full = {nm: [row_at(i) for i in idxs] for nm, idxs in m.items()}
             running: dict[str, list[dict]] = {}
-            for i, nm in pairs:
-                running.setdefault(nm, []).append(row_at(i))
-                out.append(
-                    select(key, running, row_at(i), nm, *extra, full_match=full)
-                )
+            if accepts_full_match:
+                # the COMPLETE match (for SQL FINAL measure semantics), built
+                # once per match — the per-row state stays incremental
+                full = {nm: [row_at(i) for i in idxs] for nm, idxs in m.items()}
+                for i, nm in pairs:
+                    running.setdefault(nm, []).append(row_at(i))
+                    out.append(
+                        select(key, running, row_at(i), nm, *extra,
+                               full_match=full)
+                    )
+            else:  # pre-FINAL external select signature: no kwarg
+                for i, nm in pairs:
+                    running.setdefault(nm, []).append(row_at(i))
+                    out.append(select(key, running, row_at(i), nm, *extra))
 
         barrier = 0  # next-match frontier for the skip-* strategies
         barriered = (SKIP_PAST_LAST_EVENT, SKIP_TO_FIRST, SKIP_TO_LAST)

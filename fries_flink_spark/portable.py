@@ -36,3 +36,18 @@ def round_portable(col: Column, n: int) -> Column:
 def round_portable_sql(expr: str, n: int) -> str:
     """The same expression rendered as SQL for the DuckDB oracle."""
     return f"floor(({expr}) * {float(10 ** n)} + 0.5) / {float(10 ** n)}"
+
+
+def micro(col: Column, digits: int = 6) -> Column:
+    """Fixed-point emit for a compared double column: ``floor(x * 10^digits
+    + 0.5)`` as BIGINT — the integer-valued sibling of ``round_portable``
+    (same IEEE half-up construction, but the compared artifact stays an
+    integer, so not even float FORMATTING can differ between engines).
+    Oracle side: ``micro_sql``. This is the repo-wide oracle discipline
+    since round 6 (tools/lint_oracles.py enforces it)."""
+    return F.floor(col * F.lit(float(10**digits)) + F.lit(0.5)).cast("long")
+
+
+def micro_sql(expr: str, digits: int = 6) -> str:
+    """DuckDB rendering of ``micro`` for oracle SQL."""
+    return f"CAST(floor(({expr}) * 1e{digits} + 0.5) AS BIGINT)"

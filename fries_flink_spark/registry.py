@@ -32,16 +32,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 
 def micro(col, digits: int = 6):
-    """Engine-version-proof fixed-point emit for a compared double column:
-    ``floor(x * 10^digits + 0.5)`` as BIGINT. Spelled identically in the
-    DuckDB oracle (``CAST(floor(x * 1e{digits} + 0.5) AS BIGINT)``), it uses
-    only IEEE-deterministic ops — unlike ``round()``, whose float-vs-exact
-    strategy has changed across DuckDB versions and differs from Spark's
-    BigDecimal HALF_UP on near-tie values (the only driver-red class in
-    rounds 1-5)."""
-    from pyspark.sql import functions as F
+    """Engine-version-proof fixed-point emit for a compared double column —
+    re-exported from ``portable`` (the engine-portable rounding home) for
+    the query modules' convenience. See portable.micro."""
+    from .portable import micro as _micro
 
-    return F.floor(col * F.lit(float(10**digits)) + F.lit(0.5)).cast("long")
+    return _micro(col, digits)
 
 
 def query(name: str, oracle: str | None = None):

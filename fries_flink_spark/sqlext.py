@@ -654,13 +654,38 @@ _MATCH_NUMBER_RE = re.compile(
 )
 
 
-_AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
-
 _AGG_EXPR_RE = re.compile(
     r"^(COUNT|SUM|AVG|MIN|MAX)\s*\((.*)\)\s+AS\s+(\w+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _AS_TAIL_RE = re.compile(r"^(.*?)\s+AS\s+(\w+)$", re.IGNORECASE | re.DOTALL)
+
+
+def _parse_full_operand(text: str, var: str = "\0"):
+    """Parse ``text`` as one arithmetic operand and require every token to
+    be consumed — otherwise ``SUM(A.p) * 2`` would silently evaluate as
+    ``SUM(A.p)`` (operand() stops at the first token it cannot extend)."""
+    p = _CondParser(_tokenize(text), var)
+    ast = p.operand()
+    if p.peek() is not None:
+        raise ValueError(
+            f"trailing tokens in measure expression: {p.toks[p.i:]}"
+        )
+    return ast
+
+
+def _aggexpr_per_row_ok(node) -> bool:
+    """An aggregate operand is evaluated per mapped row, so the only legal
+    navigation is the implicit current-row ref (bare ``V.col`` == LAST(V.col,
+    0)); FIRST()/offset navigation inside an aggregate would silently read
+    the wrong row — reject it at parse time."""
+    if not isinstance(node, tuple):
+        return True
+    if node[0] == "nav":
+        return node[1] == "LAST" and node[4] == 0
+    if node[0] in ("col", "prev"):
+        return False
+    return all(_aggexpr_per_row_ok(c) for c in node[1:] if isinstance(c, tuple))
 
 
 def _expr_vars(node, acc: set) -> None:
@@ -702,10 +727,12 @@ def _parse_measures(measures_sql: str) -> list[tuple]:
 
         cm = _CLASSIFIER_RE.match(item)
         if cm:
+            _fin("CLASSIFIER")  # raises under FINAL
             out.append(("CLASSIFIER", "", "", cm.group(1)))
             continue
         nm = _MATCH_NUMBER_RE.match(item)
         if nm:
+            _fin("MATCH_NUMBER")  # raises under FINAL
             out.append(("MATCH_NUMBER", "", "", nm.group(1)))
             continue
         m = _MEASURE_RE.match(item)
@@ -719,22 +746,29 @@ def _parse_measures(measures_sql: str) -> list[tuple]:
         am = _AGG_EXPR_RE.match(item)
         if am:
             func, inner, name = am.group(1).upper(), am.group(2), am.group(3)
+            ast = None
             try:
-                ast = _CondParser(_tokenize(inner), "\0").operand()
-            except ValueError as exc:
-                raise NotImplementedError(
-                    f"unsupported measure {item!r}: {exc}"
-                ) from exc
-            vars_ = set()
-            _expr_vars(ast, vars_)
-            if len(vars_) == 1:
-                out.append((_fin(f"AGGEXPR:{func}"), next(iter(vars_)), ast, name))
-                continue
+                ast = _parse_full_operand(inner)
+            except ValueError:
+                pass  # e.g. SUM(A.p) + SUM(A.q): not a single aggregate call
+            if ast is not None:
+                vars_ = set()
+                _expr_vars(ast, vars_)
+                if len(vars_) == 1 and not _aggexpr_per_row_ok(ast):
+                    raise NotImplementedError(
+                        f"unsupported measure {item!r}: FIRST()/offset "
+                        "navigation inside an aggregate operand"
+                    )
+                if len(vars_) == 1:
+                    out.append(
+                        (_fin(f"AGGEXPR:{func}"), next(iter(vars_)), ast, name)
+                    )
+                    continue
             # fall through: multi/zero-var aggregate operand → scalar EXPR try
         tm = _AS_TAIL_RE.match(item)
         if tm:
             try:
-                ast = _CondParser(_tokenize(tm.group(1)), "\0").operand()
+                ast = _parse_full_operand(tm.group(1))
                 if _expr_nav_only(ast):
                     out.append((_fin("EXPR"), "", ast, tm.group(2)))
                     continue
@@ -761,7 +795,7 @@ def _expr_nav_only(node) -> bool:
     return all(_expr_nav_only(c) for c in node[1:] if isinstance(c, tuple))
 
 
-def _eval_measure_rows(node, rows_of, running_var=None):
+def _eval_measure_rows(node, rows_of):
     """Evaluate a measure AST against a match given ``rows_of(var) -> [row
     dicts]``. ``nav`` FIRST/LAST index into the variable's mapped rows; a
     bare ``col`` node carrying a dotted ref was already turned into nav by
@@ -912,10 +946,13 @@ def _quant_bounds(quant: str | None) -> tuple[int, int] | None:
     if quant in ("*", "?"):
         return None  # optional: empty matches — NFA path
     nums = re.findall(r"\d+", quant)
+    lo = int(nums[0])
+    if lo == 0:
+        return None  # zero-minimum: empty matches — NFA path
     if "," in quant:
         hi = int(nums[1]) if len(nums) > 1 else _MAX_REPEAT
-        return (int(nums[0]), hi)
-    return (int(nums[0]), int(nums[0]))
+        return (lo, hi)
+    return (lo, lo)
 
 
 def _try_single_var_runs(
@@ -1128,6 +1165,18 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
                 v.strip() for v in sm.group(2).split(",")
             ]
 
+    if subsets and define_sql:
+        for sub_name in subsets:
+            if re.search(
+                rf"\b{sub_name}\s*\.", define_sql, re.IGNORECASE
+            ) or re.search(
+                rf"\(\s*{sub_name}\s*\.", define_sql, re.IGNORECASE
+            ):
+                raise NotImplementedError(
+                    f"SUBSET variable {sub_name!r} referenced inside DEFINE "
+                    "is not supported (it would silently never match)"
+                )
+
     def rows_of(src_match: dict, vn: str) -> list:
         members = subsets.get(vn.upper())
         if members is None:
@@ -1143,6 +1192,7 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
             raise ValueError(f"cannot parse DEFINE item {item!r}")
         defines[dm.group(1)] = dm.group(2).strip()
 
+    measures = _parse_measures(measures_sql)
     fast = _try_single_var_runs(
         spark,
         table,
@@ -1150,7 +1200,7 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         order_cols,
         pattern_m.group(1),
         defines,
-        _parse_measures(measures_sql),
+        measures,
         after,
         rows_mode,
         within_m is not None,
@@ -1188,7 +1238,6 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
 
     df = spark.table(table)
     types = dict(df.dtypes)
-    measures = _parse_measures(measures_sql)
     stage_order = [st.name for st in pat.stages]
 
     def measure_field(func, col, name):
@@ -1238,9 +1287,11 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
                     row[name] = None if v is None else float(v)
                 elif not rows:
                     row[name] = None
-                elif func in ("", "FIRST"):
+                elif func == "FIRST":
                     row[name] = rows[0][col]
-                elif func == "LAST":
+                elif func in ("", "LAST"):
+                    # bare V.col == LAST(V.col, 0) (SQL:2016; also what the
+                    # all-rows path and the windowed fast path emit)
                     row[name] = rows[-1][col]
                 else:
                     vals = [r[col] for r in rows]

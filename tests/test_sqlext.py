@@ -589,3 +589,85 @@ def test_mr_subset_and_final_semantics(spark):
         (1, 2, 2, 3.0, 10.0),
         (1, 3, 3, 10.0, 10.0),
     ]
+
+
+def test_mr_measure_parse_rejections():
+    """Malformed measure expressions raise instead of silently truncating
+    (code-review findings: trailing tokens, FIRST-in-aggregate, FINAL
+    CLASSIFIER)."""
+    import pytest as _pytest
+
+    from fries_flink_spark.sqlext import _parse_measures
+
+    with _pytest.raises((NotImplementedError, ValueError)):
+        _parse_measures("SUM(A.p) * 2 AS x")  # trailing '* 2' after agg
+    with _pytest.raises(NotImplementedError):
+        _parse_measures("SUM(A.q * FIRST(A.p)) AS x")  # nav inside agg
+    with _pytest.raises(NotImplementedError):
+        _parse_measures("FINAL CLASSIFIER() AS c")
+    with _pytest.raises(NotImplementedError):
+        _parse_measures("FINAL MATCH_NUMBER() AS n")
+    # valid forms still parse
+    ok = _parse_measures(
+        "SUM(A.p * 2 + 1) AS a, LAST(A.p) - FIRST(A.p) AS b, RUNNING COUNT(A.*) AS c"
+    )
+    assert [m[-1] for m in ok] == ["a", "b", "c"]
+
+
+def test_mr_bare_measure_is_last_and_zero_quant_routes_nfa(spark):
+    """Bare V.col == LAST(V.col) in ONE ROW PER MATCH (identical on the
+    windowed fast path and the NFA), and V{0,n} declines the fast path."""
+    rows = [(1, 1, 9.0), (1, 2, 7.0), (1, 3, 4.0)]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    df.createOrReplaceTempView("mr_bare")
+    q = """
+        SELECT k, lastv
+        FROM mr_bare MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES D.v AS lastv
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D+)
+          DEFINE D AS D.v < PREV(D.v)
+        )
+    """
+    # fast path (PREV-only define): last value of the falling run = 4.0
+    fast = [tuple(r) for r in fsql(spark, q).collect()]
+    assert fast == [(1, 4.0)]
+    # force the NFA (nav define) — identical result
+    nfa = [
+        tuple(r)
+        for r in fsql(
+            spark, q.replace("D.v < PREV(D.v)", "LAST(D.v, 0) < PREV(D.v)")
+        ).collect()
+    ]
+    assert nfa == fast
+
+    from fries_flink_spark.sqlext import _quant_bounds
+
+    assert _quant_bounds("{0}") is None
+    assert _quant_bounds("{0,3}") is None
+    assert _quant_bounds("{2,5}") == (2, 5)
+
+
+def test_mr_subset_in_define_raises(spark):
+    rows = [(1, 1, "c", 5.0)]
+    df = spark.createDataFrame(rows, "k long, seq long, t string, v double")
+    df.createOrReplaceTempView("mr_subset_def")
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="SUBSET"):
+        fsql(
+            spark,
+            """
+            SELECT k FROM mr_subset_def MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY seq
+              MEASURES COUNT(U.*) AS n
+              ONE ROW PER MATCH
+              PATTERN (A B+)
+              SUBSET U = (A, B)
+              DEFINE A AS A.t = 'c',
+                     B AS B.v > LAST(U.v)
+            )
+            """,
+        )
