@@ -810,8 +810,11 @@ def match_pattern(
                 p.kind == p.VAR_KEYWORD or p.name == "full_match"
                 for p in params
             )
-        except (TypeError, ValueError):  # builtins/partials: assume modern
-            accepts_full_match = True
+        except (TypeError, ValueError):
+            # un-inspectable callable (C-implemented, odd wrappers): assume
+            # the LEGACY signature — backward compatible, and sqlext's
+            # FINAL-measure select is a plain function that inspects fine
+            accepts_full_match = False
 
     def run_group(pdf: pd.DataFrame, out: list) -> None:
         """NFA sweep over ONE key group (rows already time-sorted)."""

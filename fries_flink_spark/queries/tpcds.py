@@ -160,20 +160,34 @@ def _oracle_ctes() -> str:
 _ORACLE_CTES = _oracle_ctes()
 
 
-_REGISTERED: dict[tuple[int, str], bool] = {}
+# per-session registration state: id(spark) -> (weakref to the session for
+# id-reuse detection, registered sf_dir, persisted frames for unpersist)
+_REGISTERED: dict[int, tuple] = {}
 
 
 def register_tpcds(spark, sf_dir: str) -> None:
-    """Register the TPC-DS-lite views (idempotent per session+sf).
+    """Register the TPC-DS-lite views (idempotent per session+sf; switching
+    sf_dir within a session re-registers and unpersists the old frames).
 
     ``ds_base`` and ``date_dim`` are persisted (memory/disk) on first
     registration: they are FIXTURE DERIVATIONS — the lite analog of the
     materialized TPC-DS tables every real run scans — and each of the 18
     queries references them 1-6 times. The DuckDB oracle marks the same two
     CTEs MATERIALIZED for the same reason."""
-    key = (id(spark), sf_dir)
-    if _REGISTERED.get(key):
-        return
+    import weakref
+
+    entry = _REGISTERED.get(id(spark))
+    if entry is not None:
+        ref, reg_sf, old_frames = entry
+        if ref() is spark and reg_sf == sf_dir:
+            return  # current registration is exactly this (session, sf)
+        if ref() is spark:
+            for f in old_frames:  # sf switch: drop the stale cache
+                try:
+                    f.unpersist()
+                except Exception:  # noqa: BLE001 - best-effort cleanup
+                    pass
+        # else: id() was reused by a new session — fall through, re-register
     register_tables(spark, sf_dir)
     base = _BASE_COMMON.format(sk=_SK_SPARK)
     views = {
@@ -191,13 +205,15 @@ def register_tpcds(spark, sf_dir: str) -> None:
         "customer_dim": _CUSTOMER_DIM,
         "inventory": _INV_SPARK,
     }
+    persisted = []
     for name, sel in views.items():
         if name in ("ds_base", "date_dim"):
             df = spark.sql(sel).persist()
             df.createOrReplaceTempView(name)
+            persisted.append(df)
         else:
             spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sel}")
-    _REGISTERED[key] = True
+    _REGISTERED[id(spark)] = (weakref.ref(spark), sf_dir, persisted)
 
 
 def _ds(name: str, sql: str, doc: str):
@@ -779,8 +795,10 @@ WHERE d.d_year = 1997 AND d.d_moy BETWEEN 2 AND 4
 )
 
 # --------------------------------------------------------------------------- #
-# q6: items priced 20% above their category average (correlated subquery on
-# the dimension), customer geography of their buyers in one month.
+# q6: items priced above their category average (correlated subquery on
+# the dimension; 3% factor — the fixture's prices are uniform in 900-1000,
+# so the official 20% would select nothing), customer geography of their
+# buyers in one month.
 # --------------------------------------------------------------------------- #
 
 _ds(
@@ -796,7 +814,6 @@ WHERE d.d_year = 1998 AND d.d_moy = 3
         SELECT avg(j.i_price_cents) FROM item j
         WHERE j.i_category = i.i_category)
 GROUP BY c.c_nationkey
-HAVING count(*) >= 1
 ORDER BY cnt, state
 LIMIT 100
 """,

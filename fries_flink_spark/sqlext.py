@@ -987,6 +987,13 @@ def _try_single_var_runs(
     lo, hi = bounds
     if var not in defines:
         return None
+    if rows_mode == "one":
+        # ONE ROW PER MATCH: FINAL == default semantics — strip the
+        # qualifier so such queries keep the fully vectorized plan
+        measures = [
+            (f[6:] if f.startswith("FINAL:") else f, v, c, n)
+            for f, v, c, n in measures
+        ]
     for f, v, _c, _n in measures:
         if f in ("CLASSIFIER", "MATCH_NUMBER"):
             continue
@@ -1167,11 +1174,7 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
 
     if subsets and define_sql:
         for sub_name in subsets:
-            if re.search(
-                rf"\b{sub_name}\s*\.", define_sql, re.IGNORECASE
-            ) or re.search(
-                rf"\(\s*{sub_name}\s*\.", define_sql, re.IGNORECASE
-            ):
+            if re.search(rf"\b{sub_name}\s*\.", define_sql, re.IGNORECASE):
                 raise NotImplementedError(
                     f"SUBSET variable {sub_name!r} referenced inside DEFINE "
                     "is not supported (it would silently never match)"
@@ -1182,7 +1185,13 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         if members is None:
             return _match_lookup(src_match, vn)
         merged = [r for mv in members for r in _match_lookup(src_match, mv)]
-        merged.sort(key=lambda r: tuple(r[c] for c in order_cols))
+        # NULLS FIRST, matching the JVM sortWithinPartitions order — a raw
+        # tuple key would raise TypeError on None vs value
+        merged.sort(
+            key=lambda r: tuple(
+                (r[c] is not None, r[c]) for c in order_cols
+            )
+        )
         return merged
     defines = {}
     for item in _split_args(define_sql):
@@ -1276,10 +1285,9 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
                 elif func == "COUNT":
                     row[name] = len(rows)
                 elif func.startswith("AGGEXPR:"):
-                    vrows = rows_of(match, var)
                     v = _agg_over(
                         func[8:],
-                        [_eval_row_expr(col, r, var) for r in vrows],
+                        [_eval_row_expr(col, r, var) for r in rows],
                     )
                     row[name] = _as_double(func[8:], v)
                 elif func == "EXPR":
@@ -1320,7 +1328,9 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         out_fields += [measure_field(f, c, n) for f, _v, c, n in measures]
         schema = ", ".join(out_fields)
 
-        def select(key, running, cur_row, cur_var, match_no=None, full_match=None):
+        has_final = any(f.startswith("FINAL:") for f, _v, _c, _n in measures)
+
+        def _sel_impl(key, running, cur_row, cur_var, match_no, full_match):
             row = {c: cur_row[c] for c in in_cols}
             for func, var, col, name in measures:
                 src_m = running
@@ -1338,10 +1348,9 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
                 elif func == "COUNT":
                     row[name] = len(rows)
                 elif func.startswith("AGGEXPR:"):
-                    vrows = rows_of(src_m, var)
                     v = _agg_over(
                         func[8:],
-                        [_eval_row_expr(col, r, var) for r in vrows],
+                        [_eval_row_expr(col, r, var) for r in rows],
                     )
                     row[name] = _as_double(func[8:], v)
                 elif func == "EXPR":
@@ -1364,6 +1373,20 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
                         "AVG": lambda v: sum(v) / len(v),
                     }[func](vals)
             return row
+
+        if has_final:
+
+            def select(key, running, cur_row, cur_var, match_no=None,
+                       full_match=None):
+                return _sel_impl(key, running, cur_row, cur_var, match_no,
+                                 full_match)
+
+        else:
+            # no FINAL measure: legacy signature, so the NFA skips building
+            # the per-match full dict on this hot path
+            def select(key, running, cur_row, cur_var, match_no=None):
+                return _sel_impl(key, running, cur_row, cur_var, match_no,
+                                 None)
 
     out = match_pattern(
         df,

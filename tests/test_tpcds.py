@@ -111,3 +111,17 @@ def test_q4_growth_predicate(spark, sf_dir, reg):
     assert len(rows) <= 100
     keys = [r.customer_sk for r in rows]
     assert len(set(keys)) == len(keys)
+
+
+def test_register_tpcds_sf_switch(spark):
+    """Switching sf_dir within one session re-registers the lite views
+    (regression: a (session, sf) memo previously served stale views)."""
+    from fries_flink_spark.queries.tpcds import register_tpcds
+
+    register_tpcds(spark, "/root/testdata/sf0.001")
+    n1 = spark.table("store_sales").count()
+    register_tpcds(spark, "/root/testdata/sf0.01")
+    n2 = spark.table("store_sales").count()
+    register_tpcds(spark, "/root/testdata/sf0.001")
+    n3 = spark.table("store_sales").count()
+    assert n1 == n3 and n2 > n1
