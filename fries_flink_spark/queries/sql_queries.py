@@ -863,3 +863,58 @@ def sql_mr_subset_final(spark, sf_dir):
         ORDER BY user_id, event_id
         """,
     )
+
+
+@query(
+    "sql_mr_define_grammar",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value < lag(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                   AND value BETWEEN 10 AND 90
+                   AND event_id % 3 IN (0, 1)
+                  THEN 1 ELSE 0 END AS dn
+      FROM events
+    ), g AS (
+      SELECT *, sum(1 - dn) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM w
+    ), runs AS (
+      SELECT user_id, grp, event_id,
+             row_number() OVER
+               (PARTITION BY user_id, grp ORDER BY ts, event_id) AS rn
+      FROM g WHERE dn = 1
+    )
+    SELECT user_id,
+           max(CASE WHEN rn = 1 THEN event_id END) AS first_id,
+           count(*) AS n_down
+    FROM runs GROUP BY user_id, grp
+    ORDER BY user_id, first_id
+    """,
+)
+def sql_mr_define_grammar(spark, sf_dir):
+    """DEFINE grammar beyond plain comparisons (reference MatchCodeGenerator
+    handles arbitrary Calcite row expressions): BETWEEN, IN lists, and the
+    modulo operator — desugared by the condition parser into the same AST
+    the vectorized mask / windowed fast path consume, so this query still
+    plans with zero Python stages."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id, first_id, n_down
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(D.event_id) AS first_id, COUNT(D.*) AS n_down
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D+)
+          DEFINE D AS D.value < PREV(D.value)
+                      AND D.value BETWEEN 10 AND 90
+                      AND D.event_id % 3 IN (0, 1)
+        )
+        ORDER BY user_id, first_id
+        """,
+    )

@@ -314,7 +314,7 @@ _COMPARE_OPS = [("<=", "le"), (">=", "ge"), ("<>", "ne"), ("!=", "ne"),
 
 _TOKEN_RE = re.compile(
     r"\s*(?:('(?:[^']|'')*')|(\d+\.\d+|\d+)|([A-Za-z_][\w]*(?:\.[\w]+)?)"
-    r"|(<=|>=|<>|!=|[=<>()+\-*/,]))"
+    r"|(<=|>=|<>|!=|[=<>()+\-*/%,]))"
 )
 
 
@@ -329,6 +329,18 @@ def _tokenize(s: str) -> list[str]:
         out.append(next(g for g in m.groups() if g is not None))
         pos = m.end()
     return out
+
+
+def _sql_mod(a, b):
+    """SQL/Java remainder: sign of the DIVIDEND (Spark %, Flink MOD) —
+    Python's % takes the divisor's sign, so the NFA evaluators must not use
+    it or they would diverge from the windowed fast path on negatives."""
+    import math
+
+    r = math.fmod(a, b)
+    if isinstance(a, int) and isinstance(b, int):
+        return int(r)
+    return r
 
 
 class _CondParser:
@@ -395,6 +407,33 @@ class _CondParser:
     def comparison(self):
         lhs = self.operand()
         op = self.take()
+        negate = False
+        if op is not None and op.upper() == "NOT":
+            negate = True
+            op = self.take()
+        if op is not None and op.upper() == "BETWEEN":
+            lo = self.operand()
+            if (self.take() or "").upper() != "AND":
+                raise ValueError("BETWEEN requires AND")
+            hi = self.operand()
+            node = ("and", ("cmp", "ge", lhs, lo), ("cmp", "le", lhs, hi))
+            return ("not", node) if negate else node
+        if op is not None and op.upper() == "IN":
+            if self.take() != "(":
+                raise ValueError("IN requires a parenthesized list")
+            node = None
+            while True:
+                item = self.operand()
+                eq = ("cmp", "eq", lhs, item)
+                node = eq if node is None else ("or", node, eq)
+                nxt = self.take()
+                if nxt == ")":
+                    break
+                if nxt != ",":
+                    raise ValueError(f"IN list: expected ',' or ')', got {nxt!r}")
+            return ("not", node) if negate else node
+        if negate:
+            raise ValueError(f"expected BETWEEN or IN after NOT, got {op!r}")
         names = dict(_COMPARE_OPS)
         if op not in names:
             raise ValueError(f"expected comparison operator, got {op!r}")
@@ -403,7 +442,7 @@ class _CondParser:
 
     def operand(self):
         node = self.term()
-        while self.peek() in ("+", "-", "*", "/"):
+        while self.peek() in ("+", "-", "*", "/", "%"):
             op = self.take()
             node = ("arith", op, node, self.term())
         return node
@@ -483,7 +522,8 @@ def _eval_node(node, pdf):
         _, op, a, b = node
         a, b = _eval_node(a, pdf), _eval_node(b, pdf)
         return {"+": lambda: a + b, "-": lambda: a - b,
-                "*": lambda: a * b, "/": lambda: a / b}[op]()
+                "*": lambda: a * b, "/": lambda: a / b,
+                "%": lambda: np.fmod(a, b)}[op]()
     if kind == "cmp":
         _, op, a, b = node
         a, b = _eval_node(a, pdf), _eval_node(b, pdf)
@@ -548,7 +588,8 @@ def _eval_scalar(node, cols, i, bound, var):
         if a is None or b is None:
             return None
         return {"+": lambda: a + b, "-": lambda: a - b,
-                "*": lambda: a * b, "/": lambda: a / b}[op]()
+                "*": lambda: a * b, "/": lambda: a / b,
+                "%": lambda: _sql_mod(a, b)}[op]()
     if kind == "cmp":
         _, op, a, b = node
         a = _eval_scalar(a, cols, i, bound, var)
@@ -816,7 +857,8 @@ def _eval_measure_rows(node, rows_of):
         if a is None or b is None:
             return None
         return {"+": lambda: a + b, "-": lambda: a - b,
-                "*": lambda: a * b, "/": lambda: a / b}[op]()
+                "*": lambda: a * b, "/": lambda: a / b,
+                "%": lambda: _sql_mod(a, b)}[op]()
     if kind == "prev":
         raise NotImplementedError("PREV() is not valid in MEASURES")
     raise NotImplementedError(f"measure node {kind!r}")
@@ -839,7 +881,8 @@ def _eval_row_expr(node, row: dict, var: str):
         if a is None or b is None:
             return None
         return {"+": lambda: a + b, "-": lambda: a - b,
-                "*": lambda: a * b, "/": lambda: a / b}[op]()
+                "*": lambda: a * b, "/": lambda: a / b,
+                "%": lambda: _sql_mod(a, b)}[op]()
     raise NotImplementedError(f"aggregate operand node {kind!r}")
 
 

@@ -671,3 +671,36 @@ def test_mr_subset_in_define_raises(spark):
             )
             """,
         )
+
+
+def test_mr_define_between_in_modulo(spark):
+    """BETWEEN / IN / % in DEFINE desugar correctly, take the windowed fast
+    path, and % follows SQL sign-of-dividend semantics on both engines."""
+    rows = [(1, 1, 9.0, 10), (1, 2, 7.0, 3), (1, 3, 5.0, 6), (1, 4, 3.0, 7)]
+    df = spark.createDataFrame(rows, "k long, seq long, v double, m long")
+    df.createOrReplaceTempView("mr_grammar")
+    q = """
+        SELECT k, fs, n FROM mr_grammar MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES FIRST(D.seq) AS fs, COUNT(D.*) AS n
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D+)
+          DEFINE D AS D.v < PREV(D.v) AND D.v BETWEEN 4 AND 8
+                      AND D.m % 3 IN (0, 1)
+        )
+    """
+    out = fsql(spark, q)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan  # still fully vectorized
+    # rows 2 (v=7, m%3=0), 3 (v=5, m%3=0) qualify; row 4 fails BETWEEN
+    assert [tuple(r) for r in out.collect()] == [(1, 2, 2)]
+    # NFA path agrees
+    nfa = fsql(spark, q.replace("D.v < PREV(D.v)",
+                                "LAST(D.v, 0) < PREV(D.v)"))
+    assert [tuple(r) for r in nfa.collect()] == [(1, 2, 2)]
+
+    from fries_flink_spark.sqlext import _sql_mod
+
+    assert _sql_mod(-7, 3) == -1  # sign of dividend (SQL), not Python's 2
+    assert _sql_mod(7, -3) == 1
