@@ -883,3 +883,123 @@ LIMIT 100
     "quantities netted out — fact-to-fact left join on the ticket/line "
     "compound key feeding a grouped sum.",
 )
+
+# --------------------------------------------------------------------------- #
+# Round-6 batch 3: six more reference shapes (q15, q42, q55, q79, q89, q96).
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q15",
+    """
+SELECT c.c_county AS county, CAST(sum(cs.paid_cents) AS BIGINT) AS total_cents
+FROM catalog_sales cs
+JOIN customer_dim c ON cs.customer_sk = c.c_customer_sk
+JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+WHERE d.d_qoy = 1 AND d.d_year = 1997
+  AND (c.c_county IN ('county_0', 'county_1') OR cs.paid_cents > 50000)
+GROUP BY c.c_county
+ORDER BY county
+""",
+    "TPC-DS q15 (query15.sql): catalog revenue by buyer geography with the "
+    "dim-OR-fact disjunctive predicate (zip-prefix OR big-ticket in the "
+    "official text) that defeats static pushdown.",
+)
+
+_ds(
+    "tpcds_q42",
+    """
+SELECT d.d_year AS dyear, i.i_category AS cat,
+       CAST(sum(ss.paid_cents) AS BIGINT) AS total_cents
+FROM store_sales ss
+JOIN item i ON ss.item_sk = i.i_item_sk
+JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+WHERE d.d_moy = 11 AND d.d_year = 1998
+GROUP BY d.d_year, i.i_category
+ORDER BY total_cents DESC, dyear, cat
+LIMIT 100
+""",
+    "TPC-DS q42 (query42.sql): category revenue for one month — the "
+    "canonical two-broadcast-dim star aggregation.",
+)
+
+_ds(
+    "tpcds_q55",
+    """
+SELECT i.i_brand AS brand, CAST(sum(ss.paid_cents) AS BIGINT) AS total_cents
+FROM store_sales ss
+JOIN item i ON ss.item_sk = i.i_item_sk
+JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+WHERE i.i_manufact_id = 28 AND d.d_moy = 11 AND d.d_year = 1997
+GROUP BY i.i_brand
+ORDER BY total_cents DESC, brand
+LIMIT 100
+""",
+    "TPC-DS q55 (query55.sql): single-manufacturer brand revenue — "
+    "selective dim filter feeding a broadcast star join.",
+)
+
+_ds(
+    "tpcds_q79",
+    """
+WITH t AS (
+  SELECT ss.customer_sk AS customer_sk, ss.ticket AS ticket,
+         ss.store_sk AS store_sk,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS amt_cents,
+         CAST(sum(ss.paid_cents - ss.cost_cents) AS BIGINT) AS profit_cents
+  FROM store_sales ss
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  WHERE d.d_dow = 1 AND d.d_year = 1997
+  GROUP BY ss.customer_sk, ss.ticket, ss.store_sk)
+SELECT c.c_name AS c_name, t.ticket AS ticket, t.store_sk AS store_sk,
+       t.amt_cents AS amt_cents, t.profit_cents AS profit_cents
+FROM t JOIN customer_dim c ON t.customer_sk = c.c_customer_sk
+ORDER BY c_name, ticket
+LIMIT 100
+""",
+    "TPC-DS q79 (query79.sql): per-customer per-ticket Monday shopping "
+    "trips — fine-grained (customer, ticket) aggregation joined back to "
+    "the customer dimension.",
+)
+
+_ds(
+    "tpcds_q89",
+    """
+WITH v AS (
+  SELECT i.i_category AS cat, i.i_brand AS brand, s.s_store_sk AS store_sk,
+         d.d_moy AS moy,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS sum_cents,
+         avg(sum(ss.paid_cents)) OVER (
+           PARTITION BY i.i_category, i.i_brand, s.s_store_sk)
+           AS avg_monthly
+  FROM store_sales ss
+  JOIN item i ON ss.item_sk = i.i_item_sk
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  WHERE d.d_year = 1997
+  GROUP BY i.i_category, i.i_brand, s.s_store_sk, d.d_moy)
+SELECT cat, brand, store_sk, moy, sum_cents,
+       CAST(floor(avg_monthly * 1e4 + 0.5) AS BIGINT) AS avg_monthly_micro
+FROM v
+WHERE CASE WHEN avg_monthly <> 0
+           THEN abs(sum_cents - avg_monthly) / avg_monthly END > 0.1
+ORDER BY sum_cents - avg_monthly, cat, brand, store_sk, moy
+LIMIT 100
+""",
+    "TPC-DS q89 (query89.sql): months deviating >10% from the brand x "
+    "store yearly mean — window-over-aggregate with a guarded-division "
+    "filter (the q47 family without the neighbor self-joins).",
+)
+
+_ds(
+    "tpcds_q96",
+    """
+SELECT CAST(count(*) AS BIGINT) AS cnt
+FROM store_sales ss
+JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+JOIN store s ON ss.store_sk = s.s_store_sk
+WHERE d.d_dow = 5 AND ss.quantity BETWEEN 20 AND 30 AND s.s_state = 'ST_0'
+""",
+    "TPC-DS q96 (query96.sql): single filtered count through two broadcast "
+    "dims (time-band x store in the official text).",
+)
