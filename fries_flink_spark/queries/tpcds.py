@@ -954,7 +954,7 @@ WITH t AS (
 SELECT c.c_name AS c_name, t.ticket AS ticket, t.store_sk AS store_sk,
        t.amt_cents AS amt_cents, t.profit_cents AS profit_cents
 FROM t JOIN customer_dim c ON t.customer_sk = c.c_customer_sk
-ORDER BY c_name, ticket
+ORDER BY c_name, ticket, store_sk
 LIMIT 100
 """,
     "TPC-DS q79 (query79.sql): per-customer per-ticket Monday shopping "
@@ -1002,4 +1002,98 @@ WHERE d.d_dow = 5 AND ss.quantity BETWEEN 20 AND 30 AND s.s_state = 'ST_0'
 """,
     "TPC-DS q96 (query96.sql): single filtered count through two broadcast "
     "dims (time-band x store in the official text).",
+)
+
+_ds(
+    "tpcds_q7",
+    """
+SELECT i.i_item_sk AS item_sk,
+       CAST(floor(avg(ss.quantity) * 1e4 + 0.5) AS BIGINT) AS avg_qty,
+       CAST(floor(avg(ss.list_cents) * 1e4 + 0.5) AS BIGINT) AS avg_list,
+       CAST(floor(avg(ss.disc_cents) * 1e4 + 0.5) AS BIGINT) AS avg_disc
+FROM store_sales ss
+JOIN customer_dim c ON ss.customer_sk = c.c_customer_sk
+JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+JOIN item i ON ss.item_sk = i.i_item_sk
+WHERE c.c_mktsegment = 'BUILDING' AND d.d_year = 1997
+GROUP BY i.i_item_sk
+HAVING count(*) >= 4
+ORDER BY item_sk
+LIMIT 100
+""",
+    "TPC-DS q7 (query7.sql): per-item average quantities/prices/discounts "
+    "for one demographic segment — triple-average star aggregation "
+    "(demographics dim adapted to c_mktsegment).",
+)
+
+_ds(
+    "tpcds_q13",
+    """
+SELECT CAST(floor(avg(ss.quantity) * 1e4 + 0.5) AS BIGINT) AS avg_qty,
+       CAST(floor(avg(ss.paid_cents) * 1e4 + 0.5) AS BIGINT) AS avg_paid,
+       CAST(sum(ss.paid_cents) AS BIGINT) AS sum_paid
+FROM store_sales ss
+JOIN store s ON ss.store_sk = s.s_store_sk
+JOIN customer_dim c ON ss.customer_sk = c.c_customer_sk
+JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+WHERE d.d_year = 1997
+  AND ((c.c_mktsegment = 'BUILDING' AND ss.quantity BETWEEN 1 AND 20
+        AND s.s_state = 'ST_0')
+    OR (c.c_mktsegment = 'MACHINERY' AND ss.quantity BETWEEN 10 AND 40
+        AND s.s_state = 'ST_1')
+    OR (c.c_mktsegment = 'HOUSEHOLD' AND ss.quantity BETWEEN 20 AND 50
+        AND s.s_county IN ('county_0', 'county_2')))
+""",
+    "TPC-DS q13 (query13.sql): single-row averages under an OR-of-ANDs "
+    "predicate spanning two dimensions and the fact — the residual-filter "
+    "join shape the reference plans with a post-join disjunction.",
+)
+
+_ds(
+    "tpcds_q34",
+    """
+WITH trips AS (
+  SELECT ss.customer_sk AS customer_sk, ss.ticket AS ticket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM store_sales ss
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  WHERE d.d_year IN (1996, 1997) AND d.d_dom BETWEEN 1 AND 3
+    AND s.s_county IN ('county_0', 'county_1', 'county_2')
+  GROUP BY ss.customer_sk, ss.ticket
+  HAVING count(*) BETWEEN 2 AND 4)
+SELECT c.c_name AS c_name, t.ticket AS ticket, t.cnt AS cnt
+FROM trips t JOIN customer_dim c ON t.customer_sk = c.c_customer_sk
+ORDER BY c_name, ticket
+LIMIT 100
+""",
+    "TPC-DS q34 (query34.sql): shopping trips with an item-count band "
+    "(HAVING BETWEEN on a grouped count) joined back to the customer "
+    "dimension — dep-count band shape of the official query.",
+)
+
+_ds(
+    "tpcds_q65",
+    """
+WITH sa AS (
+  SELECT ss.store_sk AS store_sk, ss.item_sk AS item_sk,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS revenue
+  FROM store_sales ss JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1997
+  GROUP BY ss.store_sk, ss.item_sk),
+sb AS (
+  SELECT store_sk, avg(revenue) AS ave FROM sa GROUP BY store_sk)
+SELECT s.s_store_name AS s_store_name, i.i_product_name AS i_product_name,
+       sa.revenue AS revenue_cents
+FROM sa
+JOIN sb ON sa.store_sk = sb.store_sk
+JOIN store s ON sa.store_sk = s.s_store_sk
+JOIN item i ON sa.item_sk = i.i_item_sk
+WHERE sa.revenue <= 0.1 * sb.ave
+ORDER BY s_store_name, i_product_name, revenue_cents
+LIMIT 100
+""",
+    "TPC-DS q65 (query65.sql): items earning at most 10% of their store's "
+    "average item revenue — aggregate-of-aggregate join (sa x sb on the "
+    "store key) with dimension decoration.",
 )
