@@ -42,17 +42,19 @@ def minhash_table(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> Data
     measured). Values are identical — min over duplicated shingles equals min
     over distinct shingles, so no array_distinct is needed either.
 
-    Repartitions to the session default parallelism first: minhashing is
-    CPU-bound per row, and a small single-row-group parquet input would
-    otherwise pin the whole computation to one task. At cluster scale the
-    scan has many splits and this collapses into a cheap rebalance. The
-    groupBy shuffles one row per (doc, shingle) md5 — partial aggregation
-    collapses that to one row per doc per map task before the exchange.
+    Raised to the session default parallelism only when the input has fewer
+    partitions (session.ensure_parallelism): minhashing is CPU-bound per
+    row, and a small single-row-group parquet input would otherwise pin the
+    whole computation to one task; an already-parallel input (any
+    cluster-scale scan) adds no exchange. The groupBy shuffles one row per
+    (doc, shingle) md5 — partial aggregation collapses that to one row per
+    doc per map task before the exchange.
     """
-    spark = df.sparkSession
+    from ..session import ensure_parallelism
+
     n = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
     hashed = (
-        df.repartition(spark.sparkContext.defaultParallelism)
+        ensure_parallelism(df)
         .select(
             F.col(id_col),
             F.explode(F.sequence(F.lit(1), n)).alias("__i"),
@@ -283,11 +285,14 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     each whitespace token's md5 nibble j (>= 8 → +1). Portable: md5 nibbles
     are identical in any engine.
 
-    Formulated as explode(tokens) → md5 → groupBy(id).agg(packed vote sums)
-    so the whole computation stays in whole-stage codegen with map-side
+    Formulated as explode_outer(tokens) → md5 → groupBy(id).agg(packed vote
+    sums) so the whole computation stays in whole-stage codegen with map-side
     partial aggregation — a higher-order-function fold would run 16
-    interpreted array passes per row. Token-less rows (dropped by the
-    explode) rejoin with simhash 0, matching the fold semantics.
+    interpreted array passes per row (measured 1.5x slower end-to-end, as was
+    a grouped-explode variant folding 4 tokens per row: the per-token
+    arithmetic is cheap, the wall cost is stages). explode_outer keeps one
+    null-token row for token-less docs, which aggregates to simhash 0 —
+    replacing the old left-join-back stage (~35% of wall at sf0.1).
 
     The 16 per-bit ±1 vote sums are BIT-PACKED into 4 int64 lanes of 4
     16-bit positive counters each (+ one row count): per token, nibble j's
@@ -298,10 +303,19 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ASCII for the lowercase hex alphabet). Counter overflow would need a
     65 535-token document per 16-bit lane — far beyond any real document;
     the oracle reproduces the same fold from raw md5 nibbles.
+
+    The input is raised to the session default parallelism only when it has
+    fewer partitions (session.ensure_parallelism): the fold is CPU-bound per
+    row, and a single-row-group parquet input would otherwise pin the
+    explode+agg to one task (measured 30% of wall at sf0.1); an
+    already-parallel input adds no exchange.
     """
+    from ..session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.filter(
                 F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
                 lambda w: w != "",
@@ -328,8 +342,12 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             e = t if e is None else e + t
         return e.cast("long")
 
+    # count("__h") not count(1): the explode_outer null row of a token-less
+    # doc must not count as a token. For such a doc every s{k} is NULL (sum
+    # of no non-null inputs), each bit's `cnt*2 > n` predicate is NULL →
+    # otherwise(0), and the signature correctly lands at 0.
     votes = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n"),
+        F.count(F.col("__h")).alias("__n"),
         *[F.sum(lane(k)).alias(f"s{k}") for k in range(4)],
     )
     bits = None
@@ -338,10 +356,7 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         cnt = F.shiftright(F.col(f"s{k}"), 16 * p).bitwiseAND(F.lit(0xFFFF))
         b = F.when(cnt * 2 > F.col("__n"), F.lit(1 << j)).otherwise(F.lit(0))
         bits = b if bits is None else bits + b
-    sig = votes.select(F.col(id_col), bits.alias("simhash"))
-    return df.select(id_col).join(sig, id_col, "left").select(
-        F.col(id_col), F.coalesce("simhash", F.lit(0)).alias("simhash")
-    )
+    return votes.select(F.col(id_col), bits.alias("simhash"))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

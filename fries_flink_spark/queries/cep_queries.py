@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.cep import Pattern, match_pattern
-from ..registry import query
+from ..registry import query, sorted_result
 
 
 @query(
@@ -355,7 +355,7 @@ def cep_branchy_any(spark, sf_dir):
         order_tiebreak=["event_id"],
         emit="all",
     )
-    return out.orderBy("user_id", "a_id", "b_id", "n_err")
+    return out.transform(sorted_result, "user_id", "a_id", "b_id", "n_err")
 
 
 @query("cep_branchy_vectorized", oracle=_BRANCHY_ORACLE)

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.changelog import DELETE, UPDATE_AFTER, changelog_normalize
-from ..registry import micro, query
+from ..registry import micro, query, sorted_result
 
 
 @query(
@@ -48,7 +48,7 @@ def changelog_snapshot(spark, sf_dir):
     snap = changelog_normalize(
         ch, keys=["user_id"], order_by=[F.col("ts"), F.col("event_id")]
     )
-    return snap.select("user_id", "event_id", "ts", "value", "row_kind").orderBy(
+    return snap.select("user_id", "event_id", "ts", "value", "row_kind").transform(sorted_result, 
         "user_id"
     )
 

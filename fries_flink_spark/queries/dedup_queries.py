@@ -20,7 +20,7 @@ from ..dedup.minhash import (
     simhash_table,
 )
 from ..portable import round_portable, round_portable_sql
-from ..registry import micro, query
+from ..registry import micro, query, sorted_result
 
 # Shared DuckDB fragments (k=8 char shingles, 8 md5 "permutations")
 _SH = (
@@ -92,7 +92,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     100 TB path: shuffle on band keys, no cross product."""
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_table(docs, "text", "doc_id")
-    return lsh_candidate_pairs(sig, "doc_id").orderBy("a", "b")
+    return lsh_candidate_pairs(sig, "doc_id").transform(sorted_result, "a", "b")
 
 
 @query(
@@ -177,7 +177,7 @@ def dedup_simhash(spark, sf_dir):
     """16-bit SimHash per document (dedup/minhash.simhash_table) — md5-nibble
     votes, bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_table(docs, "text", "doc_id").orderBy("doc_id")
+    return simhash_table(docs, "text", "doc_id").transform(sorted_result, "doc_id")
 
 
 @query(
@@ -202,7 +202,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     return (
         cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
         .select("a", "b", micro(F.col("cos"), 4).alias("cos"))
-        .orderBy("a", "b")
+        .transform(sorted_result, "a", "b")
     )
 
 
@@ -368,7 +368,7 @@ def dedup_incremental(spark, sf_dir):
 
     index = band_table(minhash_table(corpus, "text", "doc_id"), "doc_id")
     survivors, _ = incremental_dedup(batch, index, "text", "doc_id")
-    return survivors.select("doc_id").orderBy("doc_id")
+    return survivors.select("doc_id").transform(sorted_result, "doc_id")
 
 
 @query(

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.iterate import iterate
-from ..registry import micro, query
+from ..registry import micro, query, sorted_result
 
 _D = 0.85
 _ITERS = 3
@@ -82,4 +82,4 @@ def iter_pagerank(spark, sf_dir):
         )
 
     final = iterate(ranks0, step, max_iterations=_ITERS)
-    return final.select("id", micro(F.col("rank")).alias("rank")).orderBy("id")
+    return final.select("id", micro(F.col("rank")).alias("rank")).transform(sorted_result, "id")

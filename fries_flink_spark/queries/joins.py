@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.joins import asof_join, interval_join, lookup_join
-from ..registry import micro, query
+from ..registry import micro, query, sorted_result
 
 
 def _t(spark, sf_dir, *names):
@@ -266,7 +266,7 @@ def join_asof(spark, sf_dir):
         right_time="ts",
         right_payload=["last_signup_event"],
     )
-    return out.select("event_id", "user_id", "last_signup_event").orderBy("event_id")
+    return out.select("event_id", "user_id", "last_signup_event").transform(sorted_result, "event_id")
 
 
 @query(
@@ -370,7 +370,7 @@ def join_runtime_filter(spark, sf_dir):
     return (
         survivors.groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
-        .orderBy("l_returnflag")
+        .transform(sorted_result, "l_returnflag")
     )
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..multimodal.media import IMAGE_MAGIC, image_features
-from ..registry import query
+from ..registry import query, sorted_result
 from . import golden as _golden
 
 
@@ -95,7 +95,7 @@ def mm_image_features(spark, sf_dir):
         ).alias("features_str"),
         "mean_intensity",
         "std_intensity",
-    ).orderBy("media_id")
+    ).transform(sorted_result, "media_id")
 
 
 @query(

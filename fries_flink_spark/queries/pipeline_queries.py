@@ -23,7 +23,7 @@ from ..pipeline.sampling import (
     sample_stratified,
     split_train_holdout,
 )
-from ..registry import micro, query
+from ..registry import micro, query, sorted_result
 from ..text.pii import PII_PATTERNS, pii_total, redact
 
 _H = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
@@ -74,7 +74,7 @@ def q_sample_stratified(spark, sf_dir):
     return (
         sample_stratified(docs, "doc_id", "source", _STRAT, _STRAT_DEFAULT)
         .select("doc_id", "source")
-        .orderBy("doc_id")
+        .transform(sorted_result, "doc_id")
     )
 
 
@@ -205,7 +205,7 @@ def q_mix_weighted(spark, sf_dir):
     mixed = mix_weighted(docs, "doc_id", "source", _MIX_RATES, _MIX_DEFAULT)
     return mixed.select(
         "doc_id", "source", F.col("rep").cast("bigint").alias("rep")
-    ).orderBy("doc_id", "rep")
+    ).transform(sorted_result, "doc_id", "rep")
 
 
 @query(
@@ -249,7 +249,7 @@ def q_emb_quantize_int8(spark, sf_dir):
         ),
         micro(F.col("q_scale")).alias("scale_r"),
         micro(F.col("max_err")).alias("max_err"),
-    ).orderBy("vec_id")
+    ).transform(sorted_result, "vec_id")
 
 
 def _pii_aug_sql() -> str:
@@ -305,7 +305,7 @@ def q_pii_scrub(spark, sf_dir):
         "doc_id",
         F.md5(redact(F.col("t"))).alias("redacted_md5"),
         pii_total(F.col("t")).cast("bigint").alias("n_pii"),
-    ).orderBy("doc_id")
+    ).transform(sorted_result, "doc_id")
 
 
 _ZBITS = 16
@@ -526,7 +526,7 @@ def q_pipeline_shard_balance(spark, sf_dir):
         ),
     )
     sharded = assign_shards(docs, "tokens", "doc_id", n_shards=4, part_col="source")
-    return shard_stats(sharded, "tokens", part_col="source").orderBy("source", "shard")
+    return shard_stats(sharded, "tokens", part_col="source").transform(sorted_result, "source", "shard")
 
 
 @query("emb_pca_project", oracle=None)  # golden oracle set below

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.topn import deduplicate, top_n
-from ..registry import query
+from ..registry import query, sorted_result
 
 
 @query(
@@ -74,7 +74,7 @@ def topn_per_group(spark, sf_dir):
             3,
             rank_col="rk",
         )
-        .orderBy("c_mktsegment", "rk")
+        .transform(sorted_result, "c_mktsegment", "rk")
     )
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.windows import cumulate_agg
-from ..registry import micro, query
+from ..registry import micro, query, sorted_result
 
 
 def _ev(spark, sf_dir):
@@ -277,4 +277,4 @@ def win_session_dynamic(spark, sf_dir):
     )
     return out.select(
         "user_id", "session_start", "session_end", "n", "total"
-    ).orderBy("user_id", "session_start")
+    ).transform(sorted_result, "user_id", "session_start")

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..portable import round_portable, round_portable_sql
-from ..registry import micro, query
+from ..registry import micro, query, sorted_result
 from ..text.analysis import (
     EN_STOPWORDS,
     detect_language,
@@ -91,7 +91,7 @@ def text_quality(spark, sf_dir):
         round_portable(digit_ratio(F.col("text")), 6).alias("digit_ratio"),
         round_portable(mean_word_len(F.col("text")), 6).alias("mean_word_len"),
         round_portable(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
-    ).orderBy("doc_id")
+    ).transform(sorted_result, "doc_id")
 
 
 @query(
@@ -123,7 +123,7 @@ def text_langid(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", detect_language(F.col("text")).alias("predicted_lang")
-    ).orderBy("doc_id")
+    ).transform(sorted_result, "doc_id")
 
 
 @query(
@@ -334,7 +334,7 @@ def text_decontaminate(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("source") == "src2")
     train = docs.filter(F.col("source") == "src0")
-    return contaminated_docs(bench, train, "text", "doc_id", 3).orderBy("doc_id")
+    return contaminated_docs(bench, train, "text", "doc_id", 3).transform(sorted_result, "doc_id")
 
 
 @query(
@@ -574,7 +574,7 @@ def text_gopher_filter(spark, sf_dir):
     passes = None
     for k in rules:
         passes = rules[k] if passes is None else (passes & rules[k])
-    return docs.select("doc_id", *cols, passes.alias("passes")).orderBy("doc_id")
+    return docs.select("doc_id", *cols, passes.alias("passes")).transform(sorted_result, "doc_id")
 
 
 @query(
@@ -616,7 +616,7 @@ def text_unigram_logppl(spark, sf_dir):
     model, total = unigram_model(docs, "text")
     return doc_logcost(docs, "text", "doc_id", model, total).select(
         "doc_id", "n_tokens", "cost_micro", "mean_cost_micro"
-    ).orderBy("doc_id")
+    ).transform(sorted_result, "doc_id")
 
 
 @query(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..registry import micro, query
+from ..registry import micro, query, sorted_result
 
 
 def _t(spark, sf_dir, *names):
@@ -404,7 +404,7 @@ def tpch_q7(spark, sf_dir):
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(micro(F.sum("volume"), 4).alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .transform(sorted_result, "supp_nation", "cust_nation", "l_year")
     )
 
 

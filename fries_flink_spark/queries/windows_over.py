@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..registry import micro, query
+from ..registry import micro, query, sorted_result
 
 
 @query(
@@ -115,7 +115,7 @@ def over_running_sum(spark, sf_dir):
             F.min("value").over(w).alias("running_min"),
             F.max("value").over(w).alias("running_max"),
         )
-        .orderBy("user_id", "event_id")
+        .transform(sorted_result, "user_id", "event_id")
     )
 
 

@@ -40,6 +40,22 @@ def micro(col, digits: int = 6):
     return _micro(col, digits)
 
 
+def sorted_result(df: DataFrame, *cols) -> DataFrame:
+    """Deterministic total order for a DRIVER-FACING result table.
+
+    Equivalent to ``df.orderBy(*cols)`` for the driver compare (which is
+    order-insensitive anyway — the sort is defense for order-sensitive
+    consumers), but skips the range-sort machinery: a global orderBy runs a
+    boundary-sampling job plus a range exchange, ~0.2-0.3s of pure floor per
+    query at small SF. Registered results are dim-sized by construction
+    (aggregated summaries, top-k lists, pair samples), so a one-partition
+    local sort — the same shape the driver's collect() implies — is the
+    right plan at ANY scale for these outputs. Not for large outputs; use
+    orderBy there.
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def query(name: str, oracle: str | None = None):
     """Register a query under ``name`` with an optional DuckDB oracle SQL."""
 

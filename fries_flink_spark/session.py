@@ -85,6 +85,20 @@ def get_spark(
     return spark
 
 
+def ensure_parallelism(df):
+    """Repartition ``df`` to the session default parallelism ONLY if its
+    current plan has fewer partitions — the guard CPU-bound per-row operators
+    (minhash/simhash folds) apply to their input. A small-SF parquet is a
+    single split and a cached fixture may hold few partitions; either would
+    pin the whole fold to one task. When the input is already parallel (any
+    cluster-scale scan), this is a no-op — no exchange is added."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def ensure_confs(spark: SparkSession) -> SparkSession:
     """Apply the dynamic confs our operators need to an existing session.
 

