@@ -1097,3 +1097,340 @@ LIMIT 100
     "average item revenue — aggregate-of-aggregate join (sa x sb on the "
     "store key) with dimension decoration.",
 )
+
+# --------------------------------------------------------------------------- #
+# Round 7 slice extension I: the judge-prioritized planner shapes.
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q5",
+    """
+WITH ssr AS (
+  SELECT s.s_store_name AS id,
+         CAST(sum(x.sales_cents) AS BIGINT) AS sales_cents,
+         CAST(sum(x.returns_cents) AS BIGINT) AS returns_cents,
+         CAST(sum(x.profit_cents) AS BIGINT) AS profit_cents
+  FROM (
+    SELECT store_sk, sold_date_sk, paid_cents AS sales_cents,
+           0 AS returns_cents, paid_cents - cost_cents AS profit_cents
+    FROM store_sales
+    UNION ALL
+    SELECT store_sk, sold_date_sk, 0, paid_cents,
+           cost_cents - paid_cents
+    FROM store_returns) x
+  JOIN date_dim d ON x.sold_date_sk = d.d_date_sk
+  JOIN store s ON x.store_sk = s.s_store_sk
+  WHERE d.d_year = 1997 AND d.d_moy BETWEEN 7 AND 8
+  GROUP BY s.s_store_name),
+csr AS (
+  SELECT concat('page_', CAST(x.customer_sk % 20 AS STRING)) AS id,
+         CAST(sum(x.sales_cents) AS BIGINT) AS sales_cents,
+         CAST(sum(x.returns_cents) AS BIGINT) AS returns_cents,
+         CAST(sum(x.profit_cents) AS BIGINT) AS profit_cents
+  FROM (
+    SELECT customer_sk, sold_date_sk, paid_cents AS sales_cents,
+           0 AS returns_cents, paid_cents - cost_cents AS profit_cents
+    FROM catalog_sales
+    UNION ALL
+    SELECT customer_sk, sold_date_sk, 0, paid_cents,
+           cost_cents - paid_cents
+    FROM catalog_returns) x
+  JOIN date_dim d ON x.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1997 AND d.d_moy BETWEEN 7 AND 8
+  GROUP BY x.customer_sk % 20),
+wsr AS (
+  SELECT w.w_warehouse_name AS id,
+         CAST(sum(x.sales_cents) AS BIGINT) AS sales_cents,
+         CAST(sum(x.returns_cents) AS BIGINT) AS returns_cents,
+         CAST(sum(x.profit_cents) AS BIGINT) AS profit_cents
+  FROM (
+    SELECT warehouse_sk, sold_date_sk, paid_cents AS sales_cents,
+           0 AS returns_cents, paid_cents - cost_cents AS profit_cents
+    FROM web_sales
+    UNION ALL
+    SELECT warehouse_sk, sold_date_sk, 0, paid_cents,
+           cost_cents - paid_cents
+    FROM web_returns) x
+  JOIN date_dim d ON x.sold_date_sk = d.d_date_sk
+  JOIN warehouse w ON x.warehouse_sk = w.w_warehouse_sk
+  WHERE d.d_year = 1997 AND d.d_moy BETWEEN 7 AND 8
+  GROUP BY w.w_warehouse_name)
+SELECT channel, id,
+       CAST(sum(sales_cents) AS BIGINT) AS sales_cents,
+       CAST(sum(returns_cents) AS BIGINT) AS returns_cents,
+       CAST(sum(profit_cents) AS BIGINT) AS profit_cents
+FROM (
+  SELECT 'store channel' AS channel, id, sales_cents, returns_cents, profit_cents
+  FROM ssr
+  UNION ALL
+  SELECT 'catalog channel', id, sales_cents, returns_cents, profit_cents
+  FROM csr
+  UNION ALL
+  SELECT 'web channel', id, sales_cents, returns_cents, profit_cents
+  FROM wsr) y
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+""",
+    "TPC-DS q5 (query5.sql): per-channel sales/returns/profit summaries — "
+    "each channel a sales+returns UNION ALL with zero-filled measure slots, "
+    "date-windowed, dimension-decorated, then a cross-channel ROLLUP. The "
+    "lite schema substitutes its catalog-page/web-site surrogates "
+    "(customer%20 page, warehouse site) for the missing dims; returns carry "
+    "cost-paid as net loss exactly as the official returns carry net_loss.",
+)
+
+_ds(
+    "tpcds_q51",
+    """
+WITH web_v1 AS (
+  SELECT ws.item_sk AS item_sk, d.d_date_sk AS date_sk,
+         sum(sum(ws.paid_cents)) OVER (
+           PARTITION BY ws.item_sk ORDER BY d.d_date_sk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+  FROM web_sales ws JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  WHERE d.d_year IN (1996, 1997) AND ws.item_sk % 25 = 0
+  GROUP BY ws.item_sk, d.d_date_sk),
+store_v1 AS (
+  SELECT ss.item_sk AS item_sk, d.d_date_sk AS date_sk,
+         sum(sum(ss.paid_cents)) OVER (
+           PARTITION BY ss.item_sk ORDER BY d.d_date_sk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+  FROM store_sales ss JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  WHERE d.d_year IN (1996, 1997) AND ss.item_sk % 25 = 0
+  GROUP BY ss.item_sk, d.d_date_sk)
+SELECT item_sk, date_sk,
+       CAST(web_sales AS BIGINT) AS web_cents,
+       CAST(store_sales AS BIGINT) AS store_cents,
+       CAST(web_cumulative AS BIGINT) AS web_cumulative_cents,
+       CAST(store_cumulative AS BIGINT) AS store_cumulative_cents
+FROM (
+  SELECT item_sk, date_sk, web_sales, store_sales,
+         max(web_sales) OVER (
+           PARTITION BY item_sk ORDER BY date_sk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_cumulative,
+         max(store_sales) OVER (
+           PARTITION BY item_sk ORDER BY date_sk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS store_cumulative
+  FROM (
+    SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                ELSE store.item_sk END AS item_sk,
+           CASE WHEN web.date_sk IS NOT NULL THEN web.date_sk
+                ELSE store.date_sk END AS date_sk,
+           web.cume_sales AS web_sales,
+           store.cume_sales AS store_sales
+    FROM web_v1 web FULL OUTER JOIN store_v1 store
+      ON web.item_sk = store.item_sk AND web.date_sk = store.date_sk) x) y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk, date_sk
+LIMIT 100
+""",
+    "TPC-DS q51 (query51.sql): running per-item revenue in web vs store — "
+    "nested sum(sum()) OVER cumulative frames per channel, FULL OUTER JOIN "
+    "on (item, date) with CASE-coalesced keys, then max-so-far windows over "
+    "the sparse union and the web>store crossover filter. The item%25 "
+    "restriction mirrors the official query's month_seq window sizing.",
+)
+
+_ds(
+    "tpcds_q67",
+    """
+SELECT i_category, i_manufact_id, i_brand, i_product_name, d_year, d_qoy,
+       d_moy, s_store_name, sumsales_cents, rk
+FROM (
+  SELECT i_category, i_manufact_id, i_brand, i_product_name, d_year, d_qoy,
+         d_moy, s_store_name, sumsales_cents,
+         rank() OVER (PARTITION BY i_category
+                      ORDER BY sumsales_cents DESC) AS rk
+  FROM (
+    SELECT i.i_category AS i_category, i.i_manufact_id AS i_manufact_id,
+           i.i_brand AS i_brand, i.i_product_name AS i_product_name,
+           d.d_year AS d_year, d.d_qoy AS d_qoy, d.d_moy AS d_moy,
+           s.s_store_name AS s_store_name,
+           CAST(sum(coalesce(ss.quantity * ss.list_cents, 0)) AS BIGINT)
+             AS sumsales_cents
+    FROM store_sales ss
+    JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+    JOIN store s ON ss.store_sk = s.s_store_sk
+    JOIN item i ON ss.item_sk = i.i_item_sk
+    WHERE d.d_year = 1997 AND i.i_item_sk % 10 = 0
+    GROUP BY ROLLUP (i.i_category, i.i_manufact_id, i.i_brand,
+                     i.i_product_name, d.d_year, d.d_qoy, d.d_moy,
+                     s.s_store_name)) dw1) dw2
+WHERE rk <= 10
+ORDER BY i_category NULLS FIRST, i_manufact_id NULLS FIRST,
+         i_brand NULLS FIRST, i_product_name NULLS FIRST,
+         d_year NULLS FIRST, d_qoy NULLS FIRST, d_moy NULLS FIRST,
+         s_store_name NULLS FIRST, sumsales_cents, rk
+""",
+    "TPC-DS q67 (query67.sql): 8-level ROLLUP over item/date/store "
+    "hierarchy, then rank() per category over the grouping-sets output and "
+    "a top-k cut — the rollup-plus-window planner shape (lite swaps the "
+    "missing i_class for i_manufact_id and sizes the rank cut to the "
+    "fixture's category cardinality).",
+)
+
+_ds(
+    "tpcds_q72",
+    """
+WITH promo AS (
+  SELECT i_item_sk AS p_item_sk FROM item WHERE i_item_sk % 7 = 0)
+SELECT i.i_product_name AS i_product_name,
+       w.w_warehouse_name AS w_warehouse_name,
+       d1.d_week_seq AS d_week_seq,
+       CAST(sum(CASE WHEN promo.p_item_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS no_promo,
+       CAST(sum(CASE WHEN promo.p_item_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS promo,
+       CAST(count(*) AS BIGINT) AS total_cnt
+FROM catalog_sales cs
+JOIN inventory inv ON cs.item_sk = inv.inv_item_sk
+JOIN warehouse w ON w.w_warehouse_sk = inv.inv_warehouse_sk
+JOIN item i ON i.i_item_sk = cs.item_sk
+JOIN customer_dim c ON cs.customer_sk = c.c_customer_sk
+JOIN date_dim d1 ON cs.sold_date_sk = d1.d_date_sk
+LEFT JOIN promo ON cs.item_sk = promo.p_item_sk
+WHERE inv.inv_moy = d1.d_moy
+  AND inv.inv_week = least(CAST(floor((d1.d_dom - 1) / 7.0) AS BIGINT) + 1, 4)
+  AND inv.inv_qty < cs.quantity * 3
+  AND c.c_mktsegment = 'BUILDING'
+  AND d1.d_year = 1997 AND d1.d_moy BETWEEN 1 AND 4
+GROUP BY i.i_product_name, w.w_warehouse_name, d1.d_week_seq
+ORDER BY total_cnt DESC, i_product_name, w_warehouse_name, d_week_seq
+LIMIT 100
+""",
+    "TPC-DS q72 (query72.sql): the inventory fact-fact-date INEQUALITY join "
+    "— catalog sales matched to same-calendar-week warehouse inventory with "
+    "an on-hand < demand predicate, a LEFT JOIN promotion null-count split "
+    "and a demographic filter (lite: the customer segment stands in for the "
+    "missing household/customer demographics).",
+)
+
+_ds(
+    "tpcds_q78",
+    """
+WITH ws AS (
+  SELECT d.d_year AS ws_sold_year, w.item_sk % 50 AS ws_item_sk,
+         w.customer_sk % 25 AS ws_customer_sk,
+         CAST(sum(w.quantity) AS BIGINT) AS ws_qty,
+         CAST(sum(w.cost_cents) AS BIGINT) AS ws_wc,
+         CAST(sum(w.paid_cents) AS BIGINT) AS ws_sp
+  FROM web_sales w
+  LEFT JOIN web_returns wr
+    ON wr.ticket = w.ticket AND wr.l_linenumber = w.l_linenumber
+  JOIN date_dim d ON w.sold_date_sk = d.d_date_sk
+  WHERE wr.ticket IS NULL
+  GROUP BY d.d_year, w.item_sk % 50, w.customer_sk % 25),
+cs AS (
+  SELECT d.d_year AS cs_sold_year, c.item_sk % 50 AS cs_item_sk,
+         c.customer_sk % 25 AS cs_customer_sk,
+         CAST(sum(c.quantity) AS BIGINT) AS cs_qty,
+         CAST(sum(c.cost_cents) AS BIGINT) AS cs_wc,
+         CAST(sum(c.paid_cents) AS BIGINT) AS cs_sp
+  FROM catalog_sales c
+  LEFT JOIN catalog_returns cr
+    ON cr.ticket = c.ticket AND cr.l_linenumber = c.l_linenumber
+  JOIN date_dim d ON c.sold_date_sk = d.d_date_sk
+  WHERE cr.ticket IS NULL
+  GROUP BY d.d_year, c.item_sk % 50, c.customer_sk % 25),
+ss AS (
+  SELECT d.d_year AS ss_sold_year, s.item_sk % 50 AS ss_item_sk,
+         s.customer_sk % 25 AS ss_customer_sk,
+         CAST(sum(s.quantity) AS BIGINT) AS ss_qty,
+         CAST(sum(s.cost_cents) AS BIGINT) AS ss_wc,
+         CAST(sum(s.paid_cents) AS BIGINT) AS ss_sp
+  FROM store_sales s
+  LEFT JOIN store_returns sr
+    ON sr.ticket = s.ticket AND sr.l_linenumber = s.l_linenumber
+  JOIN date_dim d ON s.sold_date_sk = d.d_date_sk
+  WHERE sr.ticket IS NULL
+  GROUP BY d.d_year, s.item_sk % 50, s.customer_sk % 25)
+SELECT CAST(floor(ss_qty * 1e6 / (coalesce(ws_qty, 0) + coalesce(cs_qty, 0))
+            + 0.5) AS BIGINT) AS ratio_micro,
+       ss_item_sk, ss_customer_sk,
+       ss_qty AS store_qty, ss_wc AS store_wholesale_cents,
+       ss_sp AS store_sales_cents,
+       coalesce(ws_qty, 0) + coalesce(cs_qty, 0) AS other_chan_qty,
+       coalesce(ws_wc, 0) + coalesce(cs_wc, 0) AS other_chan_wholesale_cents,
+       coalesce(ws_sp, 0) + coalesce(cs_sp, 0) AS other_chan_sales_cents
+FROM ss
+LEFT JOIN ws ON ws_sold_year = ss_sold_year AND ws_item_sk = ss_item_sk
+            AND ws_customer_sk = ss_customer_sk
+LEFT JOIN cs ON cs_sold_year = ss_sold_year AND cs_item_sk = ss_item_sk
+            AND cs_customer_sk = ss_customer_sk
+WHERE coalesce(ws_qty, 0) > 0 AND coalesce(cs_qty, 0) > 0
+  AND ss_sold_year = 1996
+ORDER BY ss_item_sk, ss_customer_sk
+LIMIT 100
+""",
+    "TPC-DS q78 (query78.sql): unreturned sales only — each channel LEFT "
+    "JOINs its returns on the (ticket, line) pair and keeps the IS NULL "
+    "anti half — then store activity joined to web+catalog per "
+    "(year, item, customer) requiring presence in BOTH other channels. "
+    "Ratio emitted in integer micro-units of the exact integer quantities. "
+    "Lite keys coarsen to (item%50, customer%25) so the 3-channel overlap "
+    "is non-empty at every fixture sf.",
+)
+
+_ds(
+    "tpcds_q64",
+    """
+WITH cs_ui AS (
+  SELECT cs.item_sk AS ui_item_sk,
+         CAST(sum(cs.list_cents) AS BIGINT) AS sale_cents,
+         CAST(sum(cr.disc_cents) AS BIGINT) AS refund_cents
+  FROM catalog_sales cs
+  JOIN catalog_returns cr
+    ON cs.item_sk = cr.item_sk AND cs.ticket = cr.ticket
+   AND cs.l_linenumber = cr.l_linenumber
+  GROUP BY cs.item_sk
+  HAVING sum(cs.list_cents) > 16 * sum(cr.disc_cents)),
+cdates AS (
+  SELECT customer_sk AS cd_customer_sk, min(sold_date_sk) AS first_sk,
+         max(sold_date_sk) AS last_sk
+  FROM store_sales GROUP BY customer_sk),
+cross_sales AS (
+  SELECT i.i_product_name AS product_name, i.i_item_sk AS item_sk,
+         s.s_store_name AS store_name, s.s_state AS store_state,
+         d1.d_year AS syear, d2.d_year AS fsyear, d3.d_year AS s2year,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(ss.cost_cents) AS BIGINT) AS s1,
+         CAST(sum(ss.list_cents) AS BIGINT) AS s2,
+         CAST(sum(ss.disc_cents) AS BIGINT) AS s3
+  FROM store_sales ss
+  JOIN store_returns sr
+    ON ss.item_sk = sr.item_sk AND ss.ticket = sr.ticket
+   AND ss.l_linenumber = sr.l_linenumber
+  JOIN cs_ui ON ss.item_sk = cs_ui.ui_item_sk
+  JOIN date_dim d1 ON ss.sold_date_sk = d1.d_date_sk
+  JOIN customer_dim c ON ss.customer_sk = c.c_customer_sk
+  JOIN cdates cd ON cd.cd_customer_sk = ss.customer_sk
+  JOIN date_dim d2 ON cd.first_sk = d2.d_date_sk
+  JOIN date_dim d3 ON cd.last_sk = d3.d_date_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  JOIN item i ON ss.item_sk = i.i_item_sk
+  WHERE i.i_price_cents BETWEEN 20000 AND 120000
+  GROUP BY i.i_product_name, i.i_item_sk, s.s_store_name, s.s_state,
+           d1.d_year, d2.d_year, d3.d_year)
+SELECT cs1.product_name AS product_name, cs1.item_sk AS item_sk,
+       cs1.store_name AS store_name, cs1.store_state AS store_state,
+       cs1.fsyear AS fsyear1, cs1.s2year AS s2year1, cs1.cnt AS cnt1,
+       cs1.s1 AS s1_1, cs1.s2 AS s2_1, cs1.s3 AS s3_1,
+       cs2.fsyear AS fsyear2, cs2.s2year AS s2year2, cs2.cnt AS cnt2,
+       cs2.s1 AS s1_2, cs2.s2 AS s2_2, cs2.s3 AS s3_2
+FROM cross_sales cs1
+JOIN cross_sales cs2
+  ON cs1.item_sk = cs2.item_sk AND cs1.store_name = cs2.store_name
+WHERE cs1.syear = 1996 AND cs2.syear = 1997 AND cs2.cnt <= cs1.cnt
+ORDER BY item_sk, store_name, fsyear1, s2year1, cnt1, s1_1, s2_1, s3_1,
+         fsyear2, s2year2, cnt2, s1_2, s2_2, s3_2
+LIMIT 100
+""",
+    "TPC-DS q64 (query64.sql): the deep-snowflake repeat-purchase shape — "
+    "a HAVING-filtered catalog sale/refund CTE (lite refund proxy: the "
+    "discount, the only sub-price money column with real selectivity) feeds "
+    "a 10-way star over "
+    "store sales+returns with THREE date_dim roles (sold date, customer "
+    "first/last purchase — lite derives the demographic/address legs it "
+    "lacks from the customer's own purchase history), then the grouped "
+    "result self-joins across consecutive years with a cnt inequality.",
+)
