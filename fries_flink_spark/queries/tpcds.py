@@ -1434,3 +1434,645 @@ LIMIT 100
     "lacks from the customer's own purchase history), then the grouped "
     "result self-joins across consecutive years with a cnt inequality.",
 )
+
+# --------------------------------------------------------------------------- #
+# Round 7 slice extension II: report / scalar-battery / inventory shapes.
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q3",
+    """
+SELECT d.d_year AS d_year, i.i_brand AS brand,
+       CAST(sum(ss.paid_cents) AS BIGINT) AS sum_agg_cents
+FROM store_sales ss
+JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+JOIN item i ON ss.item_sk = i.i_item_sk
+WHERE i.i_manufact_id = 28 AND d.d_moy = 11
+GROUP BY d.d_year, i.i_brand
+ORDER BY d_year, sum_agg_cents DESC, brand
+LIMIT 100
+""",
+    "TPC-DS q3 (query3.sql): November revenue per brand/year for one "
+    "manufacturer — the canonical star probe (fact x date x item with a "
+    "selective dim predicate each side).",
+)
+
+# q9: five quantity-band scalar-subquery CASE branches off a one-row anchor.
+_Q9_BUCKET = """
+  CASE WHEN (SELECT count(*) FROM store_sales
+             WHERE quantity BETWEEN {lo} AND {hi}) > {thr}
+    THEN (SELECT CAST(floor(CAST(sum(disc_cents) AS DOUBLE) * 1e6
+                 / count(*) + 0.5) AS BIGINT)
+          FROM store_sales WHERE quantity BETWEEN {lo} AND {hi})
+    ELSE (SELECT CAST(floor(CAST(sum(paid_cents) AS DOUBLE) * 1e6
+                 / count(*) + 0.5) AS BIGINT)
+          FROM store_sales WHERE quantity BETWEEN {lo} AND {hi})
+  END AS bucket{i}"""
+
+_ds(
+    "tpcds_q9",
+    "SELECT"
+    + ",".join(
+        _Q9_BUCKET.format(i=i + 1, lo=10 * i + 1, hi=10 * i + 10, thr=thr)
+        for i, thr in enumerate([4000, 3800, 4200, 3900, 4100])
+    )
+    + "\nFROM (SELECT 1 AS anchor) r",
+    "TPC-DS q9 (query9.sql): the scalar-subquery battery — five quantity "
+    "bands, each picking avg discount vs avg paid by a count threshold, "
+    "evaluated off a one-row anchor (the official query's reason-table row)."
+    " Averages emitted as micro-units of exact integer sums.",
+)
+
+_ds(
+    "tpcds_q12",
+    """
+SELECT i.i_product_name AS i_product_name, i.i_category AS i_category,
+       CAST(sum(ws.paid_cents) AS BIGINT) AS itemrevenue_cents,
+       CAST(floor(sum(ws.paid_cents) * 1e6 /
+            sum(sum(ws.paid_cents)) OVER (PARTITION BY i.i_category) + 0.5)
+            AS BIGINT) AS revenueratio_micro
+FROM web_sales ws
+JOIN item i ON ws.item_sk = i.i_item_sk
+JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+WHERE i.i_category LIKE 'STANDARD%' AND d.d_year = 1997
+  AND d.d_moy BETWEEN 5 AND 6
+GROUP BY i.i_product_name, i.i_category
+ORDER BY i_category, i_product_name
+LIMIT 100
+""",
+    "TPC-DS q12 (query12.sql): item revenue share within its category — "
+    "windowed sum-over-aggregate ratio on the web channel with a category "
+    "predicate and a two-month date window.",
+)
+
+_ds(
+    "tpcds_q16",
+    """
+SELECT CAST(count(DISTINCT cs1.ticket) AS BIGINT) AS order_count,
+       CAST(sum(cs1.cost_cents) AS BIGINT) AS total_shipping_cost_cents,
+       CAST(sum(cs1.paid_cents - cs1.cost_cents) AS BIGINT)
+         AS total_net_profit_cents
+FROM catalog_sales cs1
+JOIN date_dim d ON cs1.sold_date_sk = d.d_date_sk
+JOIN customer_dim c ON cs1.customer_sk = c.c_customer_sk
+WHERE d.d_year = 1997 AND d.d_moy BETWEEN 2 AND 3
+  AND c.c_nationkey IN (3, 7, 11)
+  AND EXISTS (SELECT 1 FROM catalog_sales cs2
+              WHERE cs1.ticket = cs2.ticket
+                AND cs1.warehouse_sk <> cs2.warehouse_sk)
+  AND NOT EXISTS (SELECT 1 FROM catalog_returns cr1
+                  WHERE cs1.ticket = cr1.ticket)
+""",
+    "TPC-DS q16 (query16.sql): multi-warehouse unreturned catalog orders — "
+    "correlated EXISTS on a second line of the same order from a DIFFERENT "
+    "warehouse plus NOT EXISTS against returns, then distinct-order count "
+    "and money totals (lite: customer nation stands in for ship state / "
+    "call-center county).",
+)
+
+_ds(
+    "tpcds_q18",
+    """
+SELECT c.c_nationkey AS c_nationkey, c.c_county AS c_county,
+       c.c_mktsegment AS c_mktsegment,
+       CAST(floor(CAST(sum(cs.quantity) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS agg1_micro,
+       CAST(floor(CAST(sum(cs.list_cents) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS agg2_micro,
+       CAST(floor(CAST(sum(cs.disc_cents) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS agg3_micro,
+       CAST(floor(CAST(sum(cs.paid_cents) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS agg4_micro
+FROM catalog_sales cs
+JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+JOIN customer_dim c ON cs.customer_sk = c.c_customer_sk
+WHERE d.d_year = 1998
+GROUP BY ROLLUP (c.c_nationkey, c.c_county, c.c_mktsegment)
+ORDER BY c_nationkey NULLS FIRST, c_county NULLS FIRST,
+         c_mktsegment NULLS FIRST
+LIMIT 200
+""",
+    "TPC-DS q18 (query18.sql): average quantities/prices/discounts over a "
+    "customer-geography ROLLUP (lite: nation/county/segment replaces "
+    "country/state/county+demographics). Averages as micro-units of exact "
+    "integer sums over the group count.",
+)
+
+_ds(
+    "tpcds_q19",
+    """
+SELECT i.i_brand AS brand, i.i_manufact_id AS i_manufact_id,
+       CAST(sum(ss.paid_cents) AS BIGINT) AS ext_price_cents
+FROM store_sales ss
+JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+JOIN item i ON ss.item_sk = i.i_item_sk
+JOIN customer_dim c ON ss.customer_sk = c.c_customer_sk
+JOIN store s ON ss.store_sk = s.s_store_sk
+WHERE i.i_manufact_id BETWEEN 10 AND 20
+  AND d.d_moy = 11 AND d.d_year = 1997
+  AND c.c_county <> s.s_county
+FROM_MARKER
+GROUP BY i.i_brand, i.i_manufact_id
+ORDER BY ext_price_cents DESC, brand, i_manufact_id
+LIMIT 100
+""".replace("FROM_MARKER\n", ""),
+    "TPC-DS q19 (query19.sql): brand revenue from customers shopping "
+    "OUTSIDE their home geography — the customer-vs-store attribute "
+    "inequality (lite county for zip prefix) over the 5-way star.",
+)
+
+_ds(
+    "tpcds_q21",
+    """
+SELECT w.w_warehouse_name AS w_warehouse_name,
+       i.i_product_name AS i_product_name,
+       CAST(sum(CASE WHEN inv.inv_moy <= 2 THEN inv.inv_qty ELSE 0 END)
+            AS BIGINT) AS inv_before,
+       CAST(sum(CASE WHEN inv.inv_moy > 2 THEN inv.inv_qty ELSE 0 END)
+            AS BIGINT) AS inv_after
+FROM inventory inv
+JOIN warehouse w ON inv.inv_warehouse_sk = w.w_warehouse_sk
+JOIN item i ON inv.inv_item_sk = i.i_item_sk
+WHERE i.i_price_cents BETWEEN 9900 AND 150000
+GROUP BY w.w_warehouse_name, i.i_product_name
+HAVING sum(CASE WHEN inv.inv_moy <= 2 THEN inv.inv_qty ELSE 0 END) > 0
+   AND sum(CASE WHEN inv.inv_moy > 2 THEN inv.inv_qty ELSE 0 END) * 3
+       BETWEEN sum(CASE WHEN inv.inv_moy <= 2 THEN inv.inv_qty ELSE 0 END) * 2
+           AND sum(CASE WHEN inv.inv_moy <= 2 THEN inv.inv_qty ELSE 0 END) * 6
+ORDER BY w_warehouse_name, i_product_name
+LIMIT 100
+""",
+    "TPC-DS q21 (query21.sql): warehouse inventory before/after a pivot "
+    "date with the 2/3..3/2 stability band — conditional-sum pivot plus a "
+    "ratio HAVING expressed in exact integer cross-multiples (lite pivots "
+    "on the inventory month).",
+)
+
+_ds(
+    "tpcds_q22",
+    """
+SELECT i.i_product_name AS i_product_name, i.i_brand AS i_brand,
+       i.i_category AS i_category, i.i_manufact_id AS i_manufact_id,
+       CAST(floor(CAST(sum(inv.inv_qty) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS qoh_micro
+FROM inventory inv
+JOIN item i ON inv.inv_item_sk = i.i_item_sk
+GROUP BY ROLLUP (i.i_product_name, i.i_brand, i.i_category, i.i_manufact_id)
+ORDER BY qoh_micro, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+         i_category NULLS FIRST, i_manufact_id NULLS FIRST
+LIMIT 100
+""",
+    "TPC-DS q22 (query22.sql): average quantity-on-hand over the item "
+    "hierarchy ROLLUP — the inventory grouping-sets report (average in "
+    "micro-units of the exact integer sum).",
+)
+
+# q28: six price-band scalar blocks cross-joined into one row.
+_Q28_BLOCK = """
+  (SELECT CAST(floor(CAST(sum(list_cents) AS DOUBLE) * 1e6
+               / count(*) + 0.5) AS BIGINT) AS b{i}_avg_micro,
+          CAST(count(*) AS BIGINT) AS b{i}_cnt,
+          CAST(count(DISTINCT list_cents) AS BIGINT) AS b{i}_cntdistinct
+   FROM store_sales
+   WHERE quantity BETWEEN {qlo} AND {qhi}
+     AND (list_cents BETWEEN {p} AND {p} + 1000000
+          OR cost_cents BETWEEN {c} AND {c} + 1000000
+          OR disc_cents BETWEEN {d} AND {d} + 100000)) b{i}"""
+
+_ds(
+    "tpcds_q28",
+    "SELECT * FROM"
+    + ",".join(
+        _Q28_BLOCK.format(
+            i=i + 1, qlo=5 * i, qhi=5 * i + 5,
+            p=100000 + 7000 * i, c=50000 + 9000 * i, d=1000 + 400 * i,
+        )
+        for i in range(6)
+    ),
+    "TPC-DS q28 (query28.sql): six quantity/price-band aggregate blocks "
+    "(avg, count, count-distinct of the list price) cross-joined into a "
+    "single row — the multi-scan scalar-block shape.",
+)
+
+_ds(
+    "tpcds_q29",
+    """
+SELECT i.i_product_name AS i_product_name, s.s_store_name AS s_store_name,
+       CAST(sum(ss.quantity) AS BIGINT) AS store_sales_quantity,
+       CAST(sum(sr.quantity) AS BIGINT) AS store_returns_quantity,
+       CAST(sum(cs.quantity) AS BIGINT) AS catalog_sales_quantity
+FROM store_sales ss
+JOIN store_returns sr
+  ON ss.ticket = sr.ticket AND ss.l_linenumber = sr.l_linenumber
+ AND ss.item_sk = sr.item_sk
+JOIN catalog_sales cs
+  ON sr.customer_sk = cs.customer_sk AND sr.item_sk = cs.item_sk
+JOIN date_dim d1 ON ss.sold_date_sk = d1.d_date_sk
+JOIN date_dim d3 ON cs.sold_date_sk = d3.d_date_sk
+JOIN store s ON ss.store_sk = s.s_store_sk
+JOIN item i ON ss.item_sk = i.i_item_sk
+WHERE d1.d_moy = 4 AND d1.d_year = 1997
+  AND d3.d_year IN (1997, 1998, 1999)
+GROUP BY i.i_product_name, s.s_store_name
+ORDER BY i_product_name, s_store_name
+LIMIT 100
+""",
+    "TPC-DS q29 (query29.sql): the fact-fact-fact quantity chain — store "
+    "sale joined to its return, then to a catalog re-purchase by the same "
+    "customer of the same item, with per-role date_dim filters.",
+)
+
+_ds(
+    "tpcds_q30",
+    """
+WITH ctr AS (
+  SELECT wr.customer_sk AS ctr_customer_sk,
+         c.c_nationkey AS ctr_nation,
+         CAST(sum(wr.paid_cents) AS BIGINT) AS ctr_total_return
+  FROM web_returns wr
+  JOIN date_dim d ON wr.sold_date_sk = d.d_date_sk
+  JOIN customer_dim c ON wr.customer_sk = c.c_customer_sk
+  WHERE d.d_year = 1998
+  GROUP BY wr.customer_sk, c.c_nationkey)
+SELECT c.c_customer_sk AS c_customer_sk, c.c_name AS c_name,
+       ctr1.ctr_total_return AS total_return_cents
+FROM ctr ctr1
+JOIN customer_dim c ON ctr1.ctr_customer_sk = c.c_customer_sk
+WHERE ctr1.ctr_total_return > (
+    SELECT avg(ctr2.ctr_total_return) * 1.2 FROM ctr ctr2
+    WHERE ctr2.ctr_nation = ctr1.ctr_nation)
+  AND c.c_nationkey IN (1, 5, 9)
+ORDER BY c_customer_sk
+LIMIT 100
+""",
+    "TPC-DS q30 (query30.sql): web-channel heavy returners vs their "
+    "geography's average — the q1 decorrelation shape on the web returns "
+    "flow with the customer's nation as the correlation key.",
+)
+
+_ds(
+    "tpcds_q32",
+    """
+SELECT CAST(sum(cs.disc_cents) AS BIGINT) AS excess_discount_cents
+FROM catalog_sales cs
+JOIN item i ON cs.item_sk = i.i_item_sk
+JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+WHERE i.i_manufact_id = 9 AND d.d_year = 1997
+  AND cs.disc_cents > (
+    SELECT 1.3 * avg(cs2.disc_cents)
+    FROM catalog_sales cs2
+    JOIN date_dim d2 ON cs2.sold_date_sk = d2.d_date_sk
+    WHERE cs2.item_sk = cs.item_sk AND d2.d_year = 1997)
+""",
+    "TPC-DS q32 (query32.sql): excess discount — correlated scalar "
+    "average-per-item subquery gating the fact rows, single-total output.",
+)
+
+_ds(
+    "tpcds_q36",
+    """
+SELECT CAST(floor(CAST(sum_profit AS DOUBLE) * 1e6
+            / sum_sales + 0.5) AS BIGINT) AS gross_margin_micro,
+       i_category, i_manufact_id, lochierarchy,
+       rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN i_category END
+         ORDER BY CAST(sum_profit AS DOUBLE) / sum_sales ASC,
+                  i_category ASC NULLS FIRST,
+                  i_manufact_id ASC NULLS FIRST) AS rank_within_parent
+FROM (
+  SELECT i.i_category AS i_category, i.i_manufact_id AS i_manufact_id,
+         CAST(sum(ss.paid_cents - ss.cost_cents) AS BIGINT) AS sum_profit,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS sum_sales,
+         CAST(grouping(i.i_category) + grouping(i.i_manufact_id) AS BIGINT)
+           AS lochierarchy
+  FROM store_sales ss
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  JOIN item i ON ss.item_sk = i.i_item_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  WHERE d.d_year = 1997 AND s.s_state IN ('ST_0', 'ST_1')
+  GROUP BY ROLLUP (i.i_category, i.i_manufact_id)) x
+ORDER BY lochierarchy DESC, i_category NULLS FIRST,
+         i_manufact_id NULLS FIRST, rank_within_parent
+LIMIT 100
+""",
+    "TPC-DS q36 (query36.sql): gross-margin ROLLUP over the item hierarchy "
+    "with grouping()-derived lochierarchy partitioning a rank window — the "
+    "grouping-function-in-window shape (tie-broken on the group keys so "
+    "the rank is total and engine-stable).",
+)
+
+_ds(
+    "tpcds_q38",
+    """
+SELECT CAST(count(*) AS BIGINT) AS hot_customer_days
+FROM (
+  SELECT DISTINCT customer_sk, sold_date_sk FROM store_sales ss
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk WHERE d.d_year = 1997
+  INTERSECT
+  SELECT DISTINCT customer_sk, sold_date_sk FROM catalog_sales cs
+  JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk WHERE d.d_year = 1997
+  INTERSECT
+  SELECT DISTINCT customer_sk, sold_date_sk FROM web_sales ws
+  JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk WHERE d.d_year = 1997
+) hot
+""",
+    "TPC-DS q38 (query38.sql): customers active in ALL three channels — "
+    "two INTERSECTs of per-channel distinct sets, counted (lite key: the "
+    "customer-day pair, mirroring the official name+date distinct).",
+)
+
+_ds(
+    "tpcds_q40",
+    """
+SELECT w.w_warehouse_name AS w_warehouse_name,
+       i.i_product_name AS i_product_name,
+       CAST(sum(CASE WHEN d.d_moy < 6
+                THEN cs.paid_cents - coalesce(cr.disc_cents, 0)
+                ELSE 0 END) AS BIGINT) AS sales_before_cents,
+       CAST(sum(CASE WHEN d.d_moy >= 6
+                THEN cs.paid_cents - coalesce(cr.disc_cents, 0)
+                ELSE 0 END) AS BIGINT) AS sales_after_cents
+FROM catalog_sales cs
+LEFT JOIN catalog_returns cr
+  ON cs.ticket = cr.ticket AND cs.l_linenumber = cr.l_linenumber
+JOIN warehouse w ON cs.warehouse_sk = w.w_warehouse_sk
+JOIN item i ON cs.item_sk = i.i_item_sk
+JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+WHERE i.i_price_cents BETWEEN 90000 AND 130000 AND d.d_year = 1997
+GROUP BY w.w_warehouse_name, i.i_product_name
+ORDER BY w_warehouse_name, i_product_name
+LIMIT 100
+""",
+    "TPC-DS q40 (query40.sql): net catalog sales (refunds subtracted via a "
+    "LEFT JOIN to returns) split before/after a pivot date per warehouse x "
+    "item, with an item price band.",
+)
+
+_ds(
+    "tpcds_q43",
+    """
+SELECT s.s_store_name AS s_store_name, s.s_store_sk AS s_store_sk,
+       CAST(sum(CASE WHEN d.d_dow = 0 THEN ss.paid_cents ELSE 0 END) AS BIGINT) AS sun_cents,
+       CAST(sum(CASE WHEN d.d_dow = 1 THEN ss.paid_cents ELSE 0 END) AS BIGINT) AS mon_cents,
+       CAST(sum(CASE WHEN d.d_dow = 2 THEN ss.paid_cents ELSE 0 END) AS BIGINT) AS tue_cents,
+       CAST(sum(CASE WHEN d.d_dow = 3 THEN ss.paid_cents ELSE 0 END) AS BIGINT) AS wed_cents,
+       CAST(sum(CASE WHEN d.d_dow = 4 THEN ss.paid_cents ELSE 0 END) AS BIGINT) AS thu_cents,
+       CAST(sum(CASE WHEN d.d_dow = 5 THEN ss.paid_cents ELSE 0 END) AS BIGINT) AS fri_cents,
+       CAST(sum(CASE WHEN d.d_dow = 6 THEN ss.paid_cents ELSE 0 END) AS BIGINT) AS sat_cents
+FROM store_sales ss
+JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+JOIN store s ON ss.store_sk = s.s_store_sk
+WHERE d.d_year = 1997
+GROUP BY s.s_store_name, s.s_store_sk
+ORDER BY s_store_name, s_store_sk
+LIMIT 100
+""",
+    "TPC-DS q43 (query43.sql): per-store day-of-week sales pivot — seven "
+    "conditional sums over the store x calendar star.",
+)
+
+_ds(
+    "tpcds_q44",
+    """
+WITH v1 AS (
+  SELECT item_sk,
+         CAST(sum(paid_cents - cost_cents) AS BIGINT) AS profit_cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM store_sales WHERE store_sk = 4
+  GROUP BY item_sk
+  HAVING CAST(sum(paid_cents - cost_cents) AS DOUBLE) / count(*) > 0.9 * (
+    SELECT CAST(sum(paid_cents - cost_cents) AS DOUBLE) / count(*)
+    FROM store_sales WHERE store_sk = 4))
+SELECT asceding.rnk AS rnk,
+       i1.i_product_name AS best_performing,
+       i2.i_product_name AS worst_performing
+FROM (
+  SELECT item_sk, rank() OVER (
+           ORDER BY CAST(profit_cents AS DOUBLE) / n ASC, item_sk ASC) AS rnk
+  FROM v1) asceding
+JOIN (
+  SELECT item_sk, rank() OVER (
+           ORDER BY CAST(profit_cents AS DOUBLE) / n DESC, item_sk ASC) AS rnk
+  FROM v1) descending
+  ON asceding.rnk = descending.rnk
+JOIN item i1 ON i1.i_item_sk = asceding.item_sk
+JOIN item i2 ON i2.i_item_sk = descending.item_sk
+WHERE asceding.rnk < 11
+ORDER BY rnk
+""",
+    "TPC-DS q44 (query44.sql): best vs worst items paired by rank — one "
+    "HAVING-gated per-item profit CTE ranked both ascending and descending, "
+    "the two rankings equi-joined on rank and decorated twice from item "
+    "(ranks tie-broken on the item key so the pairing is total).",
+)
+
+_ds(
+    "tpcds_q66",
+    """
+SELECT w.w_warehouse_name AS w_warehouse_name, d.d_year AS d_year,
+       CAST(sum(CASE WHEN d.d_moy = 1 THEN ws.paid_cents ELSE 0 END) AS BIGINT) AS jan_cents,
+       CAST(sum(CASE WHEN d.d_moy = 2 THEN ws.paid_cents ELSE 0 END) AS BIGINT) AS feb_cents,
+       CAST(sum(CASE WHEN d.d_moy = 3 THEN ws.paid_cents ELSE 0 END) AS BIGINT) AS mar_cents,
+       CAST(sum(CASE WHEN d.d_moy = 4 THEN ws.paid_cents ELSE 0 END) AS BIGINT) AS apr_cents,
+       CAST(sum(CASE WHEN d.d_moy = 5 THEN ws.paid_cents ELSE 0 END) AS BIGINT) AS may_cents,
+       CAST(sum(CASE WHEN d.d_moy = 6 THEN ws.paid_cents ELSE 0 END) AS BIGINT) AS jun_cents,
+       CAST(sum(CASE WHEN d.d_moy = 7 THEN ws.paid_cents ELSE 0 END) AS BIGINT) AS jul_cents,
+       CAST(sum(CASE WHEN d.d_moy = 8 THEN ws.paid_cents ELSE 0 END) AS BIGINT) AS aug_cents,
+       CAST(sum(CASE WHEN d.d_moy = 9 THEN ws.paid_cents ELSE 0 END) AS BIGINT) AS sep_cents,
+       CAST(sum(CASE WHEN d.d_moy = 10 THEN ws.paid_cents ELSE 0 END) AS BIGINT) AS oct_cents,
+       CAST(sum(CASE WHEN d.d_moy = 11 THEN ws.paid_cents ELSE 0 END) AS BIGINT) AS nov_cents,
+       CAST(sum(CASE WHEN d.d_moy = 12 THEN ws.paid_cents ELSE 0 END) AS BIGINT) AS dec_cents
+FROM (
+  SELECT warehouse_sk, sold_date_sk, paid_cents FROM web_sales
+  UNION ALL
+  SELECT warehouse_sk, sold_date_sk, paid_cents FROM catalog_sales) ws
+JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+JOIN warehouse w ON ws.warehouse_sk = w.w_warehouse_sk
+GROUP BY w.w_warehouse_name, d.d_year
+ORDER BY w_warehouse_name, d_year
+LIMIT 100
+""",
+    "TPC-DS q66 (query66.sql): the warehouse shipping report — web+catalog "
+    "union pivoted into twelve monthly conditional sums per warehouse/year.",
+)
+
+_ds(
+    "tpcds_q69",
+    """
+SELECT c.c_mktsegment AS c_mktsegment, c.c_county AS c_county,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM customer_dim c
+WHERE c.c_nationkey IN (2, 6, 10)
+  AND EXISTS (
+    SELECT 1 FROM store_sales ss JOIN date_dim d
+      ON ss.sold_date_sk = d.d_date_sk
+    WHERE ss.customer_sk = c.c_customer_sk
+      AND d.d_year = 1997 AND d.d_moy BETWEEN 1 AND 3)
+  AND NOT EXISTS (
+    SELECT 1 FROM web_sales ws JOIN date_dim d
+      ON ws.sold_date_sk = d.d_date_sk
+    WHERE ws.customer_sk = c.c_customer_sk
+      AND d.d_year = 1997 AND d.d_moy BETWEEN 1 AND 3)
+  AND NOT EXISTS (
+    SELECT 1 FROM catalog_sales cs JOIN date_dim d
+      ON cs.sold_date_sk = d.d_date_sk
+    WHERE cs.customer_sk = c.c_customer_sk
+      AND d.d_year = 1997 AND d.d_moy BETWEEN 1 AND 3)
+GROUP BY c.c_mktsegment, c.c_county
+ORDER BY c_mktsegment, c_county
+LIMIT 100
+""",
+    "TPC-DS q69 (query69.sql): store-only shoppers — one correlated EXISTS "
+    "plus two NOT EXISTS over the other channels in the same quarter, "
+    "grouped by customer attributes (lite: segment/county for the missing "
+    "demographics).",
+)
+
+_ds(
+    "tpcds_q70",
+    """
+SELECT CAST(sum_profit AS BIGINT) AS total_sum_cents,
+       s_state, s_county, lochierarchy,
+       rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN s_state END
+         ORDER BY sum_profit DESC,
+                  s_state ASC NULLS FIRST, s_county ASC NULLS FIRST)
+         AS rank_within_parent
+FROM (
+  SELECT s.s_state AS s_state, s.s_county AS s_county,
+         CAST(sum(ss.paid_cents - ss.cost_cents) AS BIGINT) AS sum_profit,
+         CAST(grouping(s.s_state) + grouping(s.s_county) AS BIGINT)
+           AS lochierarchy
+  FROM store_sales ss
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  WHERE d.d_year = 1997
+    AND s.s_state IN (
+      SELECT s_state FROM (
+        SELECT s.s_state AS s_state,
+               rank() OVER (PARTITION BY s.s_state
+                            ORDER BY sum(ss.paid_cents - ss.cost_cents) DESC)
+                 AS ranking
+        FROM store_sales ss
+        JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+        JOIN store s ON ss.store_sk = s.s_store_sk
+        WHERE d.d_year = 1997
+        GROUP BY s.s_state) tmp1
+      WHERE ranking <= 2)
+  GROUP BY ROLLUP (s.s_state, s.s_county)) x
+ORDER BY lochierarchy DESC, s_state NULLS FIRST, s_county NULLS FIRST,
+         rank_within_parent
+LIMIT 100
+""",
+    "TPC-DS q70 (query70.sql): profit ROLLUP over the store geography "
+    "restricted to the top-ranked states — a rank-window IN-subquery inside "
+    "the WHERE of a grouping-sets aggregate, plus the lochierarchy rank "
+    "window on top.",
+)
+
+_ds(
+    "tpcds_q75",
+    """
+WITH all_sales AS (
+  SELECT d_year, brand, manufact,
+         CAST(sum(sales_cnt) AS BIGINT) AS sales_cnt,
+         CAST(sum(sales_cents) AS BIGINT) AS sales_cents
+  FROM (
+    SELECT d.d_year AS d_year, i.i_brand AS brand,
+           i.i_manufact_id AS manufact,
+           cs.quantity - coalesce(cr.quantity, 0) AS sales_cnt,
+           cs.paid_cents - coalesce(cr.paid_cents, 0) AS sales_cents
+    FROM catalog_sales cs
+    JOIN item i ON cs.item_sk = i.i_item_sk
+    JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+    LEFT JOIN catalog_returns cr
+      ON cs.ticket = cr.ticket AND cs.l_linenumber = cr.l_linenumber
+    WHERE i.i_category LIKE 'SMALL%'
+    UNION ALL
+    SELECT d.d_year, i.i_brand, i.i_manufact_id,
+           ss.quantity - coalesce(sr.quantity, 0),
+           ss.paid_cents - coalesce(sr.paid_cents, 0)
+    FROM store_sales ss
+    JOIN item i ON ss.item_sk = i.i_item_sk
+    JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+    LEFT JOIN store_returns sr
+      ON ss.ticket = sr.ticket AND ss.l_linenumber = sr.l_linenumber
+    WHERE i.i_category LIKE 'SMALL%'
+    UNION ALL
+    SELECT d.d_year, i.i_brand, i.i_manufact_id,
+           ws.quantity - coalesce(wr.quantity, 0),
+           ws.paid_cents - coalesce(wr.paid_cents, 0)
+    FROM web_sales ws
+    JOIN item i ON ws.item_sk = i.i_item_sk
+    JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+    LEFT JOIN web_returns wr
+      ON ws.ticket = wr.ticket AND ws.l_linenumber = wr.l_linenumber
+    WHERE i.i_category LIKE 'SMALL%') sales_detail
+  GROUP BY d_year, brand, manufact)
+SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS yr,
+       curr_yr.brand AS brand, curr_yr.manufact AS manufact,
+       prev_yr.sales_cnt AS prev_yr_cnt, curr_yr.sales_cnt AS curr_yr_cnt,
+       curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       curr_yr.sales_cents - prev_yr.sales_cents AS sales_cents_diff
+FROM all_sales curr_yr
+JOIN all_sales prev_yr
+  ON curr_yr.brand = prev_yr.brand AND curr_yr.manufact = prev_yr.manufact
+ AND curr_yr.d_year = 1997 AND prev_yr.d_year = 1996
+WHERE prev_yr.sales_cnt > 0 AND curr_yr.sales_cnt * 10 < prev_yr.sales_cnt * 9
+ORDER BY sales_cnt_diff, sales_cents_diff, brand, manufact
+LIMIT 100
+""",
+    "TPC-DS q75 (query75.sql): year-over-year unit decline — all three "
+    "channels net of returns (LEFT JOIN + coalesce subtraction) unioned, "
+    "aggregated per (year, brand, manufact) and self-joined across "
+    "consecutive years with a <90% volume filter (cross-multiplied — exact "
+    "integers, no ANSI divide-by-zero on fully-returned groups).",
+)
+
+_ds(
+    "tpcds_q87",
+    """
+SELECT CAST(count(*) AS BIGINT) AS store_only_customer_days
+FROM (
+  SELECT DISTINCT customer_sk, sold_date_sk FROM store_sales ss
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk WHERE d.d_year = 1997
+  EXCEPT
+  SELECT DISTINCT customer_sk, sold_date_sk FROM catalog_sales cs
+  JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk WHERE d.d_year = 1997
+  EXCEPT
+  SELECT DISTINCT customer_sk, sold_date_sk FROM web_sales ws
+  JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk WHERE d.d_year = 1997
+) cool
+""",
+    "TPC-DS q87 (query87.sql): the EXCEPT complement of q38 — store "
+    "customer-days with no same-day catalog or web activity, counted.",
+)
+
+_ds(
+    "tpcds_q97",
+    """
+WITH ssci AS (
+  SELECT DISTINCT customer_sk, item_sk FROM store_sales ss
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk WHERE d.d_year = 1997),
+csci AS (
+  SELECT DISTINCT customer_sk, item_sk FROM catalog_sales cs
+  JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk WHERE d.d_year = 1997)
+SELECT CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                      AND csci.customer_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS store_only,
+       CAST(sum(CASE WHEN ssci.customer_sk IS NULL
+                      AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS catalog_only,
+       CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                      AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS store_and_catalog
+FROM ssci
+FULL OUTER JOIN csci
+  ON ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk
+""",
+    "TPC-DS q97 (query97.sql): store/catalog purchase overlap — FULL OUTER "
+    "JOIN of the two distinct (customer, item) sets with null-pattern "
+    "conditional counts.",
+)
