@@ -918,3 +918,133 @@ def sql_mr_define_grammar(spark, sf_dir):
         ORDER BY user_id, first_id
         """,
     )
+
+
+@query(
+    "sql_mr_multi_agg",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value < lag(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS dn
+      FROM events
+    ), g AS (
+      SELECT *, sum(1 - dn) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM w
+    ), runs AS (
+      SELECT user_id, grp, event_id,
+             row_number() OVER
+               (PARTITION BY user_id, grp ORDER BY ts, event_id) AS rn
+      FROM g WHERE dn = 1
+    )
+    SELECT user_id,
+           max(CASE WHEN rn = 1 THEN event_id END) AS first_id,
+           CAST(sum(event_id) + sum(event_id % 7) AS DOUBLE) AS agg_mix,
+           CAST(max(event_id) - min(event_id) AS DOUBLE) AS spread
+    FROM runs GROUP BY user_id, grp
+    ORDER BY user_id, first_id
+    """,
+)
+def sql_mr_multi_agg(spark, sf_dir):
+    """Arithmetic OVER multiple aggregate calls in MEASURES —
+    ``SUM(D.event_id) + SUM(D.event_id % 7)`` and ``MAX - MIN`` — the last
+    measure-grammar gap (round-6 "What's missing" #3): aggregate calls are
+    now ordinary terms of the measure expression tree (reference
+    MatchCodeGenerator composes aggregate results into arbitrary Calcite
+    expressions). Operands are integer-valued, so the Python fold and
+    DuckDB's sums agree exactly; the emission is the exact-integer result
+    as DOUBLE."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id, first_id, agg_mix, spread
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(D.event_id) AS first_id,
+                   SUM(D.event_id) + SUM(D.event_id % 7) AS agg_mix,
+                   MAX(D.event_id) - MIN(D.event_id) AS spread
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D+)
+          DEFINE D AS D.value < PREV(D.value)
+        )
+        ORDER BY user_id, first_id
+        """,
+    )
+
+
+@query(
+    "sql_mr_subset_define",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    err AS (
+      SELECT user_id, event_id, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS isl
+      FROM o WHERE event_type = 'error'),
+    isl AS (
+      SELECT user_id, isl, min(rn) AS start_rn
+      FROM err GROUP BY user_id, isl),
+    m AS (
+      SELECT i.user_id, i.isl, i.start_rn, c.event_id AS a_id
+      FROM isl i JOIN o c ON c.user_id = i.user_id AND c.rn = i.start_rn - 1
+      WHERE c.event_type = 'click'),
+    run AS (
+      SELECT m.user_id, m.isl, e.event_id, e.rn - m.start_rn + 1 AS k,
+             m.a_id + sum(e.event_id) OVER (
+               PARTITION BY m.user_id, m.isl ORDER BY e.rn) AS cum
+      FROM m JOIN err e ON e.user_id = m.user_id AND e.isl = m.isl),
+    lens AS (
+      SELECT r.user_id, r.isl,
+             least(coalesce(min(CASE WHEN r.cum % 5 >= 4 THEN r.k END) - 1,
+                            max(r.k)), 64) AS n
+      FROM run r GROUP BY r.user_id, r.isl)
+    SELECT r.user_id AS user_id,
+           max(CASE WHEN r.k = l.n THEN r.event_id END) AS last_id,
+           CAST(l.n AS BIGINT) AS n_err,
+           CAST(max(CASE WHEN r.k = l.n THEN r.cum END) AS BIGINT) AS u_sum
+    FROM run r
+    JOIN lens l ON l.user_id = r.user_id AND l.isl = r.isl AND l.n >= 1
+    WHERE r.k <= l.n
+    GROUP BY r.user_id, r.isl, l.n
+    ORDER BY user_id, last_id
+    """,
+)
+def sql_mr_subset_define(spark, sf_dir):
+    """SUBSET union variable referenced inside DEFINE (the round-6 residual
+    grammar gap at the old sqlext rejection site): the B condition reads a
+    RUNNING aggregate over U = (A, B) — member rows merged in row order
+    with the candidate row included — so the error run extends only while
+    the running click+error id sum stays in the residue band. The oracle
+    replays the same greedy truncation with island detection, a cumulative
+    window and a first-failure cutoff, capped at the engine's bounded-Kleene
+    64 like the SUBSET/FINAL query. Reference: parserImpls.ftl SUBSET
+    grammar; MatchCodeGenerator subset resolution + aggregate calls in
+    DEFINE."""
+    register_tables(spark, sf_dir)
+    return fsql(
+        spark,
+        """
+        SELECT user_id, last_id, n_err, u_sum
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES LAST(U.event_id) AS last_id,
+                   COUNT(B.event_id) AS n_err,
+                   SUM(U.event_id) AS u_sum
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          SUBSET U = (A, B)
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'error' AND SUM(U.event_id) % 5 < 4
+        )
+        ORDER BY user_id, last_id
+        """,
+    )

@@ -52,9 +52,13 @@ arbitrary n exceeds the reference; NEXT(x, 0) is the identity there and
 needs no special form here.
 RUNNING/FINAL measure qualifiers are supported (RUNNING is the all-rows
 default; FINAL evaluates over the complete match on every row); SUBSET
-union variables resolve in MEASURES (member rows merged in row order).
+union variables resolve in MEASURES and in DEFINE conditions (member rows
+merged in row order, running semantics include the candidate row when a
+member is the current variable); aggregate calls compose in arithmetic —
+``SUM(A.p) + SUM(A.q)`` in MEASURES, ``SUM(A.p) < B.q`` in DEFINE
+(reference MatchCodeGenerator aggregate calls).
 Still unsupported (raise): PREV over another variable (reference rejects it
-too), SUBSET refs inside DEFINE, permute/alternation pattern syntax.
+too), permute/alternation pattern syntax.
 """
 
 from __future__ import annotations
@@ -464,6 +468,8 @@ class _CondParser:
             return ("lit", int(t))
         if t.upper() in ("PREV", "FIRST", "LAST") and self.peek() == "(":
             return self._navigation(t.upper())
+        if t.upper() in ("SUM", "AVG", "MIN", "MAX", "COUNT") and self.peek() == "(":
+            return self._aggregate(t.upper())
         if "." in t:
             var, col = t.split(".", 1)
             if var.upper() == self.var.upper():
@@ -505,6 +511,52 @@ class _CondParser:
                 )
             return ("prev", col, offset)
         return ("nav", fname, var, col, offset)
+
+    def _aggregate(self, fname: str):
+        """Aggregate call — ``SUM/AVG/MIN/MAX/COUNT(<arith over Var.cols>)``
+        — over the rows mapped to Var (or a SUBSET union variable) so far:
+        SQL:2016 running-aggregate semantics, reference MatchCodeGenerator
+        aggregate calls. Valid both in DEFINE conditions and (via
+        _parse_full_operand) inside MEASURES arithmetic, which is what makes
+        ``SUM(A.p) + SUM(A.q)`` a plain expression tree."""
+        self.take()  # '('
+        inner = self.operand()
+        if self.take() != ")":
+            raise ValueError(f"unbalanced parens in {fname}()")
+
+        vars_: set[str] = set()
+
+        def walk(node):
+            if not isinstance(node, tuple):
+                return
+            kind = node[0]
+            if kind == "nav":
+                if node[1] != "LAST" or node[4] != 0:
+                    raise ValueError(
+                        f"{fname}() operand: FIRST()/offset navigation "
+                        "inside an aggregate would read the wrong row"
+                    )
+                vars_.add(node[2].upper())
+            elif kind == "col":
+                vars_.add(self.var.upper())  # bare ref == current variable
+            elif kind == "prev":
+                raise ValueError(f"PREV() is not valid inside {fname}()")
+            for c in node[1:]:
+                if isinstance(c, tuple):
+                    walk(c)
+
+        walk(inner)
+        if "\0" in vars_:
+            raise ValueError(
+                f"{fname}() operand must qualify its pattern variable "
+                "(e.g. SUM(A.price))"
+            )
+        if len(vars_) != 1:
+            raise ValueError(
+                f"{fname}() operand must reference exactly one pattern "
+                f"variable, got {sorted(vars_)}"
+            )
+        return ("agg", fname, next(iter(vars_)), inner)
 
 
 def _eval_node(node, pdf):
@@ -552,15 +604,55 @@ def _eval_node(node, pdf):
 
 
 def _has_nav(node) -> bool:
-    """Does the AST reference match state (FIRST/LAST/cross-variable)?"""
+    """Does the AST reference match state (FIRST/LAST/cross-variable or a
+    running aggregate)?"""
     if not isinstance(node, tuple):
         return False
-    if node[0] == "nav":
+    if node[0] in ("nav", "agg"):
         return True
     return any(_has_nav(c) for c in node[1:] if isinstance(c, tuple))
 
 
-def _eval_scalar(node, cols, i, bound, var):
+def _running_seq(bound, v, var, i, subsets):
+    """Mapped row indices for variable (or SUBSET union) ``v`` under running
+    semantics: the candidate row ``i`` is tentatively included when ``v`` is
+    the current variable or a subset containing it. Indices are partition
+    positions, so sorting restores row order across merged members."""
+    members = subsets.get(v.upper()) if subsets else None
+    if members is None:
+        seq = list(_bound_lookup(bound, v))
+        if v.upper() == var.upper():
+            seq.append(i)
+        return seq
+    seq = [j for mv in members for j in _bound_lookup(bound, mv)]
+    if any(mv.upper() == var.upper() for mv in members):
+        seq.append(i)
+    return sorted(seq)
+
+
+def _eval_rowidx(node, cols, j):
+    """Per-row evaluation of an aggregate operand at partition index ``j``:
+    every column ref (bare or LAST(V.col, 0)) resolves to that row."""
+    kind = node[0]
+    if kind == "lit":
+        return node[1]
+    if kind == "col":
+        return cols[node[1]][j]
+    if kind == "nav":
+        return cols[node[3]][j]
+    if kind == "arith":
+        _, op, a, b = node
+        a = _eval_rowidx(a, cols, j)
+        b = _eval_rowidx(b, cols, j)
+        if a is None or b is None:
+            return None
+        return {"+": lambda: a + b, "-": lambda: a - b,
+                "*": lambda: a * b, "/": lambda: a / b,
+                "%": lambda: _sql_mod(a, b)}[op]()
+    raise ValueError(kind)
+
+
+def _eval_scalar(node, cols, i, bound, var, subsets=None):
     """Scalar evaluation at row ``i`` given match state ``bound`` (stage name
     -> mapped indices so far, candidate row excluded). None = SQL NULL."""
     kind = node[0]
@@ -573,18 +665,20 @@ def _eval_scalar(node, cols, i, bound, var):
         return cols[col][i - off] if i - off >= 0 else None
     if kind == "nav":
         _, fname, v, col, off = node
-        if v.upper() == var.upper():
-            # running semantics: the candidate row is tentatively mapped to
-            # the current variable, so LAST(V.col, 0) == current row
-            seq = list(_bound_lookup(bound, v)) + [i]
-        else:
-            seq = list(_bound_lookup(bound, v))
+        # running semantics: the candidate row is tentatively mapped to the
+        # current variable, so LAST(V.col, 0) == current row; SUBSET unions
+        # merge their members' mapped rows in row order
+        seq = _running_seq(bound, v, var, i, subsets)
         j = len(seq) - 1 - off if fname == "LAST" else off
         return cols[col][seq[j]] if 0 <= j < len(seq) else None
+    if kind == "agg":
+        _, func, v, inner = node
+        seq = _running_seq(bound, v, var, i, subsets)
+        return _agg_over(func, [_eval_rowidx(inner, cols, j) for j in seq])
     if kind == "arith":
         _, op, a, b = node
-        a = _eval_scalar(a, cols, i, bound, var)
-        b = _eval_scalar(b, cols, i, bound, var)
+        a = _eval_scalar(a, cols, i, bound, var, subsets)
+        b = _eval_scalar(b, cols, i, bound, var, subsets)
         if a is None or b is None:
             return None
         return {"+": lambda: a + b, "-": lambda: a - b,
@@ -592,8 +686,8 @@ def _eval_scalar(node, cols, i, bound, var):
                 "%": lambda: _sql_mod(a, b)}[op]()
     if kind == "cmp":
         _, op, a, b = node
-        a = _eval_scalar(a, cols, i, bound, var)
-        b = _eval_scalar(b, cols, i, bound, var)
+        a = _eval_scalar(a, cols, i, bound, var, subsets)
+        b = _eval_scalar(b, cols, i, bound, var, subsets)
         if a is None or b is None or (isinstance(a, float) and a != a) or (
             isinstance(b, float) and b != b
         ):
@@ -601,15 +695,15 @@ def _eval_scalar(node, cols, i, bound, var):
         import operator as _op
         return bool(getattr(_op, op)(a, b))
     if kind == "and":
-        return bool(_eval_scalar(node[1], cols, i, bound, var)) and bool(
-            _eval_scalar(node[2], cols, i, bound, var)
+        return bool(_eval_scalar(node[1], cols, i, bound, var, subsets)) and bool(
+            _eval_scalar(node[2], cols, i, bound, var, subsets)
         )
     if kind == "or":
-        return bool(_eval_scalar(node[1], cols, i, bound, var)) or bool(
-            _eval_scalar(node[2], cols, i, bound, var)
+        return bool(_eval_scalar(node[1], cols, i, bound, var, subsets)) or bool(
+            _eval_scalar(node[2], cols, i, bound, var, subsets)
         )
     if kind == "not":
-        return not bool(_eval_scalar(node[1], cols, i, bound, var))
+        return not bool(_eval_scalar(node[1], cols, i, bound, var, subsets))
     raise ValueError(kind)
 
 
@@ -622,18 +716,19 @@ def _bound_lookup(bound, v):
     return ()
 
 
-def _compile_condition(cond_sql: str, var: str):
+def _compile_condition(cond_sql: str, var: str, subsets=None):
     """Compile a DEFINE condition. Returns ('mask', pdf -> bool array) when
     the condition is match-state-free (current-variable cols, PREV shifts) —
     the fully vectorized hot path — or ('ctx', factory) when it references
-    other pattern variables (FIRST/LAST/cross-var), where ``factory(pdf)``
-    yields the exact per-candidate test ``(i, bound) -> bool``."""
+    other pattern variables (FIRST/LAST/cross-var, SUBSET unions, running
+    aggregates), where ``factory(pdf)`` yields the exact per-candidate test
+    ``(i, bound) -> bool``."""
     ast = _CondParser(_tokenize(cond_sql), var).parse()
     if _has_nav(ast):
-        def factory(pdf, _ast=ast, _var=var):
+        def factory(pdf, _ast=ast, _var=var, _subsets=subsets):
             cols = {c: pdf[c].to_numpy() for c in pdf.columns}
             return lambda i, bound: bool(
-                _eval_scalar(_ast, cols, i, bound, _var)
+                _eval_scalar(_ast, cols, i, bound, _var, _subsets)
             )
         return ("ctx", factory)
     return ("mask", lambda pdf: np.asarray(_eval_node(ast, pdf)).astype(bool))
@@ -644,7 +739,9 @@ _PATTERN_TOKEN_RE = re.compile(r"(\w+)(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?")
 _MAX_REPEAT = 64  # bounded Kleene, same guard as Pattern.one_or_more
 
 
-def _parse_pattern(pattern_sql: str, defines: dict[str, str]) -> Pattern:
+def _parse_pattern(
+    pattern_sql: str, defines: dict[str, str], subsets=None
+) -> Pattern:
     toks = [
         (m.group(1), m.group(2))
         for m in _PATTERN_TOKEN_RE.finditer(pattern_sql)
@@ -659,7 +756,7 @@ def _parse_pattern(pattern_sql: str, defines: dict[str, str]) -> Pattern:
         else:
             pat = pat.next(var)  # MATCH_RECOGNIZE concatenation is strict
         if var in defines:
-            kind, fn = _compile_condition(defines[var], var)
+            kind, fn = _compile_condition(defines[var], var, subsets)
             pat = pat.where_mask(fn) if kind == "mask" else pat.where_ctx(fn)
         # SQL-standard quantifiers are GREEDY by default (the reference's
         # MatchRecognizeITCase greedy cases); exact {n} needs no preference
@@ -825,14 +922,17 @@ def _parse_measures(measures_sql: str) -> list[tuple]:
 
 
 def _expr_nav_only(node) -> bool:
-    """A scalar-EXPR measure may only combine literals, arithmetic and
-    FIRST/LAST navigation — bare column refs (ambiguous variable) and PREV
-    (physical offsets are meaningless post-match) are rejected at parse
-    time."""
+    """A scalar-EXPR measure may only combine literals, arithmetic,
+    FIRST/LAST navigation and aggregate calls (whose operands were already
+    validated per-row by the parser) — bare column refs (ambiguous variable)
+    and PREV (physical offsets are meaningless post-match) are rejected at
+    parse time."""
     if not isinstance(node, tuple):
         return True
     if node[0] in ("col", "prev"):
         return False
+    if node[0] == "agg":
+        return True
     return all(_expr_nav_only(c) for c in node[1:] if isinstance(c, tuple))
 
 
@@ -850,6 +950,11 @@ def _eval_measure_rows(node, rows_of):
         rows = rows_of(var)
         j = off if fname == "FIRST" else len(rows) - 1 - off
         return rows[j][col] if 0 <= j < len(rows) else None
+    if kind == "agg":
+        _, func, var, inner = node
+        return _agg_over(
+            func, [_eval_row_expr(inner, r, var) for r in rows_of(var)]
+        )
     if kind == "arith":
         _, op, a, b = node
         a = _eval_measure_rows(a, rows_of)
@@ -1215,14 +1320,6 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
                 v.strip() for v in sm.group(2).split(",")
             ]
 
-    if subsets and define_sql:
-        for sub_name in subsets:
-            if re.search(rf"\b{sub_name}\s*\.", define_sql, re.IGNORECASE):
-                raise NotImplementedError(
-                    f"SUBSET variable {sub_name!r} referenced inside DEFINE "
-                    "is not supported (it would silently never match)"
-                )
-
     def rows_of(src_match: dict, vn: str) -> list:
         members = subsets.get(vn.upper())
         if members is None:
@@ -1262,7 +1359,7 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         fast.createOrReplaceTempView(view)
         return q[: m.start()] + view + q[consumed:]
 
-    pat = _parse_pattern(pattern_m.group(1), defines)
+    pat = _parse_pattern(pattern_m.group(1), defines, subsets)
     if within_m:
         pat = pat.within(timedelta(seconds=_interval_seconds(within_m.group(1))))
 

@@ -599,8 +599,11 @@ def test_mr_measure_parse_rejections():
 
     from fries_flink_spark.sqlext import _parse_measures
 
-    with _pytest.raises((NotImplementedError, ValueError)):
-        _parse_measures("SUM(A.p) * 2 AS x")  # trailing '* 2' after agg
+    # round-7 grammar upgrade: aggregate calls are expression TERMS, so
+    # arithmetic around (and between) them parses as one EXPR measure
+    # instead of silently truncating to the bare aggregate
+    ok_arith = _parse_measures("SUM(A.p) * 2 AS x, SUM(A.p) + SUM(A.q) AS y")
+    assert [(m[0], m[-1]) for m in ok_arith] == [("EXPR", "x"), ("EXPR", "y")]
     with _pytest.raises(NotImplementedError):
         _parse_measures("SUM(A.q * FIRST(A.p)) AS x")  # nav inside agg
     with _pytest.raises(NotImplementedError):
@@ -650,27 +653,31 @@ def test_mr_bare_measure_is_last_and_zero_quant_routes_nfa(spark):
     assert _quant_bounds("{2,5}") == (2, 5)
 
 
-def test_mr_subset_in_define_raises(spark):
-    rows = [(1, 1, "c", 5.0)]
+def test_mr_subset_in_define(spark):
+    """SUBSET union variables resolve inside DEFINE (round-7 grammar close):
+    LAST(U.v, 1) under running semantics reads the union's previous mapped
+    row (the candidate itself is LAST(U.v, 0)), so the B run extends only
+    while values ascend across the WHOLE match, not just within B."""
+    rows = [
+        (1, 1, "c", 1.0), (1, 2, "b", 2.0), (1, 3, "b", 3.0), (1, 4, "b", 2.5),
+    ]
     df = spark.createDataFrame(rows, "k long, seq long, t string, v double")
     df.createOrReplaceTempView("mr_subset_def")
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError, match="SUBSET"):
-        fsql(
-            spark,
-            """
-            SELECT k FROM mr_subset_def MATCH_RECOGNIZE (
-              PARTITION BY k ORDER BY seq
-              MEASURES COUNT(U.*) AS n
-              ONE ROW PER MATCH
-              PATTERN (A B+)
-              SUBSET U = (A, B)
-              DEFINE A AS A.t = 'c',
-                     B AS B.v > LAST(U.v)
-            )
-            """,
+    out = fsql(
+        spark,
+        """
+        SELECT k, n, s FROM mr_subset_def MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES COUNT(U.*) AS n, SUM(U.v) AS s
+          ONE ROW PER MATCH
+          PATTERN (A B+)
+          SUBSET U = (A, B)
+          DEFINE A AS A.t = 'c',
+                 B AS B.t = 'b' AND B.v > LAST(U.v, 1)
         )
+        """,
+    ).collect()
+    assert [(r.k, r.n, r.s) for r in out] == [(1, 3, 6.0)]
 
 
 def test_mr_define_between_in_modulo(spark):
