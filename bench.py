@@ -276,9 +276,13 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.2f}s  {[round(s, 2) for s in samples]}",
               file=sys.stderr)
 
-    streaming = run_streaming_benches(spark)
-
+    # post-sentinel BEFORE the streaming section: it guards the timed
+    # headline sweep against external load; the streaming pipelines leave
+    # state-store/checkpoint threads winding down that would read as
+    # (self-induced) contamination
     sentinel_post = _sentinel(spark)
+
+    streaming = run_streaming_benches(spark)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     load_state, ramped = classify_load(sentinel_pre, sentinel_post, samples_by_query)

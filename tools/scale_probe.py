@@ -1,0 +1,163 @@
+"""Shape-scaling probe: replicate the sf0.1 fixtures Nx with deterministic
+key offsets and time the heaviest registry shapes at 1x vs Nx.
+
+Usage: python tools/scale_probe.py [factor] [query ...]
+       (default: factor 100, the round-7 probe set)
+
+Replication keeps the DISTRIBUTIONS that drive each plan linear in N:
+
+- lineitem/orders: order keys offset per replica -> join fan-in and group
+  cardinalities scale linearly, per-key density constant.
+- events: user_id/event_id offset per replica -> per-key run structure (the
+  MR/CEP state machines' unit of work) is IDENTICAL per replica.
+- documents: doc_id offset AND a per-replica substitution cipher of the text
+  -> every char shingle differs across replicas, so LSH bucket sizes stay
+  ~1x-sized and candidate-pair volume grows linearly. Naive text replication
+  would square the pair count - that would be a DATA pathology (100 exact
+  copies of the corpus), not a shape property. The corpus alphabet is
+  exactly [a-z ], so the cipher is (letter rotation r%25+1) composed with
+  (swap space <-> letter[r//25]) - unique for 650 replicas; an earlier
+  letters-only rotation cycled every 25 replicas, leaving 4 verbatim copies
+  of every doc and a measured 6x superlinear candidate-pair blowup that was
+  probe data, not engine behavior.
+
+The probe runs with the fixture cache OFF: the question is how the
+production scan->shuffle path scales, not how fast a warmed cache is.
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
+
+from pyspark.sql import functions as F
+
+from fries_flink_spark.registry import load_all
+from fries_flink_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PROBES = ["tpcds_q14", "dedup_minhash_lsh", "sql_mr_all_rows", "cep_branchy_any"]
+SMALL_TABLES = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+
+
+def _doc_cipher(r: int) -> tuple[str, str]:
+    """Replica-unique bijection over the corpus alphabet [a-z ]: rotate the
+    letters by r%25+1, then swap space with letter r//25 — the (rotation,
+    swap) pair is distinct for r < 25*26 = 650."""
+    alpha = string.ascii_lowercase
+    s = (r % 25) + 1
+    rot = {c: alpha[(i + s) % 26] for i, c in enumerate(alpha)}
+    swap_l = alpha[(r // 25) % 26]
+    out = {}
+    for c in alpha + " ":
+        m = rot.get(c, c)  # space rotates to itself
+        if m == swap_l:
+            m = " "
+        elif m == " ":
+            m = swap_l
+        out[c] = m
+    src = alpha + " "
+    return src, "".join(out[c] for c in src)
+
+
+def build_scale_dir(spark, factor: int) -> str:
+    out = f"/tmp/spark_graft_scale{factor}"
+    os.makedirs(out, exist_ok=True)
+    rep = spark.range(factor).withColumnRenamed("id", "__rep")
+
+    def done(table: str) -> bool:
+        return os.path.exists(os.path.join(out, f"_DONE_{table}"))
+
+    def mark(table: str) -> None:
+        open(os.path.join(out, f"_DONE_{table}"), "w").write("ok")
+
+    if not done("lineitem"):
+        li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+        ok_span = li.agg(F.max("l_orderkey")).first()[0] + 1
+        li.crossJoin(rep).withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.col("__rep") * ok_span
+        ).drop("__rep").write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+        mark("lineitem")
+
+    if not done("orders"):
+        li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+        ok_span = li.agg(F.max("l_orderkey")).first()[0] + 1
+        o = spark.read.parquet(f"{BASE}/orders.parquet")
+        ck_span = o.agg(F.max("o_custkey")).first()[0] + 1
+        o.crossJoin(rep).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("__rep") * ok_span
+        ).withColumn(
+            # customers replicate too so per-customer order counts stay 1x
+            "o_custkey", F.col("o_custkey") + F.col("__rep") * ck_span
+        ).drop("__rep").write.mode("overwrite").parquet(f"{out}/orders.parquet")
+        mark("orders")
+
+    if not done("events"):
+        ev = spark.read.parquet(f"{BASE}/events.parquet")
+        u_span = ev.agg(F.max("user_id")).first()[0] + 1
+        e_span = ev.agg(F.max("event_id")).first()[0] + 1
+        ev.crossJoin(rep).withColumn(
+            "user_id", F.col("user_id") + F.col("__rep") * u_span
+        ).withColumn(
+            "event_id", F.col("event_id") + F.col("__rep") * e_span
+        ).drop("__rep").write.mode("overwrite").parquet(f"{out}/events.parquet")
+        mark("events")
+
+    if not done("documents"):
+        docs = spark.read.parquet(f"{BASE}/documents.parquet")
+        d_span = docs.agg(F.max("doc_id")).first()[0] + 1
+        shifted = docs.crossJoin(rep).withColumn(
+            "doc_id", F.col("doc_id") + F.col("__rep") * d_span
+        )
+        cases = None
+        for r in range(min(factor, 650)):
+            src, dst = _doc_cipher(r)
+            expr = F.translate(F.col("text"), src, dst)
+            cond = F.col("__rep") % 650 == r
+            cases = F.when(cond, expr) if cases is None else cases.when(cond, expr)
+        shifted.withColumn("text", cases).drop("__rep").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/documents.parquet")
+        mark("documents")
+
+    import shutil
+
+    for t in SMALL_TABLES:
+        src, dst = f"{BASE}/{t}.parquet", f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    names = sys.argv[2:] or PROBES
+    reg = load_all()
+    spark = get_spark(app_name=f"scale-probe-{factor}", cpus=32,
+                      shuffle_partitions=32)
+    t0 = time.time()
+    sdir = build_scale_dir(spark, factor)
+    print(f"scale dir {sdir} ready in {time.time()-t0:.0f}s", file=sys.stderr)
+    for name in names:
+        spec = reg[name]
+        row = [name]
+        for label, d in (("1x", BASE), (f"{factor}x", sdir)):
+            spec.fn(spark, d).write.mode("overwrite").format("noop").save()
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                spec.fn(spark, d).write.mode("overwrite").format("noop").save()
+                ts.append(time.time() - t0)
+            row.append(f"{min(ts):.2f}s")
+        print(f"PROBE {row[0]:28s} 1x {row[1]:>8s}  {factor}x {row[2]:>8s}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
