@@ -82,7 +82,8 @@ _DATE_DIM_COMMON = """
 _ITEM = """
   SELECT p_partkey AS i_item_sk, p_brand AS i_brand, p_type AS i_category,
          p_partkey % 50 AS i_manufact_id, p_name AS i_product_name,
-         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS i_price_cents
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS i_price_cents,
+         substr(p_name, 1, position(' ' IN p_name) - 1) AS i_color
   FROM part
 """
 
@@ -2075,4 +2076,261 @@ FULL OUTER JOIN csci
     "TPC-DS q97 (query97.sql): store/catalog purchase overlap — FULL OUTER "
     "JOIN of the two distinct (customer, item) sets with null-pattern "
     "conditional counts.",
+)
+
+# --------------------------------------------------------------------------- #
+# Round-7 slice extension: the remaining reference variants, same lite schema.
+# --------------------------------------------------------------------------- #
+
+_ds(
+    "tpcds_q8",
+    """
+WITH qual AS (
+  (SELECT c_county FROM customer_dim WHERE c_county IN ('county_0', 'county_2'))
+  INTERSECT
+  (SELECT c_county FROM (
+     SELECT c_county, count(*) AS cnt FROM customer_dim
+     WHERE c_mktsegment = 'BUILDING'
+     GROUP BY c_county HAVING count(*) > 10) a1))
+SELECT s.s_store_name AS s_store_name,
+       CAST(sum(ss.paid_cents - ss.cost_cents) AS BIGINT) AS net_profit_cents
+FROM store_sales ss
+JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+JOIN store s ON ss.store_sk = s.s_store_sk
+JOIN qual v ON s.s_county = v.c_county
+WHERE d.d_qoy = 2 AND d.d_year = 1998
+GROUP BY s.s_store_name
+ORDER BY s_store_name
+LIMIT 100
+""",
+    "TPC-DS q8 (query8.sql): store profit restricted to geographies in the "
+    "INTERSECT of a literal list and the >10-preferred-customers HAVING set "
+    "(lite: county equality stands in for the zip-prefix match).",
+)
+
+_ds(
+    "tpcds_q10",
+    """
+SELECT c.c_mktsegment AS c_mktsegment, c.c_nationkey AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS cnt1,
+       c.c_county AS c_county,
+       CAST(count(*) AS BIGINT) AS cnt2
+FROM customer_dim c
+WHERE c.c_county IN ('county_1', 'county_3')
+  AND EXISTS (
+    SELECT 1 FROM store_sales ss JOIN date_dim d
+      ON ss.sold_date_sk = d.d_date_sk
+    WHERE ss.customer_sk = c.c_customer_sk
+      AND d.d_year = 1997 AND d.d_moy BETWEEN 1 AND 4)
+  AND (EXISTS (
+    SELECT 1 FROM web_sales ws JOIN date_dim d
+      ON ws.sold_date_sk = d.d_date_sk
+    WHERE ws.customer_sk = c.c_customer_sk
+      AND d.d_year = 1997 AND d.d_moy BETWEEN 1 AND 4)
+   OR EXISTS (
+    SELECT 1 FROM catalog_sales cs JOIN date_dim d
+      ON cs.sold_date_sk = d.d_date_sk
+    WHERE cs.customer_sk = c.c_customer_sk
+      AND d.d_year = 1997 AND d.d_moy BETWEEN 1 AND 4))
+GROUP BY c.c_mktsegment, c.c_nationkey, c.c_county
+ORDER BY c_mktsegment, c_nationkey, c_county
+LIMIT 100
+""",
+    "TPC-DS q10 (query10.sql): demographic counts of customers with store "
+    "activity AND (web OR catalog) activity in the same four months — the "
+    "conjunctive-EXISTS + disjunctive-EXISTS decorrelation shape.",
+)
+
+_ds(
+    "tpcds_q20",
+    """
+SELECT i.i_product_name AS i_product_name, i.i_category AS i_category,
+       CAST(sum(cs.paid_cents) AS BIGINT) AS itemrevenue_cents,
+       CAST(floor(sum(cs.paid_cents) * 1e6 /
+            sum(sum(cs.paid_cents)) OVER (PARTITION BY i.i_category) + 0.5)
+            AS BIGINT) AS revenueratio_micro
+FROM catalog_sales cs
+JOIN item i ON cs.item_sk = i.i_item_sk
+JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+WHERE i.i_category IN ('SMALL', 'PROMO', 'ECONOMY')
+  AND d.d_year = 1998 AND d.d_moy BETWEEN 2 AND 3
+GROUP BY i.i_product_name, i.i_category
+ORDER BY i_category, i_product_name
+LIMIT 100
+""",
+    "TPC-DS q20 (query20.sql): catalog-channel revenue share within "
+    "category — q12's windowed sum-over-aggregate ratio with the reference's "
+    "category IN-list predicate and a one-month-plus date window.",
+)
+
+_ds(
+    "tpcds_q24",
+    """
+WITH ssales AS (
+  SELECT c.c_name AS c_name, s.s_store_name AS s_store_name,
+         s.s_state AS s_state, i.i_color AS i_color,
+         i.i_price_cents AS i_price_cents,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS netpaid
+  FROM store_sales ss
+  JOIN store_returns sr
+    ON ss.ticket = sr.ticket AND ss.l_linenumber = sr.l_linenumber
+  JOIN customer_dim c ON ss.customer_sk = c.c_customer_sk
+  JOIN item i ON ss.item_sk = i.i_item_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  WHERE c.c_county = s.s_county
+  GROUP BY c.c_name, s.s_store_name, s.s_state, i.i_color, i.i_price_cents)
+SELECT c_name, s_store_name, CAST(sum(netpaid) AS BIGINT) AS paid_cents
+FROM ssales
+WHERE i_color = 'red'
+GROUP BY c_name, s_store_name
+HAVING sum(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)
+ORDER BY c_name, s_store_name
+LIMIT 100
+""",
+    "TPC-DS q24 (query24a.sql): returned store sales re-aggregated from a "
+    "many-attribute grouped CTE, color-filtered, kept only above 5% of the "
+    "CTE-wide average via a scalar-subquery HAVING (lite: customer/store "
+    "county equality for the zip match, p_name's first word as i_color).",
+)
+
+_ds(
+    "tpcds_q25",
+    """
+SELECT i.i_product_name AS i_product_name, s.s_store_name AS s_store_name,
+       CAST(sum(ss.paid_cents - ss.cost_cents) AS BIGINT)
+         AS store_sales_profit_cents,
+       CAST(sum(sr.paid_cents) AS BIGINT) AS store_returns_loss_cents,
+       CAST(sum(cs.paid_cents - cs.cost_cents) AS BIGINT)
+         AS catalog_sales_profit_cents
+FROM store_sales ss
+JOIN store_returns sr
+  ON ss.ticket = sr.ticket AND ss.l_linenumber = sr.l_linenumber
+JOIN catalog_sales cs
+  ON sr.customer_sk = cs.customer_sk AND sr.item_sk = cs.item_sk
+JOIN date_dim d1 ON ss.sold_date_sk = d1.d_date_sk
+JOIN date_dim d2 ON sr.sold_date_sk = d2.d_date_sk
+JOIN date_dim d3 ON cs.sold_date_sk = d3.d_date_sk
+JOIN store s ON ss.store_sk = s.s_store_sk
+JOIN item i ON ss.item_sk = i.i_item_sk
+WHERE d1.d_moy = 4 AND d1.d_year = 1997
+  AND d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 1997
+  AND d3.d_moy BETWEEN 4 AND 10 AND d3.d_year = 1997
+GROUP BY i.i_product_name, s.s_store_name
+ORDER BY i_product_name, s_store_name
+LIMIT 100
+""",
+    "TPC-DS q25 (query25.sql): the sale -> return -> catalog re-purchase "
+    "profit chain — three fact tables under three date_dim roles with "
+    "per-role month windows, grouped on the item/store dims.",
+)
+
+_ds(
+    "tpcds_q26",
+    """
+WITH promo AS (
+  SELECT i_item_sk AS p_item_sk, i_item_sk % 2 AS p_email,
+         i_item_sk % 3 AS p_event
+  FROM item WHERE i_item_sk % 7 = 0)
+SELECT i.i_product_name AS i_product_name,
+       CAST(floor(CAST(sum(cs.quantity) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS agg1_micro,
+       CAST(floor(CAST(sum(cs.list_cents) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS agg2_micro,
+       CAST(floor(CAST(sum(cs.disc_cents) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS agg3_micro,
+       CAST(floor(CAST(sum(cs.paid_cents) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS agg4_micro
+FROM catalog_sales cs
+JOIN customer_dim c ON cs.customer_sk = c.c_customer_sk
+JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+JOIN item i ON cs.item_sk = i.i_item_sk
+JOIN promo p ON cs.item_sk = p.p_item_sk
+WHERE c.c_mktsegment = 'MACHINERY'
+  AND (p.p_email = 0 OR p.p_event = 0)
+  AND d.d_year = 1996
+GROUP BY i.i_product_name
+ORDER BY i_product_name
+LIMIT 100
+""",
+    "TPC-DS q26 (query26.sql): catalog per-item averages under a "
+    "demographic filter and a promotion-channel disjunction (lite: customer "
+    "segment for demographics, the deterministic promo subset of item with "
+    "parity flags for the channel columns). Averages in micro-units of "
+    "exact integer sums.",
+)
+
+_ds(
+    "tpcds_q27",
+    """
+SELECT i.i_product_name AS i_product_name, s.s_state AS s_state,
+       CAST(grouping(s.s_state) AS BIGINT) AS g_state,
+       CAST(floor(CAST(sum(ss.quantity) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS agg1_micro,
+       CAST(floor(CAST(sum(ss.list_cents) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS agg2_micro,
+       CAST(floor(CAST(sum(ss.disc_cents) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS agg3_micro,
+       CAST(floor(CAST(sum(ss.paid_cents) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS agg4_micro
+FROM store_sales ss
+JOIN customer_dim c ON ss.customer_sk = c.c_customer_sk
+JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+JOIN store s ON ss.store_sk = s.s_store_sk
+JOIN item i ON ss.item_sk = i.i_item_sk
+WHERE c.c_mktsegment = 'FURNITURE'
+  AND d.d_year = 1997
+  AND s.s_state IN ('ST_0', 'ST_1')
+GROUP BY ROLLUP (i.i_product_name, s.s_state)
+ORDER BY i_product_name NULLS FIRST, s_state NULLS FIRST
+LIMIT 100
+""",
+    "TPC-DS q27 (query27.sql): store per-item/state averages under "
+    "demographic + state filters with a ROLLUP and the grouping() flag "
+    "column — q26's star on the store channel plus the rollup lattice.",
+)
+
+_ds(
+    "tpcds_q37",
+    """
+SELECT i.i_product_name AS i_product_name, i.i_price_cents AS i_price_cents
+FROM item i
+JOIN inventory inv ON inv.inv_item_sk = i.i_item_sk
+JOIN catalog_sales cs ON cs.item_sk = i.i_item_sk
+WHERE i.i_price_cents BETWEEN 10000 AND 140000
+  AND i.i_manufact_id IN (7, 14, 21, 28)
+  AND inv.inv_moy BETWEEN 1 AND 2
+  AND inv.inv_qty BETWEEN 20 AND 80
+GROUP BY i.i_product_name, i.i_price_cents
+ORDER BY i_product_name
+LIMIT 100
+""",
+    "TPC-DS q37 (query37.sql): catalog-sold items with in-band warehouse "
+    "inventory in a two-month window — fact-join-as-EXISTS dedup via GROUP "
+    "BY over the item attributes (lite inventory keys by month/week).",
+)
+
+_ds(
+    "tpcds_q41",
+    """
+SELECT DISTINCT i1.i_product_name AS i_product_name
+FROM item i1
+WHERE i1.i_manufact_id BETWEEN 20 AND 40
+  AND (SELECT count(*) FROM item i2
+       WHERE i2.i_manufact_id = i1.i_manufact_id
+         AND ((i2.i_category IN ('STANDARD', 'MEDIUM')
+               AND i2.i_color IN ('red', 'blue')
+               AND i2.i_price_cents BETWEEN 90000 AND 150000)
+          OR (i2.i_category IN ('SMALL', 'LARGE')
+               AND i2.i_color IN ('hot', 'cold')
+               AND i2.i_price_cents BETWEEN 100000 AND 160000)
+          OR (i2.i_category IN ('ECONOMY', 'PROMO')
+               AND i2.i_color IN ('old', 'new')
+               AND i2.i_price_cents BETWEEN 110000 AND 170000))) > 0
+ORDER BY i_product_name
+LIMIT 100
+""",
+    "TPC-DS q41 (query41.sql): manufacturers carrying any item matching an "
+    "OR battery of category/color/price conjunctions — correlated scalar "
+    "count() over the same dim with the correlation factored over the "
+    "disjunction, DISTINCT product output.",
 )
