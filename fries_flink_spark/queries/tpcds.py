@@ -2334,3 +2334,653 @@ LIMIT 100
     "count() over the same dim with the correlation factored over the "
     "disjunction, DISTINCT product output.",
 )
+
+_ds(
+    "tpcds_q45",
+    """
+SELECT c.c_county AS c_county, c.c_nationkey AS c_nationkey,
+       CAST(sum(ws.paid_cents) AS BIGINT) AS sales_cents
+FROM web_sales ws
+JOIN customer_dim c ON ws.customer_sk = c.c_customer_sk
+JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+JOIN item i ON ws.item_sk = i.i_item_sk
+WHERE (c.c_county IN ('county_0', 'county_2')
+   OR i.i_product_name IN (
+        SELECT i_product_name FROM item
+        WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+  AND d.d_qoy = 2 AND d.d_year = 1997
+GROUP BY c.c_county, c.c_nationkey
+ORDER BY c_county, c_nationkey
+LIMIT 100
+""",
+    "TPC-DS q45 (query45.sql): web revenue by customer geography where the "
+    "geography is in a literal list OR the item is in an IN-subquery-derived "
+    "set — the disjunctive semi-join (ExistenceJoin) shape.",
+)
+
+_ds(
+    "tpcds_q46",
+    """
+SELECT c.c_name AS c_name, c.c_county AS current_county,
+       dn.bought_county AS bought_county, dn.ticket AS ticket,
+       dn.amt_cents AS amt_cents, dn.profit_cents AS profit_cents
+FROM (
+  SELECT ss.ticket AS ticket, ss.customer_sk AS customer_sk,
+         s.s_county AS bought_county,
+         CAST(sum(ss.disc_cents) AS BIGINT) AS amt_cents,
+         CAST(sum(ss.paid_cents - ss.cost_cents) AS BIGINT) AS profit_cents
+  FROM store_sales ss
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  WHERE d.d_dow IN (6, 0) AND d.d_year IN (1996, 1997, 1998)
+    AND s.s_state IN ('ST_0', 'ST_2')
+  GROUP BY ss.ticket, ss.customer_sk, s.s_county) dn
+JOIN customer_dim c ON dn.customer_sk = c.c_customer_sk
+WHERE c.c_county <> dn.bought_county
+ORDER BY c_name, ticket, bought_county
+LIMIT 100
+""",
+    "TPC-DS q46 (query46.sql): weekend ticket-level coupon/profit rollup in "
+    "selected store geographies, re-joined to the customer and kept where "
+    "the purchase county differs from the customer's current county.",
+)
+
+_ds(
+    "tpcds_q48",
+    """
+SELECT CAST(sum(ss.quantity) AS BIGINT) AS quantity_total
+FROM store_sales ss
+JOIN store s ON ss.store_sk = s.s_store_sk
+JOIN customer_dim c ON ss.customer_sk = c.c_customer_sk
+JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+WHERE d.d_year = 1997
+  AND ((c.c_mktsegment = 'AUTOMOBILE'
+        AND ss.paid_cents BETWEEN 100000 AND 150000)
+    OR (c.c_mktsegment = 'BUILDING'
+        AND ss.paid_cents BETWEEN 50000 AND 100000)
+    OR (c.c_mktsegment = 'MACHINERY'
+        AND ss.paid_cents BETWEEN 150000 AND 200000))
+  AND ((c.c_nationkey IN (0, 5, 10)
+        AND ss.paid_cents - ss.cost_cents BETWEEN 0 AND 200000)
+    OR (c.c_nationkey IN (1, 6, 11)
+        AND ss.paid_cents - ss.cost_cents BETWEEN 15000 AND 300000)
+    OR (c.c_nationkey IN (2, 7, 12)
+        AND ss.paid_cents - ss.cost_cents BETWEEN 5000 AND 2500000))
+""",
+    "TPC-DS q48 (query48.sql): single-total quantity under two conjoined "
+    "OR batteries — (demographic x price band) and (geography x profit "
+    "band) — the multi-disjunct pushdown shape (lite: segment/nation for "
+    "marital-education and state).",
+)
+
+_ds(
+    "tpcds_q49",
+    """
+WITH web AS (
+  SELECT item, return_ratio_micro, currency_ratio_micro,
+         rank() OVER (ORDER BY return_ratio_micro) AS return_rank,
+         rank() OVER (ORDER BY currency_ratio_micro) AS currency_rank
+  FROM (
+    SELECT ws.item_sk AS item,
+           CAST(floor(CAST(sum(coalesce(wr.quantity, 0)) AS DOUBLE) * 1e6
+                / sum(ws.quantity) + 0.5) AS BIGINT) AS return_ratio_micro,
+           CAST(floor(CAST(sum(coalesce(wr.paid_cents, 0)) AS DOUBLE) * 1e6
+                / sum(ws.paid_cents) + 0.5) AS BIGINT) AS currency_ratio_micro
+    FROM web_sales ws
+    LEFT JOIN web_returns wr
+      ON ws.ticket = wr.ticket AND ws.l_linenumber = wr.l_linenumber
+    JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+    WHERE wr.paid_cents > 5000 AND ws.paid_cents > 0 AND ws.quantity > 0
+      AND d.d_year = 1997 AND d.d_moy = 12
+    GROUP BY ws.item_sk) in_web),
+cat AS (
+  SELECT item, return_ratio_micro, currency_ratio_micro,
+         rank() OVER (ORDER BY return_ratio_micro) AS return_rank,
+         rank() OVER (ORDER BY currency_ratio_micro) AS currency_rank
+  FROM (
+    SELECT cs.item_sk AS item,
+           CAST(floor(CAST(sum(coalesce(cr.quantity, 0)) AS DOUBLE) * 1e6
+                / sum(cs.quantity) + 0.5) AS BIGINT) AS return_ratio_micro,
+           CAST(floor(CAST(sum(coalesce(cr.paid_cents, 0)) AS DOUBLE) * 1e6
+                / sum(cs.paid_cents) + 0.5) AS BIGINT) AS currency_ratio_micro
+    FROM catalog_sales cs
+    LEFT JOIN catalog_returns cr
+      ON cs.ticket = cr.ticket AND cs.l_linenumber = cr.l_linenumber
+    JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+    WHERE cr.paid_cents > 5000 AND cs.paid_cents > 0 AND cs.quantity > 0
+      AND d.d_year = 1997 AND d.d_moy = 12
+    GROUP BY cs.item_sk) in_cat),
+str AS (
+  SELECT item, return_ratio_micro, currency_ratio_micro,
+         rank() OVER (ORDER BY return_ratio_micro) AS return_rank,
+         rank() OVER (ORDER BY currency_ratio_micro) AS currency_rank
+  FROM (
+    SELECT ss.item_sk AS item,
+           CAST(floor(CAST(sum(coalesce(sr.quantity, 0)) AS DOUBLE) * 1e6
+                / sum(ss.quantity) + 0.5) AS BIGINT) AS return_ratio_micro,
+           CAST(floor(CAST(sum(coalesce(sr.paid_cents, 0)) AS DOUBLE) * 1e6
+                / sum(ss.paid_cents) + 0.5) AS BIGINT) AS currency_ratio_micro
+    FROM store_sales ss
+    LEFT JOIN store_returns sr
+      ON ss.ticket = sr.ticket AND ss.l_linenumber = sr.l_linenumber
+    JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+    WHERE sr.paid_cents > 5000 AND ss.paid_cents > 0 AND ss.quantity > 0
+      AND d.d_year = 1997 AND d.d_moy = 12
+    GROUP BY ss.item_sk) in_str)
+SELECT channel, item, return_ratio_micro, return_rank, currency_rank
+FROM (
+  SELECT 'web' AS channel, * FROM web
+  WHERE return_rank <= 10 OR currency_rank <= 10
+  UNION
+  SELECT 'catalog' AS channel, * FROM cat
+  WHERE return_rank <= 10 OR currency_rank <= 10
+  UNION
+  SELECT 'store' AS channel, * FROM str
+  WHERE return_rank <= 10 OR currency_rank <= 10) u
+ORDER BY channel, return_rank, currency_rank, item
+LIMIT 100
+""",
+    "TPC-DS q49 (query49.sql): per-channel worst-return-ratio report — "
+    "outer-join return ratios per item, double rank() windows (quantity "
+    "ratio and currency ratio), top-10-by-either filter, channel UNION. "
+    "Ratios in micro-units so both engines rank identical integers; rank "
+    "ties collapse identically under rank() semantics.",
+)
+
+_ds(
+    "tpcds_q50",
+    """
+SELECT s.s_store_name AS s_store_name, s.s_county AS s_county,
+       s.s_state AS s_state,
+       CAST(sum(CASE WHEN x.lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d_30,
+       CAST(sum(CASE WHEN x.lag_days > 30 AND x.lag_days <= 60
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d_31_60,
+       CAST(sum(CASE WHEN x.lag_days > 60 AND x.lag_days <= 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d_61_90,
+       CAST(sum(CASE WHEN x.lag_days > 90 AND x.lag_days <= 120
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d_91_120,
+       CAST(sum(CASE WHEN x.lag_days > 120 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d_over_120
+FROM (
+  SELECT ss.store_sk AS store_sk,
+         (ss.ticket * 7 + ss.l_linenumber * 31) % 150 AS lag_days
+  FROM store_sales ss
+  JOIN store_returns sr
+    ON ss.ticket = sr.ticket AND ss.l_linenumber = sr.l_linenumber
+  JOIN date_dim d1 ON ss.sold_date_sk = d1.d_date_sk
+  WHERE d1.d_year = 1997 AND d1.d_moy = 8) x
+JOIN store s ON x.store_sk = s.s_store_sk
+GROUP BY s.s_store_name, s.s_county, s.s_state
+ORDER BY s_store_name, s_county, s_state
+LIMIT 100
+""",
+    "TPC-DS q50 (query50.sql): sale-to-return lag histogram per store — "
+    "five CASE day-band counts over sale/return matched pairs (lite: the "
+    "lag is a deterministic hash of the ticket/line pair, since the lite "
+    "returns carry the sale's own date; the reference's second date role "
+    "is exercised by q25).",
+)
+
+_ds(
+    "tpcds_q52",
+    """
+SELECT d.d_year AS d_year, i.i_brand AS brand,
+       CAST(sum(ss.paid_cents) AS BIGINT) AS ext_price_cents
+FROM date_dim d
+JOIN store_sales ss ON d.d_date_sk = ss.sold_date_sk
+JOIN item i ON ss.item_sk = i.i_item_sk
+WHERE i.i_manufact_id = 1 AND d.d_moy = 11 AND d.d_year = 1997
+GROUP BY d.d_year, i.i_brand
+ORDER BY ext_price_cents DESC, brand
+LIMIT 100
+""",
+    "TPC-DS q52 (query52.sql): single-manufacturer brand revenue in one "
+    "month — the q55 star probe keyed on the manager/manufact dimension "
+    "with revenue-descending output.",
+)
+
+_ds(
+    "tpcds_q53",
+    """
+SELECT i_manufact_id, d_qoy, sum_sales_cents, avg_quarterly_cents
+FROM (
+  SELECT i.i_manufact_id AS i_manufact_id, d.d_qoy AS d_qoy,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS sum_sales_cents,
+         CAST(floor(avg(sum(ss.paid_cents))
+              OVER (PARTITION BY i.i_manufact_id) + 0.5) AS BIGINT)
+           AS avg_quarterly_cents
+  FROM item i
+  JOIN store_sales ss ON ss.item_sk = i.i_item_sk
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  WHERE d.d_year = 1997
+    AND ((i.i_category IN ('STANDARD', 'MEDIUM')
+          AND i.i_color IN ('red', 'blue', 'hot', 'cold'))
+      OR (i.i_category IN ('ECONOMY', 'PROMO')
+          AND i.i_color IN ('old', 'new', 'small', 'large')))
+  GROUP BY i.i_manufact_id, d.d_qoy) tmp1
+WHERE CASE WHEN avg_quarterly_cents > 0
+           THEN abs(sum_sales_cents - avg_quarterly_cents) * 10
+                - avg_quarterly_cents
+           ELSE NULL END > 0
+ORDER BY avg_quarterly_cents, sum_sales_cents, i_manufact_id, d_qoy
+LIMIT 100
+""",
+    "TPC-DS q53 (query53.sql): quarterly manufacturer sales more than 10% "
+    "off the manufacturer's average quarter — avg-of-sum window over a "
+    "grouped OR-battery star, the >0.1 deviation predicate cross-multiplied "
+    "into exact integers inside the reference's CASE guard.",
+)
+
+_ds(
+    "tpcds_q54",
+    """
+WITH my_customers AS (
+  SELECT DISTINCT customer_sk FROM (
+    SELECT cs.customer_sk AS customer_sk
+    FROM catalog_sales cs
+    JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+    JOIN item i ON cs.item_sk = i.i_item_sk
+    WHERE i.i_category = 'STANDARD' AND d.d_moy = 12 AND d.d_year = 1996
+    UNION ALL
+    SELECT ws.customer_sk AS customer_sk
+    FROM web_sales ws
+    JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+    JOIN item i ON ws.item_sk = i.i_item_sk
+    WHERE i.i_category = 'STANDARD' AND d.d_moy = 12 AND d.d_year = 1996
+  ) cs_or_ws),
+my_revenue AS (
+  SELECT mc.customer_sk AS customer_sk,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS revenue_cents
+  FROM my_customers mc
+  JOIN store_sales ss ON ss.customer_sk = mc.customer_sk
+  JOIN customer_dim c ON mc.customer_sk = c.c_customer_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  WHERE c.c_county = s.s_county
+    AND d.d_year * 12 + d.d_moy BETWEEN
+        (SELECT DISTINCT d_year * 12 + d_moy + 1 FROM date_dim
+         WHERE d_year = 1996 AND d_moy = 12)
+        AND
+        (SELECT DISTINCT d_year * 12 + d_moy + 3 FROM date_dim
+         WHERE d_year = 1996 AND d_moy = 12)
+  GROUP BY mc.customer_sk)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS num_customers,
+       segment * 5000 AS segment_base_cents
+FROM (SELECT CAST(floor(revenue_cents / 5000.0) AS BIGINT) AS segment
+      FROM my_revenue) segments
+GROUP BY segment
+ORDER BY segment
+LIMIT 100
+""",
+    "TPC-DS q54 (query54.sql): revenue histogram of cross-channel December "
+    "shoppers buying again at home-county stores in the following quarter — "
+    "channel-union DISTINCT customer set, scalar-subquery month bounds "
+    "(lite month_seq = year*12 + moy), 50-dollar segment buckets.",
+)
+
+_ds(
+    "tpcds_q56",
+    """
+WITH sel_items AS (
+  SELECT i_item_sk, i_product_name FROM item
+  WHERE i_color IN ('red', 'blue')),
+ss AS (
+  SELECT i.i_product_name AS item_id,
+         CAST(sum(s.paid_cents) AS BIGINT) AS total_sales
+  FROM store_sales s
+  JOIN item i ON s.item_sk = i.i_item_sk
+  JOIN customer_dim c ON s.customer_sk = c.c_customer_sk
+  JOIN date_dim d ON s.sold_date_sk = d.d_date_sk
+  WHERE i.i_item_sk IN (SELECT i_item_sk FROM sel_items)
+    AND d.d_year = 1997 AND d.d_moy = 2 AND c.c_nationkey < 10
+  GROUP BY i.i_product_name),
+cs AS (
+  SELECT i.i_product_name AS item_id,
+         CAST(sum(s.paid_cents) AS BIGINT) AS total_sales
+  FROM catalog_sales s
+  JOIN item i ON s.item_sk = i.i_item_sk
+  JOIN customer_dim c ON s.customer_sk = c.c_customer_sk
+  JOIN date_dim d ON s.sold_date_sk = d.d_date_sk
+  WHERE i.i_item_sk IN (SELECT i_item_sk FROM sel_items)
+    AND d.d_year = 1997 AND d.d_moy = 2 AND c.c_nationkey < 10
+  GROUP BY i.i_product_name),
+ws AS (
+  SELECT i.i_product_name AS item_id,
+         CAST(sum(s.paid_cents) AS BIGINT) AS total_sales
+  FROM web_sales s
+  JOIN item i ON s.item_sk = i.i_item_sk
+  JOIN customer_dim c ON s.customer_sk = c.c_customer_sk
+  JOIN date_dim d ON s.sold_date_sk = d.d_date_sk
+  WHERE i.i_item_sk IN (SELECT i_item_sk FROM sel_items)
+    AND d.d_year = 1997 AND d.d_moy = 2 AND c.c_nationkey < 10
+  GROUP BY i.i_product_name)
+SELECT item_id, CAST(sum(total_sales) AS BIGINT) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws) tmp1
+GROUP BY item_id
+ORDER BY item_id
+LIMIT 100
+""",
+    "TPC-DS q56 (query56.sql): color-selected items totalled across the "
+    "three channels — per-channel grouped CTEs behind a shared IN-subquery "
+    "item filter, UNION ALL re-aggregation (lite: nationkey band for the "
+    "gmt-offset address filter).",
+)
+
+_ds(
+    "tpcds_q58",
+    """
+WITH wk AS (
+  SELECT DISTINCT d_week_seq FROM date_dim
+  WHERE d_year = 1997 AND d_qoy = 1),
+ss_items AS (
+  SELECT i.i_product_name AS item_id,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS ss_item_rev
+  FROM store_sales ss
+  JOIN item i ON ss.item_sk = i.i_item_sk
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  WHERE d.d_week_seq IN (SELECT d_week_seq FROM wk)
+  GROUP BY i.i_product_name),
+cs_items AS (
+  SELECT i.i_product_name AS item_id,
+         CAST(sum(cs.paid_cents) AS BIGINT) AS cs_item_rev
+  FROM catalog_sales cs
+  JOIN item i ON cs.item_sk = i.i_item_sk
+  JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+  WHERE d.d_week_seq IN (SELECT d_week_seq FROM wk)
+  GROUP BY i.i_product_name),
+ws_items AS (
+  SELECT i.i_product_name AS item_id,
+         CAST(sum(ws.paid_cents) AS BIGINT) AS ws_item_rev
+  FROM web_sales ws
+  JOIN item i ON ws.item_sk = i.i_item_sk
+  JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  WHERE d.d_week_seq IN (SELECT d_week_seq FROM wk)
+  GROUP BY i.i_product_name)
+SELECT ss_items.item_id AS item_id,
+       ss_item_rev,
+       CAST(floor(CAST(ss_item_rev AS DOUBLE)
+            / (ss_item_rev + cs_item_rev + ws_item_rev) / 3 * 100 * 1e4 + 0.5)
+            AS BIGINT) AS ss_dev_micro,
+       cs_item_rev,
+       CAST(floor(CAST(cs_item_rev AS DOUBLE)
+            / (ss_item_rev + cs_item_rev + ws_item_rev) / 3 * 100 * 1e4 + 0.5)
+            AS BIGINT) AS cs_dev_micro,
+       ws_item_rev,
+       CAST(floor(CAST(ws_item_rev AS DOUBLE)
+            / (ss_item_rev + cs_item_rev + ws_item_rev) / 3 * 100 * 1e4 + 0.5)
+            AS BIGINT) AS ws_dev_micro,
+       CAST(floor((ss_item_rev + cs_item_rev + ws_item_rev) / 3.0 + 0.5)
+            AS BIGINT) AS average_cents
+FROM ss_items
+JOIN cs_items ON ss_items.item_id = cs_items.item_id
+JOIN ws_items ON ss_items.item_id = ws_items.item_id
+WHERE ss_item_rev * 10 BETWEEN cs_item_rev * 5 AND cs_item_rev * 15
+  AND ss_item_rev * 10 BETWEEN ws_item_rev * 5 AND ws_item_rev * 15
+  AND cs_item_rev * 10 BETWEEN ss_item_rev * 5 AND ss_item_rev * 15
+  AND cs_item_rev * 10 BETWEEN ws_item_rev * 5 AND ws_item_rev * 15
+  AND ws_item_rev * 10 BETWEEN ss_item_rev * 5 AND ss_item_rev * 15
+  AND ws_item_rev * 10 BETWEEN cs_item_rev * 5 AND cs_item_rev * 15
+ORDER BY item_id, ss_item_rev
+LIMIT 100
+""",
+    "TPC-DS q58 (query58.sql): items selling within band of each other "
+    "across all three channels in a subquery-selected set of weeks (lite: "
+    "one quarter; the single reference week holds no 3-channel item at "
+    "fixture scale), six symmetric band predicates as exact "
+    "integer cross-multiples (0.5x <= y <= 1.5x <=> 10y BETWEEN 5x AND 15x; "
+    "the reference's 10% band is empty at lite fixture scale).",
+)
+
+_ds(
+    "tpcds_q60",
+    """
+WITH sel_items AS (
+  SELECT i_item_sk, i_product_name FROM item WHERE i_category = 'LARGE'),
+ss AS (
+  SELECT i.i_product_name AS item_id,
+         CAST(sum(s.paid_cents) AS BIGINT) AS total_sales
+  FROM store_sales s
+  JOIN item i ON s.item_sk = i.i_item_sk
+  JOIN customer_dim c ON s.customer_sk = c.c_customer_sk
+  JOIN date_dim d ON s.sold_date_sk = d.d_date_sk
+  WHERE i.i_item_sk IN (SELECT i_item_sk FROM sel_items)
+    AND d.d_year = 1996 AND d.d_moy = 9 AND c.c_nationkey < 10
+  GROUP BY i.i_product_name),
+cs AS (
+  SELECT i.i_product_name AS item_id,
+         CAST(sum(s.paid_cents) AS BIGINT) AS total_sales
+  FROM catalog_sales s
+  JOIN item i ON s.item_sk = i.i_item_sk
+  JOIN customer_dim c ON s.customer_sk = c.c_customer_sk
+  JOIN date_dim d ON s.sold_date_sk = d.d_date_sk
+  WHERE i.i_item_sk IN (SELECT i_item_sk FROM sel_items)
+    AND d.d_year = 1996 AND d.d_moy = 9 AND c.c_nationkey < 10
+  GROUP BY i.i_product_name),
+ws AS (
+  SELECT i.i_product_name AS item_id,
+         CAST(sum(s.paid_cents) AS BIGINT) AS total_sales
+  FROM web_sales s
+  JOIN item i ON s.item_sk = i.i_item_sk
+  JOIN customer_dim c ON s.customer_sk = c.c_customer_sk
+  JOIN date_dim d ON s.sold_date_sk = d.d_date_sk
+  WHERE i.i_item_sk IN (SELECT i_item_sk FROM sel_items)
+    AND d.d_year = 1996 AND d.d_moy = 9 AND c.c_nationkey < 10
+  GROUP BY i.i_product_name)
+SELECT item_id, CAST(sum(total_sales) AS BIGINT) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws) tmp1
+GROUP BY item_id
+ORDER BY item_id, total_sales
+LIMIT 100
+""",
+    "TPC-DS q60 (query60.sql): q56's three-channel union re-aggregation "
+    "with the category (not color) item filter and a different month — the "
+    "reference treats the two as distinct planner validations.",
+)
+
+_ds(
+    "tpcds_q61",
+    """
+WITH promo AS (
+  SELECT i_item_sk AS p_item_sk, i_item_sk % 2 AS p_dmail,
+         i_item_sk % 3 AS p_tv
+  FROM item WHERE i_item_sk % 7 = 0)
+SELECT promotions_cents, total_cents,
+       CAST(floor(CAST(promotions_cents AS DOUBLE) * 1e6
+            / total_cents + 0.5) AS BIGINT) AS promo_ratio_micro
+FROM
+  (SELECT CAST(sum(ss.paid_cents) AS BIGINT) AS promotions_cents
+   FROM store_sales ss
+   JOIN store s ON ss.store_sk = s.s_store_sk
+   JOIN promo p ON ss.item_sk = p.p_item_sk
+   JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+   JOIN customer_dim c ON ss.customer_sk = c.c_customer_sk
+   JOIN item i ON ss.item_sk = i.i_item_sk
+   WHERE c.c_nationkey < 10 AND i.i_category = 'STANDARD'
+     AND (p.p_dmail = 0 OR p.p_tv = 0)
+     AND s.s_state = 'ST_1'
+     AND d.d_year = 1997 AND d.d_moy = 11) promotional_sales
+CROSS JOIN
+  (SELECT CAST(sum(ss.paid_cents) AS BIGINT) AS total_cents
+   FROM store_sales ss
+   JOIN store s ON ss.store_sk = s.s_store_sk
+   JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+   JOIN customer_dim c ON ss.customer_sk = c.c_customer_sk
+   JOIN item i ON ss.item_sk = i.i_item_sk
+   WHERE c.c_nationkey < 10 AND i.i_category = 'STANDARD'
+     AND s.s_state = 'ST_1'
+     AND d.d_year = 1997 AND d.d_moy = 11) all_sales
+""",
+    "TPC-DS q61 (query61.sql): promotional share of category revenue — two "
+    "single-row aggregate subqueries (with/without the promotion star arm) "
+    "cross-joined into one ratio row, micro-unit division.",
+)
+
+_ds(
+    "tpcds_q62",
+    """
+SELECT w.w_warehouse_name AS w_warehouse_name,
+       x.sm_mode AS sm_mode,
+       CAST(sum(CASE WHEN x.lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d_30,
+       CAST(sum(CASE WHEN x.lag_days > 30 AND x.lag_days <= 60
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d_31_60,
+       CAST(sum(CASE WHEN x.lag_days > 60 AND x.lag_days <= 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d_61_90,
+       CAST(sum(CASE WHEN x.lag_days > 90 AND x.lag_days <= 120
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d_91_120,
+       CAST(sum(CASE WHEN x.lag_days > 120 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d_over_120
+FROM (
+  SELECT ws.warehouse_sk AS warehouse_sk,
+         ws.ticket % 4 AS sm_mode,
+         (ws.ticket * 11 + ws.l_linenumber * 41) % 160 AS lag_days
+  FROM web_sales ws
+  JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1997) x
+JOIN warehouse w ON x.warehouse_sk = w.w_warehouse_sk
+GROUP BY w.w_warehouse_name, x.sm_mode
+ORDER BY w_warehouse_name, sm_mode
+LIMIT 100
+""",
+    "TPC-DS q62 (query62.sql): web order ship-lag histogram per warehouse "
+    "and ship mode — the five-band CASE pivot (lite: deterministic "
+    "ticket-hash lag and ticket-parity ship mode for the missing "
+    "ship_date/ship_mode/web_site dims).",
+)
+
+_ds(
+    "tpcds_q63",
+    """
+SELECT i_brand, d_moy, sum_sales_cents, avg_monthly_cents
+FROM (
+  SELECT i.i_brand AS i_brand, d.d_moy AS d_moy,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS sum_sales_cents,
+         CAST(floor(avg(sum(ss.paid_cents))
+              OVER (PARTITION BY i.i_brand) + 0.5) AS BIGINT)
+           AS avg_monthly_cents
+  FROM item i
+  JOIN store_sales ss ON ss.item_sk = i.i_item_sk
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  WHERE d.d_year = 1997
+    AND ((i.i_category IN ('STANDARD', 'MEDIUM')
+          AND i.i_color IN ('red', 'blue', 'hot', 'cold'))
+      OR (i.i_category IN ('ECONOMY', 'PROMO')
+          AND i.i_color IN ('old', 'new', 'small', 'large')))
+  GROUP BY i.i_brand, d.d_moy) tmp1
+WHERE CASE WHEN avg_monthly_cents > 0
+           THEN abs(sum_sales_cents - avg_monthly_cents) * 10
+                - avg_monthly_cents
+           ELSE NULL END > 0
+ORDER BY i_brand, avg_monthly_cents, sum_sales_cents, d_moy
+LIMIT 100
+""",
+    "TPC-DS q63 (query63.sql): q53's monthly twin — brand-month sales more "
+    "than 10% off the brand's average month (lite brand for manager_id), "
+    "same integer cross-multiplied deviation inside the CASE guard.",
+)
+
+_ds(
+    "tpcds_q68",
+    """
+SELECT c.c_name AS c_name, c.c_county AS current_county,
+       dn.bought_county AS bought_county, dn.ticket AS ticket,
+       dn.extended_cents AS extended_cents,
+       dn.list_cents AS list_cents, dn.disc_cents AS disc_cents
+FROM (
+  SELECT ss.ticket AS ticket, ss.customer_sk AS customer_sk,
+         s.s_county AS bought_county,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS extended_cents,
+         CAST(sum(ss.list_cents) AS BIGINT) AS list_cents,
+         CAST(sum(ss.disc_cents) AS BIGINT) AS disc_cents
+  FROM store_sales ss
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  WHERE d.d_dom BETWEEN 1 AND 2
+    AND d.d_year IN (1996, 1997, 1998)
+    AND s.s_county IN ('county_1', 'county_2')
+  GROUP BY ss.ticket, ss.customer_sk, s.s_county) dn
+JOIN customer_dim c ON dn.customer_sk = c.c_customer_sk
+WHERE c.c_county <> dn.bought_county
+ORDER BY c_name, ticket, bought_county
+LIMIT 100
+""",
+    "TPC-DS q68 (query68.sql): q46's month-start sibling — ticket-level "
+    "extended/list/discount sums for first-two-days-of-month shopping away "
+    "from the home county.",
+)
+
+_ds(
+    "tpcds_q71",
+    """
+SELECT i.i_brand AS brand, tmp.t_hour AS t_hour, tmp.t_minute AS t_minute,
+       CAST(sum(tmp.ext_cents) AS BIGINT) AS ext_price_cents
+FROM item i
+JOIN (
+  SELECT ws.paid_cents AS ext_cents, ws.item_sk AS sold_item_sk,
+         (ws.ticket * 7 + ws.l_linenumber) % 24 AS t_hour,
+         (ws.ticket * 13 + ws.l_linenumber * 3) % 60 AS t_minute
+  FROM web_sales ws
+  JOIN date_dim d ON d.d_date_sk = ws.sold_date_sk
+  WHERE d.d_moy = 11 AND d.d_year = 1997
+  UNION ALL
+  SELECT cs.paid_cents AS ext_cents, cs.item_sk AS sold_item_sk,
+         (cs.ticket * 7 + cs.l_linenumber) % 24 AS t_hour,
+         (cs.ticket * 13 + cs.l_linenumber * 3) % 60 AS t_minute
+  FROM catalog_sales cs
+  JOIN date_dim d ON d.d_date_sk = cs.sold_date_sk
+  WHERE d.d_moy = 11 AND d.d_year = 1997
+  UNION ALL
+  SELECT ss.paid_cents AS ext_cents, ss.item_sk AS sold_item_sk,
+         (ss.ticket * 7 + ss.l_linenumber) % 24 AS t_hour,
+         (ss.ticket * 13 + ss.l_linenumber * 3) % 60 AS t_minute
+  FROM store_sales ss
+  JOIN date_dim d ON d.d_date_sk = ss.sold_date_sk
+  WHERE d.d_moy = 11 AND d.d_year = 1997
+) tmp ON tmp.sold_item_sk = i.i_item_sk
+WHERE i.i_manufact_id = 1
+  AND (tmp.t_hour BETWEEN 6 AND 8 OR tmp.t_hour BETWEEN 18 AND 20)
+GROUP BY i.i_brand, tmp.t_hour, tmp.t_minute
+ORDER BY ext_price_cents DESC, brand, t_hour, t_minute
+LIMIT 100
+""",
+    "TPC-DS q71 (query71.sql): breakfast/dinner brand revenue by "
+    "hour/minute across the three channels — channel UNION ALL into a time "
+    "star (lite: deterministic ticket-hash hour/minute for the missing "
+    "time_dim, meal windows as hour bands).",
+)
+
+_ds(
+    "tpcds_q73",
+    """
+SELECT c.c_name AS c_name, c.c_mktsegment AS c_mktsegment,
+       dj.ticket AS ticket, dj.cnt AS cnt
+FROM (
+  SELECT ss.ticket AS ticket, ss.customer_sk AS customer_sk,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM store_sales ss
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  WHERE d.d_dom BETWEEN 1 AND 2
+    AND d.d_year IN (1996, 1997, 1998)
+    AND s.s_county IN ('county_0', 'county_3')
+  GROUP BY ss.ticket, ss.customer_sk) dj
+JOIN customer_dim c ON dj.customer_sk = c.c_customer_sk
+WHERE dj.cnt BETWEEN 1 AND 5
+  AND (c.c_mktsegment = 'HOUSEHOLD' OR c.c_mktsegment = 'AUTOMOBILE')
+  AND CASE WHEN c.c_nationkey % 5 > 0
+           THEN (c.c_nationkey % 7) * 1.0 / (c.c_nationkey % 5)
+           ELSE NULL END > 1
+ORDER BY cnt DESC, c_name, ticket
+LIMIT 100
+""",
+    "TPC-DS q73 (query73.sql): small-basket ticket counts for a "
+    "demographic band — per-ticket count subquery, the reference's "
+    "CASE-guarded dependents/vehicles ratio predicate re-expressed on the "
+    "lite customer attributes, count band 1..5.",
+)
