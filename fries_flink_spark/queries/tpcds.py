@@ -2395,17 +2395,17 @@ JOIN customer_dim c ON ss.customer_sk = c.c_customer_sk
 JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
 WHERE d.d_year = 1997
   AND ((c.c_mktsegment = 'AUTOMOBILE'
-        AND ss.paid_cents BETWEEN 100000 AND 150000)
+        AND ss.paid_cents BETWEEN 2000000 AND 5000000)
     OR (c.c_mktsegment = 'BUILDING'
-        AND ss.paid_cents BETWEEN 50000 AND 100000)
+        AND ss.paid_cents BETWEEN 500000 AND 2000000)
     OR (c.c_mktsegment = 'MACHINERY'
-        AND ss.paid_cents BETWEEN 150000 AND 200000))
+        AND ss.paid_cents BETWEEN 5000000 AND 8000000))
   AND ((c.c_nationkey IN (0, 5, 10)
-        AND ss.paid_cents - ss.cost_cents BETWEEN 0 AND 200000)
+        AND ss.paid_cents - ss.cost_cents BETWEEN 0 AND 1000000)
     OR (c.c_nationkey IN (1, 6, 11)
-        AND ss.paid_cents - ss.cost_cents BETWEEN 15000 AND 300000)
+        AND ss.paid_cents - ss.cost_cents BETWEEN 150000 AND 1500000)
     OR (c.c_nationkey IN (2, 7, 12)
-        AND ss.paid_cents - ss.cost_cents BETWEEN 5000 AND 2500000))
+        AND ss.paid_cents - ss.cost_cents BETWEEN 50000 AND 2500000))
 """,
     "TPC-DS q48 (query48.sql): single-total quantity under two conjoined "
     "OR batteries — (demographic x price band) and (geography x profit "
@@ -2983,4 +2983,610 @@ LIMIT 100
     "demographic band — per-ticket count subquery, the reference's "
     "CASE-guarded dependents/vehicles ratio predicate re-expressed on the "
     "lite customer attributes, count band 1..5.",
+)
+
+_ds(
+    "tpcds_q74",
+    """
+WITH year_total AS (
+  SELECT ss.customer_sk AS customer_sk, c.c_name AS c_name,
+         d.d_year AS dyear, 's' AS sale_type,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS year_total
+  FROM store_sales ss
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  JOIN customer_dim c ON ss.customer_sk = c.c_customer_sk
+  WHERE d.d_year IN (1996, 1997)
+  GROUP BY ss.customer_sk, c.c_name, d.d_year
+  UNION ALL
+  SELECT ws.customer_sk AS customer_sk, c.c_name AS c_name,
+         d.d_year AS dyear, 'w' AS sale_type,
+         CAST(sum(ws.paid_cents) AS BIGINT) AS year_total
+  FROM web_sales ws
+  JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  JOIN customer_dim c ON ws.customer_sk = c.c_customer_sk
+  WHERE d.d_year IN (1996, 1997)
+  GROUP BY ws.customer_sk, c.c_name, d.d_year)
+SELECT t_s_secyear.customer_sk AS customer_sk,
+       t_s_secyear.c_name AS c_name
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_sk = t_s_firstyear.customer_sk
+  AND t_s_firstyear.customer_sk = t_w_secyear.customer_sk
+  AND t_s_firstyear.customer_sk = t_w_firstyear.customer_sk
+  AND t_s_firstyear.sale_type = 's'
+  AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's'
+  AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1996
+  AND t_s_secyear.dyear = 1997
+  AND t_w_firstyear.dyear = 1996
+  AND t_w_secyear.dyear = 1997
+  AND t_s_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+           THEN CAST(t_w_secyear.year_total AS DOUBLE)
+                / t_w_firstyear.year_total
+           ELSE NULL END
+    > CASE WHEN t_s_firstyear.year_total > 0
+           THEN CAST(t_s_secyear.year_total AS DOUBLE)
+                / t_s_firstyear.year_total
+           ELSE NULL END
+ORDER BY customer_sk
+LIMIT 100
+""",
+    "TPC-DS q74 (query74.sql): customers whose web spend grew faster than "
+    "their store spend year-over-year — the q4/q11 year_total self-join "
+    "family restricted to two channels with the reference's CASE-guarded "
+    "ratio comparison (identical IEEE division on exact integer cents).",
+)
+
+_ds(
+    "tpcds_q76",
+    """
+SELECT channel, col_name, d_year, d_qoy, i_category,
+       CAST(count(*) AS BIGINT) AS sales_cnt,
+       CAST(sum(ext_cents) AS BIGINT) AS sales_amt_cents
+FROM (
+  SELECT 'store' AS channel,
+         CASE WHEN ss.ticket % 13 = 0 THEN CAST(NULL AS BIGINT)
+              ELSE ss.store_sk END AS col_name,
+         d.d_year AS d_year, d.d_qoy AS d_qoy, i.i_category AS i_category,
+         ss.paid_cents AS ext_cents
+  FROM store_sales ss
+  JOIN item i ON ss.item_sk = i.i_item_sk
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  WHERE CASE WHEN ss.ticket % 13 = 0 THEN CAST(NULL AS BIGINT)
+             ELSE ss.store_sk END IS NULL
+  UNION ALL
+  SELECT 'web' AS channel,
+         CASE WHEN ws.ticket % 11 = 0 THEN CAST(NULL AS BIGINT)
+              ELSE ws.customer_sk END AS col_name,
+         d.d_year AS d_year, d.d_qoy AS d_qoy, i.i_category AS i_category,
+         ws.paid_cents AS ext_cents
+  FROM web_sales ws
+  JOIN item i ON ws.item_sk = i.i_item_sk
+  JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  WHERE CASE WHEN ws.ticket % 11 = 0 THEN CAST(NULL AS BIGINT)
+             ELSE ws.customer_sk END IS NULL
+  UNION ALL
+  SELECT 'catalog' AS channel,
+         CASE WHEN cs.ticket % 7 = 0 THEN CAST(NULL AS BIGINT)
+              ELSE cs.warehouse_sk END AS col_name,
+         d.d_year AS d_year, d.d_qoy AS d_qoy, i.i_category AS i_category,
+         cs.paid_cents AS ext_cents
+  FROM catalog_sales cs
+  JOIN item i ON cs.item_sk = i.i_item_sk
+  JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+  WHERE CASE WHEN cs.ticket % 7 = 0 THEN CAST(NULL AS BIGINT)
+             ELSE cs.warehouse_sk END IS NULL) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel, d_year, d_qoy, i_category
+LIMIT 100
+""",
+    "TPC-DS q76 (query76.sql): sales rows with a missing dimension key "
+    "counted per channel/quarter/category — three IS NULL filters over a "
+    "channel UNION ALL (lite: the nullable key is a deterministic "
+    "ticket-modulus CASE, since the lite facts are dense; the filter still "
+    "folds to the same pushed predicate).",
+)
+
+_ds(
+    "tpcds_q77",
+    """
+WITH ss AS (
+  SELECT ss.store_sk AS store_sk,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS sales,
+         CAST(sum(ss.paid_cents - ss.cost_cents) AS BIGINT) AS profit
+  FROM store_sales ss JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1997 AND d.d_moy = 8
+  GROUP BY ss.store_sk),
+sr AS (
+  SELECT sr.store_sk AS store_sk,
+         CAST(sum(sr.paid_cents) AS BIGINT) AS returns_cents,
+         CAST(sum(sr.cost_cents) AS BIGINT) AS profit_loss
+  FROM store_returns sr JOIN date_dim d ON sr.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1997 AND d.d_moy = 8
+  GROUP BY sr.store_sk),
+cs AS (
+  SELECT cs.warehouse_sk AS warehouse_sk,
+         CAST(sum(cs.paid_cents) AS BIGINT) AS sales,
+         CAST(sum(cs.paid_cents - cs.cost_cents) AS BIGINT) AS profit
+  FROM catalog_sales cs JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1997 AND d.d_moy = 8
+  GROUP BY cs.warehouse_sk),
+cr AS (
+  SELECT CAST(sum(cr.paid_cents) AS BIGINT) AS returns_cents,
+         CAST(sum(cr.cost_cents) AS BIGINT) AS profit_loss
+  FROM catalog_returns cr JOIN date_dim d ON cr.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1997 AND d.d_moy = 8),
+ws AS (
+  SELECT ws.item_sk % 10 AS page_sk,
+         CAST(sum(ws.paid_cents) AS BIGINT) AS sales,
+         CAST(sum(ws.paid_cents - ws.cost_cents) AS BIGINT) AS profit
+  FROM web_sales ws JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1997 AND d.d_moy = 8
+  GROUP BY ws.item_sk % 10),
+wr AS (
+  SELECT wr.item_sk % 10 AS page_sk,
+         CAST(sum(wr.paid_cents) AS BIGINT) AS returns_cents,
+         CAST(sum(wr.cost_cents) AS BIGINT) AS profit_loss
+  FROM web_returns wr JOIN date_dim d ON wr.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1997 AND d.d_moy = 8
+  GROUP BY wr.item_sk % 10)
+SELECT channel, id,
+       CAST(sum(sales) AS BIGINT) AS sales,
+       CAST(sum(returns_cents) AS BIGINT) AS returns_cents,
+       CAST(sum(profit) AS BIGINT) AS profit
+FROM (
+  SELECT 'store channel' AS channel, ss.store_sk AS id, sales,
+         coalesce(sr.returns_cents, 0) AS returns_cents,
+         profit - coalesce(sr.profit_loss, 0) AS profit
+  FROM ss LEFT JOIN sr ON ss.store_sk = sr.store_sk
+  UNION ALL
+  SELECT 'catalog channel' AS channel, cs.warehouse_sk AS id, sales,
+         cr.returns_cents AS returns_cents,
+         profit - cr.profit_loss AS profit
+  FROM cs, cr
+  UNION ALL
+  SELECT 'web channel' AS channel, ws.page_sk AS id, sales,
+         coalesce(wr.returns_cents, 0) AS returns_cents,
+         profit - coalesce(wr.profit_loss, 0) AS profit
+  FROM ws LEFT JOIN wr ON ws.page_sk = wr.page_sk) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100
+""",
+    "TPC-DS q77 (query77.sql): per-channel profit-and-loss statement — six "
+    "grouped CTEs (sales and returns per channel, the catalog returns total "
+    "cross-joined), channel UNION ALL under a ROLLUP(channel, id) lattice "
+    "(lite: warehouse for call_center, item-modulus page for web_page).",
+)
+
+_ds(
+    "tpcds_q80",
+    """
+WITH promo AS (
+  SELECT i_item_sk AS p_item_sk, i_item_sk % 3 AS p_tv
+  FROM item WHERE i_item_sk % 7 = 0),
+ssr AS (
+  SELECT s.s_store_name AS id,
+         CAST(sum(ss.paid_cents) AS BIGINT) AS sales,
+         CAST(sum(coalesce(sr.paid_cents, 0)) AS BIGINT) AS returns_cents,
+         CAST(sum(ss.paid_cents - ss.cost_cents
+                  - coalesce(sr.paid_cents, 0)) AS BIGINT) AS profit
+  FROM store_sales ss
+  LEFT JOIN store_returns sr
+    ON ss.ticket = sr.ticket AND ss.l_linenumber = sr.l_linenumber
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  JOIN item i ON ss.item_sk = i.i_item_sk
+  JOIN promo p ON ss.item_sk = p.p_item_sk
+  WHERE d.d_year = 1997
+    AND i.i_price_cents > 95000 AND p.p_tv <> 0
+  GROUP BY s.s_store_name),
+csr AS (
+  SELECT w.w_warehouse_name AS id,
+         CAST(sum(cs.paid_cents) AS BIGINT) AS sales,
+         CAST(sum(coalesce(cr.paid_cents, 0)) AS BIGINT) AS returns_cents,
+         CAST(sum(cs.paid_cents - cs.cost_cents
+                  - coalesce(cr.paid_cents, 0)) AS BIGINT) AS profit
+  FROM catalog_sales cs
+  LEFT JOIN catalog_returns cr
+    ON cs.ticket = cr.ticket AND cs.l_linenumber = cr.l_linenumber
+  JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+  JOIN warehouse w ON cs.warehouse_sk = w.w_warehouse_sk
+  JOIN item i ON cs.item_sk = i.i_item_sk
+  JOIN promo p ON cs.item_sk = p.p_item_sk
+  WHERE d.d_year = 1997
+    AND i.i_price_cents > 95000 AND p.p_tv <> 0
+  GROUP BY w.w_warehouse_name),
+wsr AS (
+  SELECT concat('site_', ws.ticket % 4) AS id,
+         CAST(sum(ws.paid_cents) AS BIGINT) AS sales,
+         CAST(sum(coalesce(wr.paid_cents, 0)) AS BIGINT) AS returns_cents,
+         CAST(sum(ws.paid_cents - ws.cost_cents
+                  - coalesce(wr.paid_cents, 0)) AS BIGINT) AS profit
+  FROM web_sales ws
+  LEFT JOIN web_returns wr
+    ON ws.ticket = wr.ticket AND ws.l_linenumber = wr.l_linenumber
+  JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  JOIN item i ON ws.item_sk = i.i_item_sk
+  JOIN promo p ON ws.item_sk = p.p_item_sk
+  WHERE d.d_year = 1997
+    AND i.i_price_cents > 95000 AND p.p_tv <> 0
+  GROUP BY concat('site_', ws.ticket % 4))
+SELECT channel, id,
+       CAST(sum(sales) AS BIGINT) AS sales,
+       CAST(sum(returns_cents) AS BIGINT) AS returns_cents,
+       CAST(sum(profit) AS BIGINT) AS profit
+FROM (
+  SELECT 'store channel' AS channel, id, sales, returns_cents, profit FROM ssr
+  UNION ALL
+  SELECT 'catalog channel' AS channel, id, sales, returns_cents, profit
+  FROM csr
+  UNION ALL
+  SELECT 'web channel' AS channel, id, sales, returns_cents, profit
+  FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100
+""",
+    "TPC-DS q80 (query80.sql): channel P&L net of line-level returns under "
+    "price and promotion filters — per-channel sale-line LEFT JOIN returns, "
+    "promo star arm, ROLLUP(channel, id) (lite: warehouse/site-modulus for "
+    "catalog_page/web_site, the deterministic promo subset with a tv-channel "
+    "parity flag).",
+)
+
+_ds(
+    "tpcds_q81",
+    """
+WITH ctr AS (
+  SELECT cr.customer_sk AS ctr_customer_sk,
+         c.c_nationkey AS ctr_nation,
+         CAST(sum(cr.paid_cents) AS BIGINT) AS ctr_total_return
+  FROM catalog_returns cr
+  JOIN date_dim d ON cr.sold_date_sk = d.d_date_sk
+  JOIN customer_dim c ON cr.customer_sk = c.c_customer_sk
+  WHERE d.d_year = 1997
+  GROUP BY cr.customer_sk, c.c_nationkey)
+SELECT c.c_customer_sk AS c_customer_sk, c.c_name AS c_name,
+       c.c_county AS c_county, c.c_mktsegment AS c_mktsegment,
+       ctr1.ctr_total_return AS total_return_cents
+FROM ctr ctr1
+JOIN customer_dim c ON ctr1.ctr_customer_sk = c.c_customer_sk
+WHERE ctr1.ctr_total_return > (
+    SELECT avg(ctr2.ctr_total_return) * 1.2 FROM ctr ctr2
+    WHERE ctr2.ctr_nation = ctr1.ctr_nation)
+  AND c.c_nationkey IN (4, 8, 12)
+ORDER BY c_customer_sk
+LIMIT 100
+""",
+    "TPC-DS q81 (query81.sql): catalog-channel heavy returners vs their "
+    "geography's 1.2x average — the q1/q30 decorrelation shape on catalog "
+    "returns with customer attribute output columns.",
+)
+
+_ds(
+    "tpcds_q82",
+    """
+SELECT i.i_product_name AS i_product_name, i.i_price_cents AS i_price_cents
+FROM item i
+JOIN inventory inv ON inv.inv_item_sk = i.i_item_sk
+JOIN store_sales ss ON ss.item_sk = i.i_item_sk
+WHERE i.i_price_cents BETWEEN 20000 AND 130000
+  AND i.i_manufact_id IN (3, 17, 31, 45)
+  AND inv.inv_moy BETWEEN 3 AND 4
+  AND inv.inv_qty BETWEEN 10 AND 70
+GROUP BY i.i_product_name, i.i_price_cents
+ORDER BY i_product_name
+LIMIT 100
+""",
+    "TPC-DS q82 (query82.sql): q37's store-channel twin — store-sold items "
+    "with in-band inventory on hand, deduplicated through the GROUP BY over "
+    "item attributes.",
+)
+
+_ds(
+    "tpcds_q83",
+    """
+WITH wks AS (
+  SELECT DISTINCT d_week_seq FROM date_dim WHERE d_year = 1997),
+sr_items AS (
+  SELECT i.i_product_name AS item_id,
+         CAST(sum(sr.quantity) AS BIGINT) AS sr_item_qty
+  FROM store_returns sr
+  JOIN item i ON sr.item_sk = i.i_item_sk
+  JOIN date_dim d ON sr.sold_date_sk = d.d_date_sk
+  WHERE d.d_date_sk IN (
+    SELECT d_date_sk FROM date_dim
+    WHERE d_week_seq IN (SELECT d_week_seq FROM wks))
+  GROUP BY i.i_product_name),
+cr_items AS (
+  SELECT i.i_product_name AS item_id,
+         CAST(sum(cr.quantity) AS BIGINT) AS cr_item_qty
+  FROM catalog_returns cr
+  JOIN item i ON cr.item_sk = i.i_item_sk
+  JOIN date_dim d ON cr.sold_date_sk = d.d_date_sk
+  WHERE d.d_date_sk IN (
+    SELECT d_date_sk FROM date_dim
+    WHERE d_week_seq IN (SELECT d_week_seq FROM wks))
+  GROUP BY i.i_product_name),
+wr_items AS (
+  SELECT i.i_product_name AS item_id,
+         CAST(sum(wr.quantity) AS BIGINT) AS wr_item_qty
+  FROM web_returns wr
+  JOIN item i ON wr.item_sk = i.i_item_sk
+  JOIN date_dim d ON wr.sold_date_sk = d.d_date_sk
+  WHERE d.d_date_sk IN (
+    SELECT d_date_sk FROM date_dim
+    WHERE d_week_seq IN (SELECT d_week_seq FROM wks))
+  GROUP BY i.i_product_name)
+SELECT sr_items.item_id AS item_id,
+       sr_item_qty,
+       CAST(floor(CAST(sr_item_qty AS DOUBLE)
+            / (sr_item_qty + cr_item_qty + wr_item_qty) / 3 * 100 * 1e4 + 0.5)
+            AS BIGINT) AS sr_dev_micro,
+       cr_item_qty,
+       CAST(floor(CAST(cr_item_qty AS DOUBLE)
+            / (sr_item_qty + cr_item_qty + wr_item_qty) / 3 * 100 * 1e4 + 0.5)
+            AS BIGINT) AS cr_dev_micro,
+       wr_item_qty,
+       CAST(floor(CAST(wr_item_qty AS DOUBLE)
+            / (sr_item_qty + cr_item_qty + wr_item_qty) / 3 * 100 * 1e4 + 0.5)
+            AS BIGINT) AS wr_dev_micro,
+       CAST(floor((sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 + 0.5)
+            AS BIGINT) AS average_qty
+FROM sr_items
+JOIN cr_items ON sr_items.item_id = cr_items.item_id
+JOIN wr_items ON sr_items.item_id = wr_items.item_id
+ORDER BY item_id, sr_item_qty
+LIMIT 100
+""",
+    "TPC-DS q83 (query83.sql): returned quantities for items returned in "
+    "all three channels during a double-nested-IN-selected week set — q58's "
+    "returns-side sibling with per-channel deviation columns in micro-units.",
+)
+
+_ds(
+    "tpcds_q84",
+    """
+SELECT c.c_customer_sk AS customer_id, c.c_name AS customername
+FROM customer_dim c
+JOIN store_returns sr ON sr.customer_sk = c.c_customer_sk
+WHERE c.c_county = 'county_2'
+  AND (c.c_customer_sk % 20) * 1000 >= 3000
+  AND (c.c_customer_sk % 20) * 1000 + 999 <= 12999
+GROUP BY c.c_customer_sk, c.c_name
+ORDER BY customer_id
+LIMIT 100
+""",
+    "TPC-DS q84 (query84.sql): customers in one city inside an income band "
+    "who have store returns — the demographic/income-band dimension chain "
+    "collapsed onto lite attributes (income band = deterministic customer "
+    "modulus with the reference's lower/upper bound predicates), the "
+    "returns fan-out deduplicated by GROUP BY.",
+)
+
+_ds(
+    "tpcds_q85",
+    """
+SELECT concat('reason_', x.reason) AS r_reason_desc,
+       CAST(floor(CAST(sum(x.quantity) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS avg_quantity_micro,
+       CAST(floor(CAST(sum(x.paid_cents) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS avg_refunded_micro,
+       CAST(floor(CAST(sum(x.disc_cents) AS DOUBLE) * 1e6 / count(*) + 0.5)
+            AS BIGINT) AS avg_fee_micro
+FROM (SELECT wr.quantity AS quantity, wr.paid_cents AS paid_cents,
+             wr.disc_cents AS disc_cents, wr.cost_cents AS cost_cents,
+             wr.customer_sk AS customer_sk, wr.sold_date_sk AS sold_date_sk,
+             wr.ticket % 5 AS reason
+      FROM web_returns wr) x
+JOIN customer_dim cd1 ON x.customer_sk = cd1.c_customer_sk
+JOIN date_dim d ON x.sold_date_sk = d.d_date_sk
+WHERE d.d_year = 1997
+  AND ((cd1.c_mktsegment = 'BUILDING'
+        AND x.paid_cents BETWEEN 2000000 AND 5000000)
+    OR (cd1.c_mktsegment = 'MACHINERY'
+        AND x.paid_cents BETWEEN 500000 AND 2000000)
+    OR (cd1.c_mktsegment = 'AUTOMOBILE'
+        AND x.paid_cents BETWEEN 5000000 AND 8000000))
+  AND ((cd1.c_nationkey IN (0, 5, 10)
+        AND x.paid_cents - x.cost_cents BETWEEN 0 AND 1000000)
+    OR (cd1.c_nationkey IN (1, 6, 11)
+        AND x.paid_cents - x.cost_cents BETWEEN 150000 AND 1500000)
+    OR (cd1.c_nationkey IN (2, 7, 12)
+        AND x.paid_cents - x.cost_cents BETWEEN 50000 AND 2500000))
+GROUP BY x.reason
+ORDER BY r_reason_desc
+LIMIT 100
+""",
+    "TPC-DS q85 (query85.sql): web return averages by return reason under "
+    "two OR batteries (demographic x refund band, geography x profit band) "
+    "— q48's disjunct-pushdown shape on the returns flow (lite: "
+    "ticket-modulus reason dim, segment/nation demographics).",
+)
+
+_ds(
+    "tpcds_q86",
+    """
+SELECT CAST(sum_paid AS BIGINT) AS total_sum_cents, i_category, i_brand,
+       lochierarchy,
+       rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN i_category END
+         ORDER BY sum_paid DESC,
+                  i_category ASC NULLS FIRST, i_brand ASC NULLS FIRST)
+         AS rank_within_parent
+FROM (
+  SELECT i.i_category AS i_category, i.i_brand AS i_brand,
+         CAST(sum(ws.paid_cents) AS BIGINT) AS sum_paid,
+         CAST(grouping(i.i_category) + grouping(i.i_brand) AS BIGINT)
+           AS lochierarchy
+  FROM web_sales ws
+  JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  JOIN item i ON ws.item_sk = i.i_item_sk
+  WHERE d.d_year = 1997
+  GROUP BY ROLLUP (i.i_category, i.i_brand)) x
+ORDER BY lochierarchy DESC, i_category NULLS FIRST, rank_within_parent,
+         i_brand NULLS FIRST
+LIMIT 100
+""",
+    "TPC-DS q86 (query86.sql): web revenue ROLLUP over the item hierarchy "
+    "with grouping()-partitioned rank-within-parent — the q36/q70 lattice "
+    "shape on the web channel (rank tie-broken on group keys for an "
+    "engine-stable total order).",
+)
+
+_ds(
+    "tpcds_q90",
+    """
+SELECT CAST(floor(CAST(amc AS DOUBLE) * 1e6 / pmc + 0.5) AS BIGINT)
+         AS am_pm_ratio_micro,
+       amc, pmc
+FROM
+  (SELECT CAST(count(*) AS BIGINT) AS amc
+   FROM web_sales ws
+   JOIN customer_dim c ON ws.customer_sk = c.c_customer_sk
+   JOIN item i ON ws.item_sk = i.i_item_sk
+   WHERE (ws.ticket * 7 + ws.l_linenumber) % 24 BETWEEN 8 AND 9
+     AND c.c_nationkey % 7 = 6
+     AND i.i_price_cents BETWEEN 50000 AND 152000) am
+CROSS JOIN
+  (SELECT CAST(count(*) AS BIGINT) AS pmc
+   FROM web_sales ws
+   JOIN customer_dim c ON ws.customer_sk = c.c_customer_sk
+   JOIN item i ON ws.item_sk = i.i_item_sk
+   WHERE (ws.ticket * 7 + ws.l_linenumber) % 24 BETWEEN 19 AND 20
+     AND c.c_nationkey % 7 = 6
+     AND i.i_price_cents BETWEEN 50000 AND 152000) pm
+""",
+    "TPC-DS q90 (query90.sql): morning-to-evening web order ratio — two "
+    "identically-filtered count subqueries (different hour bands) "
+    "cross-joined into one micro-unit ratio row (lite: ticket-hash hour, "
+    "nation-modulus dependents, item price for the page char band).",
+)
+
+_ds(
+    "tpcds_q91",
+    """
+SELECT concat('cc_', x.cc) AS call_center,
+       c.c_mktsegment AS c_mktsegment, c.c_county AS c_county,
+       CAST(sum(x.cost_cents) AS BIGINT) AS returns_loss_cents
+FROM (SELECT cr.cost_cents AS cost_cents, cr.customer_sk AS customer_sk,
+             cr.sold_date_sk AS sold_date_sk, cr.warehouse_sk AS cc
+      FROM catalog_returns cr) x
+JOIN date_dim d ON x.sold_date_sk = d.d_date_sk
+JOIN customer_dim c ON x.customer_sk = c.c_customer_sk
+WHERE d.d_year = 1997 AND d.d_moy = 11
+  AND ((c.c_mktsegment = 'BUILDING' AND c.c_county = 'county_1')
+    OR (c.c_mktsegment = 'FURNITURE' AND c.c_county = 'county_2'))
+  AND c.c_nationkey < 12
+GROUP BY x.cc, c.c_mktsegment, c.c_county
+ORDER BY returns_loss_cents DESC, call_center, c_mktsegment, c_county
+LIMIT 100
+""",
+    "TPC-DS q91 (query91.sql): call-center catalog return losses for a "
+    "demographic disjunction in one month (lite: warehouse for call_center, "
+    "segment/county pairs for the marital/education pairs), "
+    "loss-descending output.",
+)
+
+_ds(
+    "tpcds_q92",
+    """
+SELECT CAST(sum(ws.disc_cents) AS BIGINT) AS excess_discount_cents
+FROM web_sales ws
+JOIN item i ON ws.item_sk = i.i_item_sk
+JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+WHERE i.i_manufact_id = 13 AND d.d_year = 1996
+  AND ws.disc_cents > (
+    SELECT 1.3 * avg(ws2.disc_cents)
+    FROM web_sales ws2
+    JOIN date_dim d2 ON ws2.sold_date_sk = d2.d_date_sk
+    WHERE ws2.item_sk = ws.item_sk AND d2.d_year = 1996)
+""",
+    "TPC-DS q92 (query92.sql): web excess discount — q32's correlated "
+    "1.3x-average scalar subquery on the web channel, single-total output.",
+)
+
+_ds(
+    "tpcds_q94",
+    """
+SELECT CAST(count(DISTINCT ws1.ticket) AS BIGINT) AS order_count,
+       CAST(sum(ws1.cost_cents) AS BIGINT) AS total_shipping_cost_cents,
+       CAST(sum(ws1.paid_cents - ws1.cost_cents) AS BIGINT)
+         AS total_net_profit_cents
+FROM web_sales ws1
+JOIN date_dim d ON ws1.sold_date_sk = d.d_date_sk
+JOIN customer_dim c ON ws1.customer_sk = c.c_customer_sk
+WHERE d.d_year = 1996 AND d.d_moy BETWEEN 2 AND 3
+  AND c.c_nationkey IN (2, 6, 10)
+  AND EXISTS (
+    SELECT 1 FROM web_sales ws2
+    WHERE ws1.ticket = ws2.ticket
+      AND ws1.warehouse_sk <> ws2.warehouse_sk)
+  AND NOT EXISTS (
+    SELECT 1 FROM web_returns wr1 WHERE ws1.ticket = wr1.ticket)
+""",
+    "TPC-DS q94 (query94.sql): unreturned multi-warehouse web orders — "
+    "correlated EXISTS on a non-equality warehouse predicate plus NOT "
+    "EXISTS against returns, with count(DISTINCT) over the survivors "
+    "(q16's shape on the web channel).",
+)
+
+_ds(
+    "tpcds_q98",
+    """
+SELECT i.i_product_name AS i_product_name, i.i_category AS i_category,
+       CAST(sum(ss.paid_cents) AS BIGINT) AS itemrevenue_cents,
+       CAST(floor(sum(ss.paid_cents) * 1e6 /
+            sum(sum(ss.paid_cents)) OVER (PARTITION BY i.i_category) + 0.5)
+            AS BIGINT) AS revenueratio_micro
+FROM store_sales ss
+JOIN item i ON ss.item_sk = i.i_item_sk
+JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+WHERE i.i_category IN ('STANDARD', 'LARGE', 'MEDIUM')
+  AND d.d_year = 1996 AND d.d_moy BETWEEN 3 AND 4
+GROUP BY i.i_product_name, i.i_category
+ORDER BY i_category, i_product_name
+LIMIT 100
+""",
+    "TPC-DS q98 (query98.sql): store-channel revenue share within category "
+    "— the q12/q20 windowed ratio family completed across all three "
+    "channels.",
+)
+
+_ds(
+    "tpcds_q99",
+    """
+SELECT w.w_warehouse_name AS w_warehouse_name,
+       x.sm_mode AS sm_mode, x.cc AS cc,
+       CAST(sum(CASE WHEN x.lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d_30,
+       CAST(sum(CASE WHEN x.lag_days > 30 AND x.lag_days <= 60
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d_31_60,
+       CAST(sum(CASE WHEN x.lag_days > 60 AND x.lag_days <= 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d_61_90,
+       CAST(sum(CASE WHEN x.lag_days > 90 AND x.lag_days <= 120
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d_91_120,
+       CAST(sum(CASE WHEN x.lag_days > 120 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d_over_120
+FROM (
+  SELECT cs.warehouse_sk AS warehouse_sk,
+         cs.ticket % 4 AS sm_mode,
+         cs.ticket % 6 AS cc,
+         (cs.ticket * 11 + cs.l_linenumber * 41) % 160 AS lag_days
+  FROM catalog_sales cs
+  JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1997) x
+JOIN warehouse w ON x.warehouse_sk = w.w_warehouse_sk
+GROUP BY w.w_warehouse_name, x.sm_mode, x.cc
+ORDER BY w_warehouse_name, sm_mode, cc
+LIMIT 100
+""",
+    "TPC-DS q99 (query99.sql): catalog ship-lag histogram per "
+    "warehouse/ship-mode/call-center — q62's catalog twin with the extra "
+    "call-center grouping dimension.",
 )
