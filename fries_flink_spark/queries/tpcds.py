@@ -3590,3 +3590,163 @@ LIMIT 100
     "warehouse/ship-mode/call-center — q62's catalog twin with the extra "
     "call-center grouping dimension.",
 )
+
+_ds(
+    "tpcds_q14b",
+    """
+WITH cim AS (
+  SELECT i.i_brand AS brand, i.i_category AS cat
+  FROM store_sales ss JOIN item i ON ss.item_sk = i.i_item_sk
+  JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  WHERE d.d_year BETWEEN 1996 AND 1998
+  INTERSECT
+  SELECT i.i_brand, i.i_category
+  FROM catalog_sales cs JOIN item i ON cs.item_sk = i.i_item_sk
+  JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+  WHERE d.d_year BETWEEN 1996 AND 1998
+  INTERSECT
+  SELECT i.i_brand, i.i_category
+  FROM web_sales ws JOIN item i ON ws.item_sk = i.i_item_sk
+  JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  WHERE d.d_year BETWEEN 1996 AND 1998),
+cross_items AS (
+  SELECT i.i_item_sk AS ss_item_sk FROM item i
+  JOIN cim ON i.i_brand = cim.brand AND i.i_category = cim.cat),
+avg_sales AS (
+  SELECT avg(quantity * list_cents) AS average_cents FROM (
+    SELECT ss.quantity AS quantity, ss.list_cents AS list_cents
+    FROM store_sales ss JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+    WHERE d.d_year BETWEEN 1996 AND 1998
+    UNION ALL
+    SELECT cs.quantity, cs.list_cents
+    FROM catalog_sales cs JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+    WHERE d.d_year BETWEEN 1996 AND 1998
+    UNION ALL
+    SELECT ws.quantity, ws.list_cents
+    FROM web_sales ws JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+    WHERE d.d_year BETWEEN 1996 AND 1998) x)
+SELECT this_year.brand AS brand, this_year.cat AS cat,
+       this_year.sales_cents AS ty_sales_cents,
+       this_year.num_sales AS ty_num_sales,
+       last_year.sales_cents AS ly_sales_cents,
+       last_year.num_sales AS ly_num_sales
+FROM
+  (SELECT i.i_brand AS brand, i.i_category AS cat,
+          CAST(sum(ss.quantity * ss.list_cents) AS BIGINT) AS sales_cents,
+          CAST(count(*) AS BIGINT) AS num_sales
+   FROM store_sales ss JOIN item i ON ss.item_sk = i.i_item_sk
+   JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+   WHERE ss.item_sk IN (SELECT ss_item_sk FROM cross_items)
+     AND d.d_week_seq BETWEEN
+         (SELECT min(d_week_seq) FROM date_dim
+          WHERE d_year = 1997 AND d_moy = 12)
+         AND
+         (SELECT min(d_week_seq) FROM date_dim
+          WHERE d_year = 1997 AND d_moy = 12) + 3
+   GROUP BY i.i_brand, i.i_category
+   HAVING sum(ss.quantity * ss.list_cents)
+          > (SELECT average_cents FROM avg_sales)) this_year
+JOIN
+  (SELECT i.i_brand AS brand, i.i_category AS cat,
+          CAST(sum(ss.quantity * ss.list_cents) AS BIGINT) AS sales_cents,
+          CAST(count(*) AS BIGINT) AS num_sales
+   FROM store_sales ss JOIN item i ON ss.item_sk = i.i_item_sk
+   JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+   WHERE ss.item_sk IN (SELECT ss_item_sk FROM cross_items)
+     AND d.d_week_seq BETWEEN
+         (SELECT min(d_week_seq) FROM date_dim
+          WHERE d_year = 1996 AND d_moy = 12)
+         AND
+         (SELECT min(d_week_seq) FROM date_dim
+          WHERE d_year = 1996 AND d_moy = 12) + 3
+   GROUP BY i.i_brand, i.i_category
+   HAVING sum(ss.quantity * ss.list_cents)
+          > (SELECT average_cents FROM avg_sales)) last_year
+  ON this_year.brand = last_year.brand AND this_year.cat = last_year.cat
+ORDER BY brand, cat
+LIMIT 100
+""",
+    "TPC-DS q14b (query14b.sql): the week-comparison variant of q14 — "
+    "cross-channel item set and scalar average floor reused, this-period "
+    "vs same-period-last-year store sales joined on the item hierarchy, "
+    "periods pinned by scalar subqueries over the week sequence (lite: a "
+    "four-week December window for fixture density).",
+)
+
+_ds(
+    "tpcds_q23b",
+    """
+WITH frequent_ss_items AS (
+  SELECT ss.item_sk AS item_sk
+  FROM store_sales ss JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+  WHERE d.d_year IN (1996, 1997, 1998)
+  GROUP BY ss.item_sk
+  HAVING count(*) > 4),
+max_store_sales AS (
+  SELECT max(csales) AS tpcds_cmax FROM (
+    SELECT ss.customer_sk, CAST(sum(ss.quantity * ss.list_cents) AS BIGINT)
+             AS csales
+    FROM store_sales ss JOIN date_dim d ON ss.sold_date_sk = d.d_date_sk
+    WHERE d.d_year IN (1996, 1997, 1998)
+    GROUP BY ss.customer_sk) x),
+best_ss_customer AS (
+  SELECT ss.customer_sk AS customer_sk
+  FROM store_sales ss
+  GROUP BY ss.customer_sk
+  HAVING sum(ss.quantity * ss.list_cents)
+         > 0.5 * (SELECT tpcds_cmax FROM max_store_sales))
+SELECT c_name, CAST(sum(sales_cents) AS BIGINT) AS sales_cents
+FROM (
+  SELECT c.c_name AS c_name, cs.quantity * cs.list_cents AS sales_cents
+  FROM catalog_sales cs
+  JOIN customer_dim c ON cs.customer_sk = c.c_customer_sk
+  JOIN date_dim d ON cs.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1998 AND d.d_moy = 2
+    AND cs.item_sk IN (SELECT item_sk FROM frequent_ss_items)
+    AND cs.customer_sk IN (SELECT customer_sk FROM best_ss_customer)
+  UNION ALL
+  SELECT c.c_name, ws.quantity * ws.list_cents
+  FROM web_sales ws
+  JOIN customer_dim c ON ws.customer_sk = c.c_customer_sk
+  JOIN date_dim d ON ws.sold_date_sk = d.d_date_sk
+  WHERE d.d_year = 1998 AND d.d_moy = 2
+    AND ws.item_sk IN (SELECT item_sk FROM frequent_ss_items)
+    AND ws.customer_sk IN (SELECT customer_sk FROM best_ss_customer)) y
+GROUP BY c_name
+ORDER BY c_name
+LIMIT 100
+""",
+    "TPC-DS q23b (query23b.sql): q23's per-customer variant — the same "
+    "frequent-item / best-customer semi-join arms re-aggregated by customer "
+    "name instead of a single total.",
+)
+
+_ds(
+    "tpcds_q39b",
+    """
+WITH inv AS (
+  SELECT inv_warehouse_sk AS w, inv_item_sk AS i, inv_moy AS moy,
+         avg(inv_qty) AS mean, stddev_samp(inv_qty) AS stdev
+  FROM inventory
+  GROUP BY inv_warehouse_sk, inv_item_sk, inv_moy),
+flagged AS (
+  SELECT w, i, moy, mean, stdev,
+         CASE WHEN mean = 0 THEN NULL ELSE stdev / mean END AS cov
+  FROM inv)
+SELECT inv1.w AS w, inv1.i AS i, inv1.moy AS moy1,
+       CAST(floor(inv1.mean * 1e4 + 0.5) AS BIGINT) AS mean1,
+       CAST(floor(inv1.cov * 1e4 + 0.5) AS BIGINT) AS cov1,
+       inv2.moy AS moy2,
+       CAST(floor(inv2.mean * 1e4 + 0.5) AS BIGINT) AS mean2,
+       CAST(floor(inv2.cov * 1e4 + 0.5) AS BIGINT) AS cov2
+FROM flagged inv1
+JOIN flagged inv2 ON inv1.i = inv2.i AND inv1.w = inv2.w
+  AND inv1.moy = 1 AND inv2.moy = 2
+WHERE inv1.cov > 0.5 AND inv2.cov > 0.5
+  AND inv1.cov > 0.7
+ORDER BY w, i
+""",
+    "TPC-DS q39b (query39b.sql): q39 with the extra first-month volatility "
+    "floor (the reference's 1.5 scaled to the lite inventory's cov "
+    "distribution) — same two-month self-join plan under a tighter filter.",
+)
