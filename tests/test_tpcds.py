@@ -125,3 +125,65 @@ def test_register_tpcds_sf_switch(spark):
     register_tpcds(spark, "/root/testdata/sf0.001")
     n3 = spark.table("store_sales").count()
     assert n1 == n3 and n2 > n1
+
+
+def test_item_color_vocabulary(spark, sf_dir):
+    """i_color is the first word of p_name: non-empty, no space, and a
+    strict prefix of the product name."""
+    register_tpcds(spark, sf_dir)
+    bad = (
+        spark.table("item")
+        .filter(
+            (F.length("i_color") == 0)
+            | F.col("i_color").contains(" ")
+            | ~F.col("i_product_name").startswith(F.col("i_color"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_q49_rank_bounds(spark, sf_dir, reg):
+    """Every q49 row survived the top-10-by-either filter and carries a
+    known channel tag."""
+    rows = reg["tpcds_q49"](spark, sf_dir).collect()
+    assert rows, "q49 empty at this sf"
+    for r in rows:
+        assert r.channel in ("web", "catalog", "store")
+        assert r.return_rank <= 10 or r.currency_rank <= 10
+        assert r.return_rank >= 1 and r.currency_rank >= 1
+
+
+def test_q58_band_and_dev_sum(spark, sf_dir, reg):
+    """q58 output rows satisfy the mutual revenue band, and the three
+    deviation shares sum to 100/3 percent (in micro-units, +/- rounding)."""
+    rows = reg["tpcds_q58"](spark, sf_dir).collect()
+    for r in rows:
+        revs = (r.ss_item_rev, r.cs_item_rev, r.ws_item_rev)
+        for a in revs:
+            for b in revs:
+                assert 5 * b <= 10 * a <= 15 * b
+        dev_sum = r.ss_dev_micro + r.cs_dev_micro + r.ws_dev_micro
+        assert abs(dev_sum - 333333) <= 3
+
+
+def test_q86_lattice_levels(spark, sf_dir, reg):
+    """lochierarchy levels are 0/1/2; the grand-total row ranks first in its
+    (single-row) partition."""
+    rows = reg["tpcds_q86"](spark, sf_dir).collect()
+    assert rows
+    levels = {r.lochierarchy for r in rows}
+    assert levels <= {0, 1, 2}
+    for r in rows:
+        if r.lochierarchy == 2:
+            assert r.rank_within_parent == 1
+        assert r.rank_within_parent >= 1
+
+
+def test_q76_colname_all_null(spark, sf_dir, reg):
+    """The missing-dimension-key column is NULL on every surviving row by
+    construction of the IS NULL filter."""
+    rows = reg["tpcds_q76"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.col_name is None for r in rows)
+    assert all(r.sales_cnt >= 1 for r in rows)
