@@ -3182,7 +3182,8 @@ ssr AS (
   JOIN item i ON ss.item_sk = i.i_item_sk
   JOIN promo p ON ss.item_sk = p.p_item_sk
   WHERE d.d_year = 1997
-    AND i.i_price_cents > 95000 AND p.p_tv <> 0
+    AND i.i_price_cents > (SELECT avg(i_price_cents) FROM item)
+    AND p.p_tv <> 0
   GROUP BY s.s_store_name),
 csr AS (
   SELECT w.w_warehouse_name AS id,
@@ -3198,7 +3199,8 @@ csr AS (
   JOIN item i ON cs.item_sk = i.i_item_sk
   JOIN promo p ON cs.item_sk = p.p_item_sk
   WHERE d.d_year = 1997
-    AND i.i_price_cents > 95000 AND p.p_tv <> 0
+    AND i.i_price_cents > (SELECT avg(i_price_cents) FROM item)
+    AND p.p_tv <> 0
   GROUP BY w.w_warehouse_name),
 wsr AS (
   SELECT concat('site_', ws.ticket % 4) AS id,
@@ -3213,7 +3215,8 @@ wsr AS (
   JOIN item i ON ws.item_sk = i.i_item_sk
   JOIN promo p ON ws.item_sk = p.p_item_sk
   WHERE d.d_year = 1997
-    AND i.i_price_cents > 95000 AND p.p_tv <> 0
+    AND i.i_price_cents > (SELECT avg(i_price_cents) FROM item)
+    AND p.p_tv <> 0
   GROUP BY concat('site_', ws.ticket % 4))
 SELECT channel, id,
        CAST(sum(sales) AS BIGINT) AS sales,
@@ -3233,7 +3236,9 @@ LIMIT 100
 """,
     "TPC-DS q80 (query80.sql): channel P&L net of line-level returns under "
     "price and promotion filters — per-channel sale-line LEFT JOIN returns, "
-    "promo star arm, ROLLUP(channel, id) (lite: warehouse/site-modulus for "
+    "promo star arm, ROLLUP(channel, id) (lite: the price floor is the "
+    "scalar-subquery item average, since the fixture price range scales "
+    "with SF; warehouse/site-modulus for "
     "catalog_page/web_site, the deterministic promo subset with a tv-channel "
     "parity flag).",
 )
