@@ -80,6 +80,10 @@ HEADLINE = [
     "tpcds_q4",
     "tpcds_q14",
     "tpcds_q47",
+    # round-7 additions: week-compare variant (reuses the q14 item set),
+    # per-channel dual-rank return report
+    "tpcds_q14b",
+    "tpcds_q49",
 ]
 
 
