@@ -1667,7 +1667,7 @@ JOIN store_returns sr
   ON ss.ticket = sr.ticket AND ss.l_linenumber = sr.l_linenumber
  AND ss.item_sk = sr.item_sk
 JOIN catalog_sales cs
-  ON sr.customer_sk = cs.customer_sk AND sr.item_sk = cs.item_sk
+  ON sr.item_sk = cs.item_sk
 JOIN date_dim d1 ON ss.sold_date_sk = d1.d_date_sk
 JOIN date_dim d3 ON cs.sold_date_sk = d3.d_date_sk
 JOIN store s ON ss.store_sk = s.s_store_sk
@@ -1679,8 +1679,9 @@ ORDER BY i_product_name, s_store_name
 LIMIT 100
 """,
     "TPC-DS q29 (query29.sql): the fact-fact-fact quantity chain — store "
-    "sale joined to its return, then to a catalog re-purchase by the same "
-    "customer of the same item, with per-role date_dim filters.",
+    "sale joined to its return, then to a catalog re-purchase of the same "
+    "item, with per-role date_dim filters. Lite adaptation: item-only "
+    "catalog correlation (same rationale as q25).",
 )
 
 _ds(
@@ -2206,7 +2207,7 @@ FROM store_sales ss
 JOIN store_returns sr
   ON ss.ticket = sr.ticket AND ss.l_linenumber = sr.l_linenumber
 JOIN catalog_sales cs
-  ON sr.customer_sk = cs.customer_sk AND sr.item_sk = cs.item_sk
+  ON sr.item_sk = cs.item_sk
 JOIN date_dim d1 ON ss.sold_date_sk = d1.d_date_sk
 JOIN date_dim d2 ON sr.sold_date_sk = d2.d_date_sk
 JOIN date_dim d3 ON cs.sold_date_sk = d3.d_date_sk
@@ -2221,7 +2222,10 @@ LIMIT 100
 """,
     "TPC-DS q25 (query25.sql): the sale -> return -> catalog re-purchase "
     "profit chain — three fact tables under three date_dim roles with "
-    "per-role month windows, grouped on the item/store dims.",
+    "per-role month windows, grouped on the item/store dims. Lite "
+    "adaptation: the catalog leg correlates on item only (the fixture's "
+    "cross-channel same-customer overlap is near-zero, which made the "
+    "official customer+item correlation empty at every SF).",
 )
 
 _ds(
@@ -2301,7 +2305,7 @@ WHERE i.i_price_cents BETWEEN 10000 AND 140000
   AND inv.inv_moy BETWEEN 1 AND 2
   AND inv.inv_qty BETWEEN 20 AND 80
 GROUP BY i.i_product_name, i.i_price_cents
-ORDER BY i_product_name
+ORDER BY i_product_name, i_price_cents
 LIMIT 100
 """,
     "TPC-DS q37 (query37.sql): catalog-sold items with in-band warehouse "
@@ -3280,11 +3284,11 @@ FROM item i
 JOIN inventory inv ON inv.inv_item_sk = i.i_item_sk
 JOIN store_sales ss ON ss.item_sk = i.i_item_sk
 WHERE i.i_price_cents BETWEEN 20000 AND 130000
-  AND i.i_manufact_id IN (3, 17, 31, 45)
+  AND i.i_manufact_id IN (0, 35, 42, 49)
   AND inv.inv_moy BETWEEN 3 AND 4
   AND inv.inv_qty BETWEEN 10 AND 70
 GROUP BY i.i_product_name, i.i_price_cents
-ORDER BY i_product_name
+ORDER BY i_product_name, i_price_cents
 LIMIT 100
 """,
     "TPC-DS q82 (query82.sql): q37's store-channel twin — store-sold items "
