@@ -77,6 +77,14 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
+        # Spark's generated-class cache defaults to 100 entries, and a single
+        # plan-heavy query can exceed that alone (tpcds_q14 emits ~250 codegen
+        # units), so every re-run LRU-thrashes: 100% janino+JIT recompilation,
+        # measured 224 recompiles/run and 2-3x wall inflation late in a bench
+        # sweep. Static conf — applies at session creation only. On a real
+        # cluster the same thrash would tax every executor's first task waves,
+        # so the raised bound is the production setting too.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
