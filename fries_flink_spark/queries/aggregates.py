@@ -84,14 +84,15 @@ def agg_cube(spark, sf_dir):
 @query(
     "agg_rollup",
     oracle="""
-    SELECT l_returnflag, l_linestatus, sum(l_extendedprice) AS sum_price
+    SELECT l_returnflag, l_linestatus,
+           CAST(floor(sum(l_extendedprice) * 1e4 + 0.5) AS BIGINT) AS sum_price
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def agg_rollup(spark, sf_dir):
     (li,) = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum("l_extendedprice").alias("sum_price")
+        micro(F.sum("l_extendedprice"), 4).alias("sum_price")
     )
 
 
@@ -223,7 +224,8 @@ def agg_percentile(spark, sf_dir):
     SELECT user_id,
            count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
            count(*) FILTER (WHERE event_type = 'error')    AS n_error,
-           sum(value) FILTER (WHERE event_type = 'purchase') AS purchase_value
+           CAST(floor(sum(value) FILTER (WHERE event_type = 'purchase')
+                      * 1e4 + 0.5) AS BIGINT) AS purchase_value
     FROM events GROUP BY user_id
     """,
 )
@@ -234,7 +236,7 @@ def agg_filtered(spark, sf_dir):
     return ev.groupBy("user_id").agg(
         F.count(F.when(is_p, 1)).alias("n_purchase"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
-        F.sum(F.when(is_p, F.col("value"))).alias("purchase_value"),
+        micro(F.sum(F.when(is_p, F.col("value"))), 4).alias("purchase_value"),
     )
 
 
@@ -315,7 +317,7 @@ def agg_having(spark, sf_dir):
     "agg_salted_skew",
     oracle="""
     SELECT event_type, count(*) AS n,
-           floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total,
+           CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total,
            min(value) AS mn, max(value) AS mx
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -343,9 +345,7 @@ def agg_salted_skew(spark, sf_dir):
         ],
         n_salts=8,
     )
-    from ..portable import round_portable
-
     return out.select(
-        "event_type", "n", round_portable(F.col("total"), 4).alias("total"),
+        "event_type", "n", micro(F.col("total"), 4).alias("total"),
         "mn", "mx",
     ).orderBy("event_type")

@@ -23,7 +23,8 @@ def _t(spark, sf_dir, *names):
 @query(
     "join_inner",
     oracle="""
-    SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS total
+    SELECT n_name, count(*) AS n_orders,
+           CAST(floor(sum(o_totalprice) * 1e4 + 0.5) AS BIGINT) AS total
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -36,7 +37,10 @@ def join_inner(spark, sf_dir):
         orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            micro(F.sum("o_totalprice"), 4).alias("total"),
+        )
     )
 
 

@@ -652,7 +652,8 @@ def sql_mr_match_number(spark, sf_dir):
     "sql_tumble_group_legacy",
     oracle="""
     SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w_start,
-           event_type, count(*) AS n, sum(value) AS total
+           event_type, count(*) AS n,
+           CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
     FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
     """,
 )
@@ -666,7 +667,8 @@ def sql_tumble_group_legacy(spark, sf_dir):
         spark,
         """
         SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '10' MINUTE)) AS w_start,
-               event_type, count(*) AS n, sum(value) AS total
+               event_type, count(*) AS n,
+               CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
         FROM events
         GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE), event_type
         ORDER BY w_start, event_type
@@ -685,7 +687,8 @@ def sql_tumble_group_legacy(spark, sf_dir):
       FROM events, slides k
       WHERE epoch(ts) >= floor((epoch(ts) - k.k * 300) / 600) * 600 + k.k * 300
     )
-    SELECT w_start, count(*) AS n, sum(value) AS total
+    SELECT w_start, count(*) AS n,
+           CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
     FROM assigned GROUP BY w_start ORDER BY w_start
     """,
 )
@@ -699,7 +702,8 @@ def sql_hop_group_legacy(spark, sf_dir):
         """
         SELECT unix_timestamp(HOP_START(ts, INTERVAL '5' MINUTE,
                                         INTERVAL '10' MINUTE)) AS w_start,
-               count(*) AS n, sum(value) AS total
+               count(*) AS n,
+               CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
         FROM events
         GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)
         ORDER BY w_start

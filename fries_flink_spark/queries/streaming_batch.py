@@ -34,7 +34,7 @@ def _ev(spark, sf_dir):
     SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w_start,
            event_type,
            count(*)  AS n,
-           sum(value) AS total,
+           CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total,
            min(value) AS mn, max(value) AS mx
     FROM events
     GROUP BY 1, 2
@@ -47,7 +47,7 @@ def win_tumble(spark, sf_dir):
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("total"),
+            micro(F.sum("value"), 4).alias("total"),
             F.min("value").alias("mn"),
             F.max("value").alias("mx"),
         )
@@ -110,7 +110,8 @@ def win_hop(spark, sf_dir):
     )
     SELECT user_id,
            CAST(floor(epoch(min(ts))) AS BIGINT)                   AS session_start,
-           count(*) AS n, sum(value) AS total
+           count(*) AS n,
+           CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -122,7 +123,7 @@ def win_session(spark, sf_dir):
     ev = _ev(spark, sf_dir)
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), micro(F.sum("value"), 4).alias("total"))
         .select(
             "user_id",
             F.unix_timestamp(F.col("w.start")).alias("session_start"),

@@ -36,12 +36,15 @@ def _t(spark, sf_dir, *names):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)                                       AS sum_qty,
-           sum(l_extendedprice)                                  AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-           avg(l_quantity)                                       AS avg_qty,
-           avg(l_extendedprice)                                  AS avg_price,
-           avg(l_discount)                                       AS avg_disc,
+           CAST(floor(sum(l_extendedprice) * 1e4 + 0.5) AS BIGINT)
+                                                                 AS sum_base_price,
+           CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 1e4 + 0.5)
+                AS BIGINT)                                       AS sum_disc_price,
+           CAST(floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                      * 1e4 + 0.5) AS BIGINT)                    AS sum_charge,
+           CAST(floor(avg(l_quantity) * 1e4 + 0.5) AS BIGINT)    AS avg_qty,
+           CAST(floor(avg(l_extendedprice) * 1e4 + 0.5) AS BIGINT) AS avg_price,
+           CAST(floor(avg(l_discount) * 1e4 + 0.5) AS BIGINT)    AS avg_disc,
            count(*)                                              AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
@@ -49,6 +52,11 @@ def _t(spark, sf_dir, *names):
     """,
 )
 def tpch_q1(spark, sf_dir):
+    # Price/avg aggregates emit integer micro-units (micro, 4): sums of
+    # decimal-valued doubles are summation-order-sensitive in the last ulp,
+    # and Spark's partial-agg tree visits rows in a different order than
+    # DuckDB's sequential fold (tpch_q10 diverged exactly this way at sf0.1).
+    # sum_qty stays raw: l_quantity is integral, so its double sum is exact.
     (li,) = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -56,12 +64,12 @@ def tpch_q1(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            micro(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            micro(F.sum(disc_price), 4).alias("sum_disc_price"),
+            micro(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            micro(F.avg("l_quantity"), 4).alias("avg_qty"),
+            micro(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            micro(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -76,7 +84,8 @@ def tpch_q1(spark, sf_dir):
     "tpch_q3",
     oracle="""
     SELECT l_orderkey,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 1e4 + 0.5)
+                AS BIGINT)                         AS revenue,
            strftime(o_orderdate, '%Y-%m-%d')       AS orderdate,
            o_orderpriority
     FROM customer
@@ -106,9 +115,9 @@ def tpch_q3(spark, sf_dir):
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            micro(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -183,7 +192,8 @@ def tpch_q5(spark, sf_dir):
 @query(
     "tpch_q6",
     oracle="""
-    SELECT sum(l_extendedprice * l_discount) AS revenue
+    SELECT CAST(floor(sum(l_extendedprice * l_discount) * 1e4 + 0.5) AS BIGINT)
+           AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -198,7 +208,11 @@ def tpch_q6(spark, sf_dir):
         & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
         & (F.col("l_discount").between(0.03, 0.07))
         & (F.col("l_quantity") < 24)
-    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    ).agg(
+        micro(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -207,7 +221,8 @@ def tpch_q6(spark, sf_dir):
     "tpch_q10",
     oracle="""
     SELECT c_custkey, c_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 1e4 + 0.5)
+                AS BIGINT) AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -238,9 +253,13 @@ def tpch_q10(spark, sf_dir):
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            # Micro-unit emit: the raw double sum diverged from DuckDB by one
+            # ulp at sf0.1 (summation order), the exact class the repo's
+            # fixed-point discipline exists for. Ordering uses the SAME
+            # rounded integer so the LIMIT cut is engine-deterministic too.
+            micro(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")

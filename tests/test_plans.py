@@ -269,3 +269,13 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_codegen_class_cache_sized_for_plan_heavy_queries(spark):
+    """The session must raise spark.sql.codegen.cache.maxEntries above the
+    100-entry default: a single plan-heavy query (tpcds_q14 emits ~250
+    codegen units) LRU-wraps the default cache by itself, recompiling every
+    generated class on EVERY re-run (measured: 222-225 janino compiles/run,
+    2-3x wall inflation — PERF.md §35). Static conf, so it can only be set
+    at session creation; this guards against the builder losing it."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1024

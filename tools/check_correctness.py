@@ -74,6 +74,14 @@ def main():
         for gname, ensure in (
             ("mm_image_features", _golden.ensure_mm_image_features),
             ("sim_topk_ivf", _golden.ensure_sim_topk_ivf),
+            ("pq_codes", _golden.ensure_pq_codes),
+            ("mm_video_frames", _golden.ensure_mm_video_frames),
+            ("mm_audio_features", _golden.ensure_mm_audio_features),
+            ("text_bpe_merges", _golden.ensure_bpe_merges),
+            ("text_bpe_encode", _golden.ensure_bpe_encode),
+            ("dedup_semantic", _golden.ensure_semantic_dedup),
+            ("mm_video_scenecut", _golden.ensure_mm_video_scenecut),
+            ("emb_pca_project", _golden.ensure_pca_project),
         ):
             spec = registry.get(gname)
             if spec is not None and spec.oracle:

@@ -92,6 +92,65 @@ def _float_div_in_bigint_cast(sql: str) -> bool:
     return False
 
 
+# Fixture columns whose values carry decimal fractions: their double sums
+# are inexact, so reduction ORDER changes the last ulp. Integral-valued
+# doubles (l_quantity, n_chars, *_cents, keys) sum exactly below 2^53 and
+# are safe to compare raw.
+INEXACT_COLS = (
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "o_totalprice",
+    "s_acctbal",
+    "c_acctbal",
+    r"\bvalue\b",
+)
+
+
+def _unordered_inexact_reduction(sql: str) -> bool:
+    """True if the sql contains sum()/avg() over a known-inexact column that
+    is NOT an ordered window aggregate (OVER frames visit rows in the frame
+    order on both engines) and NOT already wrapped in the fixed-point
+    CAST(floor(...) AS BIGINT) emit."""
+    # Drop every CAST(...) span first: a micro-unit emit rounds away the
+    # ulp before comparison, so sums inside a CAST are handled.
+    stripped, up, i = [], sql.upper(), 0
+    while i < len(sql):
+        if up.startswith("CAST(", i):
+            depth, k = 1, i + 5
+            while k < len(sql) and depth:
+                if sql[k] == "(":
+                    depth += 1
+                elif sql[k] == ")":
+                    depth -= 1
+                k += 1
+            i = k
+            continue
+        stripped.append(sql[i])
+        i += 1
+    text = "".join(stripped)
+    for m in re.finditer(r"\b(sum|avg)\s*\(", text, re.I):
+        depth, k = 1, m.end()
+        while k < len(text) and depth:
+            if text[k] == "(":
+                depth += 1
+            elif text[k] == ")":
+                depth -= 1
+            k += 1
+        arg = text[m.end() : k - 1]
+        # A column named only inside a CASE's WHEN condition is a predicate,
+        # not the summand (sum(CASE WHEN value > x THEN 0 ELSE 1 END) sums
+        # exact integers); test the summed branches only.
+        arg = re.sub(r"\bWHEN\b.*?\bTHEN\b", " ", arg, flags=re.I | re.S)
+        if not any(re.search(c, arg, re.I) for c in INEXACT_COLS):
+            continue
+        tail = text[k:].lstrip()
+        if re.match(r"(FILTER\s*\([^)]*\)\s*)?OVER\b", tail, re.I):
+            continue  # ordered window aggregate — frame order is shared
+        return True
+    return False
+
+
 def lint_one(con, name: str, sql: str) -> list[str]:
     flags: list[str] = []
     try:
@@ -122,6 +181,17 @@ def lint_one(con, name: str, sql: str) -> list[str]:
     if _float_div_in_bigint_cast(sql):
         flags.append(
             "float division inside CAST(... AS BIGINT) — use integer // division"
+        )
+
+    if any(
+        t.startswith(("DOUBLE", "FLOAT", "REAL")) for t in out_types.values()
+    ) and _unordered_inexact_reduction(sql):
+        flags.append(
+            "unordered sum()/avg() over a decimal-valued double feeding a "
+            "DOUBLE output — summation order differs between Spark's "
+            "partial-agg tree and DuckDB's sequential fold, so the last ulp "
+            "diverges at scale (tpch_q10 did at sf0.1). Emit integer "
+            "micro-units on both sides"
         )
     return flags
 
