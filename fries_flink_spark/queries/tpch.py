@@ -934,7 +934,7 @@ def tpch_q9(spark, sf_dir):
     )
     SELECT l_partkey, CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS value
     FROM vals
-    WHERE value > (SELECT sum(value) * 0.003 FROM vals)
+    WHERE value > (SELECT 2.0 * sum(value) / count(*) FROM vals)
     ORDER BY value DESC, l_partkey
     """,
 )
@@ -947,7 +947,10 @@ def tpch_q11(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
     )
-    threshold = vals.agg((F.sum("value") * 0.003).alias("thr"))
+    # Data-relative bar (2x the mean per-part value): the official query's
+    # fixed fraction is spec-scaled by 1/SF for the same reason — a constant
+    # share of the total empties out as part count grows (it did at sf0.1).
+    threshold = vals.agg((F.lit(2.0) * F.sum("value") / F.count(F.lit(1))).alias("thr"))
     return (
         vals.join(F.broadcast(threshold), F.col("value") > F.col("thr"))
         .select("l_partkey", micro(F.col("value"), 4).alias("value"))
