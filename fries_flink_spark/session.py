@@ -61,8 +61,14 @@ def get_spark(
     cpus = cpus or default_parallelism()
     shuffle_partitions = shuffle_partitions or cpus
     driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # SPARK_GRAFT_MASTER overrides the master URL — used by the robustness
+    # sweep to run the full query registry under ``local-cluster[N,C,M]``
+    # (separate executor JVMs + python workers), which exercises closure
+    # serialization, broadcast transfer and Arrow batch shipping that the
+    # in-process local[K] mode cannot.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", driver_memory)
