@@ -778,6 +778,133 @@ def q_sample_group_holdout(spark, sf_dir):
     )
 
 
+# DSIR hashed-n-gram importance weighting (pipeline/dsir.py). The oracle CTE
+# chain restates the library's arithmetic verbatim: md5-prefix buckets,
+# Laplace-smoothed micro-nat log-ratios, integer per-doc sums.
+_DSIR_TARGET = "src0"
+_DSIR_WEIGHTS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source, substr(md5(g.gram), 1, 2) AS bucket
+      FROM toks, LATERAL unnest(list_concat(t,
+            list_transform(generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1]))) AS g(gram)
+    ), tcnt AS (
+      SELECT bucket, count(*) AS t_cnt FROM grams
+      WHERE source = '{_DSIR_TARGET}' GROUP BY bucket
+    ), rcnt AS (
+      SELECT bucket, count(*) AS r_cnt FROM grams GROUP BY bucket
+    ), tot AS (
+      SELECT (SELECT count(*) FROM grams WHERE source = '{_DSIR_TARGET}') AS tt,
+             (SELECT count(*) FROM grams) AS rt
+    ), lr AS (
+      SELECT r.bucket,
+             CAST(floor((ln((coalesce(t.t_cnt, 0) + 1) / CAST(tot.tt + 256 AS DOUBLE))
+                       - ln((r.r_cnt + 1) / CAST(tot.rt + 256 AS DOUBLE)))
+                        * 1e6 + 0.5) AS BIGINT) AS lr_micro
+      FROM rcnt r LEFT JOIN tcnt t ON r.bucket = t.bucket, tot
+    ), w AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             CAST(sum(lr.lr_micro) AS BIGINT) AS weight_micro
+      FROM grams g JOIN lr ON g.bucket = lr.bucket
+      GROUP BY g.doc_id
+    )
+"""
+
+
+# per-session memo for the DSIR hashed-gram table (same discipline as
+# queries/tpcds.register_tpcds): the explode is the dominant cost and feeds
+# the model histograms, the totals AND the scoring pass — one persisted copy
+# per (session, sf), replaced on sf switch.
+_DSIR_GRAMS: dict[int, tuple] = {}
+
+
+def _dsir_tagged_grams(spark, sf_dir):
+    import weakref
+
+    from ..pipeline.dsir import hashed_grams
+
+    entry = _DSIR_GRAMS.get(id(spark))
+    if entry is not None:
+        ref, reg_sf, frame = entry
+        if ref() is spark and reg_sf == sf_dir:
+            return frame
+        if ref() is spark:
+            try:
+                frame.unpersist()
+            except Exception:  # noqa: BLE001 - best-effort cleanup
+                pass
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = hashed_grams(docs, "text", "doc_id").join(
+        docs.select("doc_id", (F.col("source") == _DSIR_TARGET).alias("__is_t")),
+        "doc_id",
+    ).persist()
+    _DSIR_GRAMS[id(spark)] = (weakref.ref(spark), sf_dir, tagged)
+    return tagged
+
+
+def _dsir_weights(spark, sf_dir):
+    from ..pipeline.dsir import bucket_counts, bucket_log_ratio, doc_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = _dsir_tagged_grams(spark, sf_dir)
+    raw = bucket_counts(tagged)
+    tgt = bucket_counts(tagged.filter("__is_t"))
+    totals = tagged.agg(
+        F.count(F.lit(1)).alias("rt"),
+        F.sum(F.col("__is_t").cast("bigint")).alias("tt"),
+    ).first()
+    lr = bucket_log_ratio(tgt, raw, int(totals["tt"]), int(totals["rt"]))
+    return doc_importance(docs, "text", "doc_id", lr, grams=tagged)
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=_DSIR_WEIGHTS_SQL
+    + """
+    SELECT doc_id, n_grams, weight_micro FROM w ORDER BY doc_id
+    """,
+)
+def q_dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights (pipeline/dsir.py, after arXiv:2302.03169):
+    hashed unigram+bigram bucket models target='src0' vs the raw pool,
+    per-doc log-likelihood-ratio weight in integer micro-nats. The 256-row
+    ratio model broadcasts; one explode + one partial-agg shuffle."""
+    return _dsir_weights(spark, sf_dir).select(
+        "doc_id", "n_grams", "weight_micro"
+    ).transform(sorted_result, "doc_id")
+
+
+@query(
+    "dsir_gumbel_topk",
+    oracle=_DSIR_WEIGHTS_SQL
+    + """
+    SELECT doc_id, weight_micro,
+           CAST(weight_micro + floor(-ln(-ln(
+                 (CAST(concat('0x', substr(md5('dsir|' || CAST(doc_id AS VARCHAR)),
+                                           1, 8)) AS BIGINT) + 0.5)
+                 / 4294967296.0)) * 1e6 + 0.5) AS BIGINT) AS key_micro
+    FROM w
+    ORDER BY key_micro DESC, doc_id LIMIT 50
+    """,
+)
+def q_dsir_gumbel_topk(spark, sf_dir):
+    """DSIR Gumbel top-k selection: sample 50 docs without replacement with
+    probability ∝ exp(importance weight). Gumbel noise is derived from
+    md5(seed|doc_id) so the draw is deterministic and partition-invariant;
+    the top-k is a sort-limit (TakeOrdered), never a global sort."""
+    from ..pipeline.dsir import gumbel_topk
+
+    w = _dsir_weights(spark, sf_dir)
+    return gumbel_topk(w, "doc_id", k=50, seed="dsir").select(
+        "doc_id", "weight_micro", "key_micro"
+    )
+
+
 @query(
     "pipeline_token_budget",
     oracle=f"""

@@ -401,3 +401,117 @@ def test_take_token_budget_exact_prefix(spark):
     # 10-token docs, budget 95 -> exactly 9 kept regardless of partitioning
     assert kept.count() == 9
     assert take_token_budget(df.repartition(7), "tokens", "doc_id", 95).count() == 9
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+class TestDsir:
+    def _corpus(self, spark):
+        rows = [
+            # target domain: legal-ish vocabulary
+            (1, "tgt", "the court finds the motion granted"),
+            (2, "tgt", "the court denies the motion with prejudice"),
+            (3, "tgt", "counsel for the motion addressed the court"),
+            # raw pool: mixed
+            (4, "web", "click here to win a free prize now"),
+            (5, "web", "the court schedule and the motion docket"),  # target-like
+            (6, "web", "best pizza recipes for a quick dinner"),
+            (7, "web", "single"),
+        ]
+        return spark.createDataFrame(rows, "doc_id int, source string, text string")
+
+    def test_hashed_grams_counts(self, spark):
+        from fries_flink_spark.pipeline.dsir import hashed_grams
+
+        df = self._corpus(spark)
+        per_doc = {
+            r["doc_id"]: r["n"]
+            for r in hashed_grams(df, "text", "doc_id")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # k tokens -> k unigrams + (k-1) bigrams; 1 token -> 1 gram only
+        assert per_doc[1] == 6 + 5
+        assert per_doc[7] == 1
+
+    def test_importance_matches_python_replay(self, spark):
+        import hashlib
+        import math
+
+        from fries_flink_spark.pipeline.dsir import (
+            bucket_counts,
+            bucket_log_ratio,
+            doc_importance,
+            hashed_grams,
+        )
+
+        df = self._corpus(spark)
+
+        def grams_of(text):
+            t = text.lower().split()
+            gs = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+            return [hashlib.md5(g.encode()).hexdigest()[:2] for g in gs]
+
+        rows = [(r["doc_id"], r["source"], r["text"]) for r in df.collect()]
+        raw, tgt = {}, {}
+        for _, src, text in rows:
+            for b in grams_of(text):
+                raw[b] = raw.get(b, 0) + 1
+                if src == "tgt":
+                    tgt[b] = tgt.get(b, 0) + 1
+        rt, tt = sum(raw.values()), sum(tgt.values())
+        lr = {
+            b: math.floor(
+                (math.log((tgt.get(b, 0) + 1) / (tt + 256))
+                 - math.log((raw[b] + 1) / (rt + 256))) * 1e6 + 0.5)
+            for b in raw
+        }
+        expect = {
+            did: sum(lr[b] for b in grams_of(text)) for did, _, text in rows
+        }
+
+        grams = hashed_grams(df, "text", "doc_id")
+        tagged = grams.join(
+            df.select("doc_id", (F.col("source") == "tgt").alias("__is_t")), "doc_id"
+        )
+        model = bucket_log_ratio(
+            bucket_counts(tagged.filter("__is_t")), bucket_counts(tagged), tt, rt
+        )
+        got = {
+            r["doc_id"]: r["weight_micro"]
+            for r in doc_importance(df, "text", "doc_id", model).collect()
+        }
+        assert got == expect
+        # target-like raw doc outscores off-domain raw docs
+        assert got[5] > got[4] and got[5] > got[6]
+
+    def test_gumbel_topk_deterministic_and_sized(self, spark):
+        from fries_flink_spark.pipeline.dsir import (
+            bucket_counts,
+            bucket_log_ratio,
+            doc_importance,
+            hashed_grams,
+        )
+        from fries_flink_spark.pipeline.dsir import gumbel_topk
+
+        df = self._corpus(spark)
+        grams = hashed_grams(df, "text", "doc_id")
+        tagged = grams.join(
+            df.select("doc_id", (F.col("source") == "tgt").alias("__is_t")), "doc_id"
+        )
+        tots = tagged.agg(
+            F.count(F.lit(1)).alias("rt"),
+            F.sum(F.col("__is_t").cast("bigint")).alias("tt"),
+        ).first()
+        model = bucket_log_ratio(
+            bucket_counts(tagged.filter("__is_t")), bucket_counts(tagged),
+            int(tots["tt"]), int(tots["rt"]),
+        )
+        w = doc_importance(df, "text", "doc_id", model)
+        a = [r["doc_id"] for r in gumbel_topk(w, "doc_id", 3).collect()]
+        b = [r["doc_id"] for r in gumbel_topk(w.repartition(5), "doc_id", 3).collect()]
+        assert len(a) == 3 and a == b  # partition-invariant draw
+        c = gumbel_topk(w, "doc_id", 3, seed="other").collect()
+        assert len(c) == 3  # a different seed is an equally valid draw
