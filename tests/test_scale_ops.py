@@ -190,3 +190,51 @@ def test_incremental_dedup_batch_vs_index(spark):
     grown = index.unionByName(new_entries)
     again, _ = incremental_dedup(batch, grown, "text", "doc_id")
     assert again.count() == 0
+
+
+def test_aqe_skew_join_engages_and_partitioning_reuse_disables_it(spark):
+    """Prove the session's AQE skew-join config actually splits a hot
+    partition at runtime (skew=true in the final adaptive plan), AND pin the
+    known boundary: when a downstream agg is keyed on the join key, AQE
+    declines to split (it would break the reusable hash partitioning) — the
+    case operators/skew.salted_join exists for."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") < 300_000, 0)
+            .otherwise((F.col("id") % 99) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+        )
+        # global agg downstream: AQE is free to split the hot partition
+        j = fact.join(dim, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+        )
+        row = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert row["n"] == 400_000
+        # keyed agg downstream: splitting would break partitioning reuse, so
+        # AQE must NOT split — documents why salted_join is still needed
+        g = fact.join(dim, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        counts = {r["k"]: r["n"] for r in g.collect()}
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in gplan
+        assert counts[0] == 300_000 and counts[5] == 1_010
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
