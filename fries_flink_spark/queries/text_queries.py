@@ -610,11 +610,10 @@ def text_unigram_logppl(spark, sf_dir):
     (text/lm.py — the CCNet perplexity-filter primitive with an in-engine
     unigram model): one model shuffle, broadcast vocab join, order-invariant
     integer cost sums."""
-    from ..text.lm import doc_logcost, unigram_model
+    from ..text.lm import doc_logppl
 
     docs = load_table(spark, sf_dir, "documents")
-    model, total = unigram_model(docs, "text")
-    return doc_logcost(docs, "text", "doc_id", model, total).select(
+    return doc_logppl(docs, "text", "doc_id").select(
         "doc_id", "n_tokens", "cost_micro", "mean_cost_micro"
     ).transform(sorted_result, "doc_id")
 

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .analysis import tokens
 
-__all__ = ["unigram_model", "doc_logcost"]
+__all__ = ["unigram_model", "doc_logcost", "doc_logppl"]
 
 
 def unigram_model(df: DataFrame, text_col: str) -> tuple[DataFrame, int]:
@@ -72,6 +72,49 @@ def doc_logcost(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__c").alias("cost_micro"),
+        )
+        .withColumn(
+            "mean_cost_micro",
+            F.floor(F.col("cost_micro") / F.col("n_tokens")).cast("bigint"),
+        )
+    )
+
+
+def doc_logppl(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Train-and-score in ONE job: identical output to
+    ``doc_logcost(df, …, *unigram_model(df, …))`` when model and scored
+    corpus are the same ``df``, at a third of the corpus passes.
+
+    Plan shape: one explode feeds a per-(doc, word) count aggregate; the
+    vocabulary and the corpus total both derive from THAT aggregate (AQE
+    reuses the exchange — the explode physically runs once), the total joins
+    in as a broadcast scalar instead of an eager ``.first()`` job, and
+    scoring runs over distinct (doc, word) pairs with the per-pair count as
+    a multiplier — typically 2-5× fewer rows into the cost join than token
+    instances. Integer micro-nat arithmetic is unchanged:
+    ``Σ_instances c(w) == Σ_pairs c(w)·cnt`` exactly.
+    """
+    pairs = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+        )
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = pairs.groupBy("word").agg(F.sum("cnt").alias("freq"))
+    total = vocab.agg(F.sum("freq").cast("double").alias("__total"))
+    cost = F.floor(
+        (F.log(F.col("__total")) - F.log(F.col("freq").cast("double"))) * 1e6
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        pairs.join(F.broadcast(vocab), "word")
+        .join(F.broadcast(total))
+        .select(F.col(id_col), F.col("cnt"), (cost * F.col("cnt")).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
             F.sum("__c").alias("cost_micro"),
         )
         .withColumn(

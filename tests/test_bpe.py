@@ -124,3 +124,22 @@ def test_bpe_vocab_ids_stable_and_unk(spark):
     out = encode_ids(df, "t", merges).collect()[0]["token_ids"]
     # 'abc' -> [abc]; 'zq' -> [z, q]; 'ab' -> [ab]
     assert out == [38, 26, 17, 37]
+
+
+def test_doc_logppl_fused_equals_two_pass(spark, sf_dir):
+    """The one-job doc_logppl must reproduce doc_logcost∘unigram_model
+    exactly (integer micro-nats) on real fixture text."""
+    from fries_flink_spark.catalog import load_table
+    from fries_flink_spark.text.lm import doc_logcost, doc_logppl, unigram_model
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200")
+    model, total = unigram_model(docs, "text")
+    two = {
+        r["doc_id"]: (r["n_tokens"], r["cost_micro"], r["mean_cost_micro"])
+        for r in doc_logcost(docs, "text", "doc_id", model, total).collect()
+    }
+    one = {
+        r["doc_id"]: (r["n_tokens"], r["cost_micro"], r["mean_cost_micro"])
+        for r in doc_logppl(docs, "text", "doc_id").collect()
+    }
+    assert one == two and len(one) > 0
