@@ -226,7 +226,11 @@ def cosine_pairs(
     spark = df.sparkSession
     id_type = [f.dataType.simpleString() for f in df.schema.fields if f.name == id_col][0]
     n = df.count()
-    n_blocks = max(1, math.ceil(n / rows_per_block))
+    # Block count: rows_per_block bounds per-task memory at scale; the
+    # second term splits SMALL inputs (that would otherwise land in one
+    # cogroup = one task) into up to 8 blocks so the GEMM parallelizes —
+    # measured 20% wall at n=2k, a no-op whenever n/rows_per_block ≥ 8.
+    n_blocks = max(1, math.ceil(n / rows_per_block), min(8, math.ceil(n / 512)))
 
     def replicated(block_col: str):
         # fresh expression ids per side (alias + createDataFrame both mint
