@@ -53,14 +53,20 @@ __all__ = [
 N_BUCKETS = 256  # md5 hex prefix length 2 -> 16^2 buckets
 
 
-def hashed_grams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, bucket) one row per unigram/bigram INSTANCE (with multiplicity).
+def hashed_grams(
+    df: DataFrame, text_col: str, id_col: str, carry: list[str] | None = None
+) -> DataFrame:
+    """(id, [carry...,] bucket) one row per unigram/bigram INSTANCE (with
+    multiplicity). Bucket = first two hex chars of md5(gram); bigrams join
+    their two tokens with a single space. Single-token docs emit no bigrams.
 
-    Bucket = first two hex chars of md5(gram); bigrams join their two tokens
-    with a single space. Single-token docs emit no bigrams.
+    ``carry`` columns ride through the explode — cheaper than joining
+    per-doc attributes back onto the (much larger) gram table afterwards.
     """
     base = df.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias(_T)
+        F.col(id_col),
+        *[F.col(c) for c in (carry or [])],
+        tokens(F.lower(F.col(text_col))).alias(_T),
     )
     tc = F.col(_T)
     big = F.when(
@@ -70,9 +76,10 @@ def hashed_grams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             f" i -> concat({_T}[i-1], ' ', {_T}[i]))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = base.select(F.col(id_col), F.explode(F.concat(tc, big)).alias("gram"))
+    keep = [F.col(id_col)] + [F.col(c) for c in (carry or [])]
+    out = base.select(*keep, F.explode(F.concat(tc, big)).alias("gram"))
     return out.select(
-        F.col(id_col), F.substring(F.md5(F.col("gram")), 1, 2).alias("bucket")
+        *keep, F.substring(F.md5(F.col("gram")), 1, 2).alias("bucket")
     )
 
 

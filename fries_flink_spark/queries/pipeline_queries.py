@@ -839,9 +839,13 @@ def _dsir_tagged_grams(spark, sf_dir):
             except Exception:  # noqa: BLE001 - best-effort cleanup
                 pass
     docs = load_table(spark, sf_dir, "documents")
-    tagged = hashed_grams(docs, "text", "doc_id").join(
-        docs.select("doc_id", (F.col("source") == _DSIR_TARGET).alias("__is_t")),
+    # __is_t rides THROUGH the explode (carry=) — tagging the gram table by
+    # joining docs back onto it afterwards would be a corpus-sized SMJ.
+    tagged = hashed_grams(
+        docs.withColumn("__is_t", F.col("source") == _DSIR_TARGET),
+        "text",
         "doc_id",
+        carry=["__is_t"],
     ).persist()
     _DSIR_GRAMS[id(spark)] = (weakref.ref(spark), sf_dir, tagged)
     return tagged

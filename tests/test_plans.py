@@ -279,3 +279,19 @@ def test_codegen_class_cache_sized_for_plan_heavy_queries(spark):
     2-3x wall inflation — PERF.md §35). Static conf, so it can only be set
     at session creation; this guards against the builder losing it."""
     assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1024
+
+
+def test_dsir_weights_model_broadcasts_and_partial_agg(spark, registry):
+    """DSIR scoring: the 256-row log-ratio model must broadcast into the
+    gram join (never shuffle the corpus on the bucket key), and the per-doc
+    integer sum must run with map-side partials."""
+    df = registry["dsir_importance_weights"](spark, SF)
+    js = join_strategies(df)
+    assert js.get("BroadcastHashJoin", 0) >= 1, js
+    # the only permitted SMJ is the 256-row full-outer merging the two
+    # bucket histograms (bounded by bucket count, never by corpus size);
+    # the target flag rides through the explode instead of joining back.
+    # formatted explain names each operator twice (tree + detail), so one
+    # physical SMJ == count 2
+    assert js.get("SortMergeJoin", 0) <= 2, js
+    assert has_partial_aggregation(df)
