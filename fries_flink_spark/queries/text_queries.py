@@ -723,3 +723,59 @@ def corpus_report(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def _url_synth_sql(cast: str) -> str:
+    """Deterministic messy-URL column from doc_id (documents carry no URL,
+    so both engines synthesize identical recrawl-style variants: mixed-case
+    scheme/host, www., default ports, tracking params, fragments, trailing
+    slashes). ``cast`` = the engine's int->string cast keyword."""
+    c = lambda e: f"CAST({e} AS {cast})"  # noqa: E731
+    return (
+        "concat('HTTP', CASE WHEN doc_id % 3 = 0 THEN 'S' ELSE '' END, '://',"
+        " CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END,"
+        f" 'Site', {c('doc_id % 10')}, '.Example.COM',"
+        " CASE WHEN doc_id % 3 = 0 THEN ':443'"
+        "      WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END,"
+        f" '/Path/', {c('doc_id % 8')},"
+        " CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,"
+        f" '?utm_source=x&id=', {c('doc_id % 5')}, '&utm_campaign=y',"
+        " CASE WHEN doc_id % 7 = 0 THEN '&fbclid=abc' ELSE '' END,"
+        f" '#frag', {c('doc_id % 10')})"
+    )
+
+
+def _url_dedup_oracle() -> str:
+    from ..text.urls import normalize_url_sql
+
+    return f"""
+    WITH u AS (
+      SELECT doc_id, {_url_synth_sql('VARCHAR')} AS url FROM documents
+    ), n AS (
+      SELECT doc_id, {normalize_url_sql('url')} AS norm_url FROM u
+    )
+    SELECT norm_url, min(doc_id) AS keeper,
+           CAST(count(*) - 1 AS BIGINT) AS n_dups
+    FROM n GROUP BY norm_url
+    ORDER BY norm_url
+    """
+
+
+@query("url_dedup_normalized", oracle=_url_dedup_oracle())
+def q_url_dedup_normalized(spark, sf_dir):
+    """URL-level dedup after normalization (text/urls.py — the CCNet/
+    RefinedWeb/C4 first dedup stage): strip fragments + tracking params,
+    lowercase scheme/host, drop www./default ports/trailing slash, keep the
+    minimum doc_id per normalized URL. Pure codegen string expressions; one
+    exchange on md5(norm_url)."""
+    from ..text.urls import dedup_by_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id", F.expr(_url_synth_sql("STRING")).alias("url")
+    )
+    return dedup_by_url(urls, "url", "doc_id").select(
+        "norm_url",
+        "keeper",
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+    ).transform(sorted_result, "norm_url")
