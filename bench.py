@@ -137,12 +137,18 @@ def classify_load(
     return "quiesced", ramped
 
 
-def run_streaming_benches(spark) -> dict[str, float]:
+def run_streaming_benches(spark, repeats: int = 3) -> tuple[
+    dict[str, float], dict[str, list[float]]
+]:
     """Streaming perf signal (round-7): three bounded-replay pipelines timed
     end-to-end (chunk staging + full stream drain) at SF_DIR — event-time
     sorted replay, global streaming Top-N, and the foreachBatch
     incremental-dedup ingest loop. Each is the batch-equivalent of an oracled
-    operator; here the STREAMING path itself is what's on the clock."""
+    operator; here the STREAMING path itself is what's on the clock.
+
+    Round-8: median-of-``repeats`` with the full sample triples published
+    (round-7 single-run rows swung up to 2.6x between runs and were not
+    adjudicable round-over-round)."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -152,15 +158,25 @@ def run_streaming_benches(spark) -> dict[str, float]:
     from fries_flink_spark.streaming.windows import run_to_completion
 
     out: dict[str, float] = {}
+    samples_out: dict[str, list[float]] = {}
 
     def timed(name, fn):
-        t0 = time.time()
-        try:
-            fn()
-            out[name] = round(time.time() - t0, 3)
-            print(f"  {name}: {out[name]:.2f}s", file=sys.stderr)
-        except Exception as e:  # streaming rows must never fail the bench
-            print(f"  streaming {name} failed: {e}", file=sys.stderr)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.time()
+            try:
+                fn()
+                samples.append(round(time.time() - t0, 3))
+            except Exception as e:  # streaming rows must never fail the bench
+                print(f"  streaming {name} failed: {e}", file=sys.stderr)
+                break
+        if samples:
+            samples_out[name] = samples
+            out[name] = sorted(samples)[len(samples) // 2]
+            print(
+                f"  {name}: {out[name]:.2f}s  {[round(s, 2) for s in samples]}",
+                file=sys.stderr,
+            )
 
     def sorted_replay():
         from fries_flink_spark.streaming.sort import event_time_sorted
@@ -239,7 +255,7 @@ def run_streaming_benches(spark) -> dict[str, float]:
     timed("stream_event_sorted", sorted_replay)
     timed("stream_topn", topn_replay)
     timed("stream_dedup_ingest", dedup_ingest)
-    return out
+    return out, samples_out
 
 
 def main() -> None:
@@ -286,7 +302,15 @@ def main() -> None:
     # (self-induced) contamination
     sentinel_post = _sentinel(spark)
 
-    streaming = run_streaming_benches(spark)
+    streaming, streaming_samples = run_streaming_benches(spark, repeats=repeats)
+    # streaming-section sentinel: taken AFTER the streaming pipelines have
+    # fully drained (run_to_completion / awaitTermination are synchronous),
+    # so together with sentinel_post it brackets the streaming section the
+    # same way pre/post bracket the batch sweep.
+    sentinel_stream_post = _sentinel(spark)
+    stream_load_state, stream_ramped = classify_load(
+        sentinel_post, sentinel_stream_post, streaming_samples
+    )
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     load_state, ramped = classify_load(sentinel_pre, sentinel_post, samples_by_query)
@@ -298,8 +322,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "streaming": streaming,
+                "streaming_samples": streaming_samples,
+                "streaming_load_state": stream_load_state,
+                "streaming_ramped": stream_ramped,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "sentinel_sec": {"pre": sentinel_pre, "post": sentinel_post},
+                "sentinel_sec": {
+                    "pre": sentinel_pre,
+                    "post": sentinel_post,
+                    "stream_post": sentinel_stream_post,
+                },
                 "sentinel_solo_sec": SENTINEL_SOLO_SEC,
                 "load_state": load_state,
                 "ramped_queries": ramped,

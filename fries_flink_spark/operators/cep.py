@@ -533,6 +533,96 @@ def _select_from_expr(select_expr: dict[str, tuple]) -> Callable:
     return sel
 
 
+def _branchy_shape_ok(
+    pattern: "Pattern", key_cols: list[str], select_expr: dict[str, tuple]
+) -> bool:
+    """True iff (pattern, select spec) fits the two-stage branch-enumeration
+    shape the vectorized JVM plan covers (see _branchy_fast_path)."""
+    sts = pattern.stages
+    if len(sts) != 2:
+        return False
+    s1, s2 = sts
+    if s1.negated or s2.negated or s1.has_ctx or s2.has_ctx:
+        return False
+    if s1.min_times != 1 or s1.max_times != 1:
+        return False
+    if s2.contiguity != "relaxed_any" or s2.min_times != 1 or s2.greedy:
+        return False
+    for spec in select_expr.values():
+        if spec[0] == "key" and spec[1] in key_cols:
+            continue
+        if spec[0] == "first" and spec[1] in (s1.name, s2.name):
+            continue
+        if spec[0] == "count" and spec[1] == s2.name:
+            continue
+        return False  # last()/other refs: NFA path
+    return True
+
+
+#: Auto-selection threshold: estimated EMITTED BRANCH count above which the
+#: vectorized JVM plan is chosen over the NFA. The NFA's cost is dominated by
+#: per-match Python emission (~8 µs/row, PERF.md); the JVM plan carries a
+#: ~0.3-0.5 s multi-stage overhead (mask pass + window chain + self-join)
+#: that only amortizes when many branches are emitted. Measured crossover
+#: (PERF.md round-8 table): the real events fixture (sparse masks + 30 min
+#: within-window, E~10^2) runs NFA 1.3x faster, while every dense-mask point
+#: at E>=2.7*10^5 runs the JVM plan 1.1-2.6x faster; 50k sits in the middle
+#: of that two-decade gap.
+AUTO_VECTORIZE_EMIT_ESTIMATE = 50_000
+
+#: Rows pulled to the driver to estimate mask selectivity (one small job).
+_AUTO_SAMPLE_ROWS = 4096
+
+
+def _choose_vectorized(
+    df: DataFrame,
+    key_cols: list[str],
+    pattern: "Pattern",
+    time_col: str,
+) -> bool:
+    """Observed-stats engine choice for the branch-enumeration shape.
+
+    Two cheap jobs — a column-pruned count/approx-distinct/ts-span agg and a
+    ``_AUTO_SAMPLE_ROWS``-row head sample whose Python masks run driver-side
+    — feed an emitted-branch estimate:
+
+        E = n * s_b * depth,
+        depth = min(cap, events_in_window_per_key * s_b),
+        events_in_window_per_key = (n/k) * min(1, within / key_time_span)
+
+    i.e. every stage-2 match starts branches whose prefix depth is bounded
+    by the run cap AND by how many stage-2 events fit the within() window.
+    Pick the JVM plan iff E >= AUTO_VECTORIZE_EMIT_ESTIMATE. At any real
+    scale n drives E over the bar, so the parallel-within-key JVM plan is
+    the automatic scale path; the NFA keeps the small-input floor win. On
+    estimator failure, fall back to the NFA (the general engine)."""
+    from pyspark.sql import functions as F
+
+    try:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.concat_ws("\x1f", *key_cols)).alias("k"),
+            F.min(F.unix_micros(F.col(time_col).cast("timestamp"))).alias("t0"),
+            F.max(F.unix_micros(F.col(time_col).cast("timestamp"))).alias("t1"),
+        ).first()
+        n, k = row["n"], max(row["k"] or 1, 1)
+        if n == 0:
+            return False
+        s2 = pattern.stages[1]
+        pdf = df.limit(_AUTO_SAMPLE_ROWS).toPandas()
+        records = pdf.to_dict("records") if s2.needs_records else None
+        s_b = float(np.mean(s2.mask(pdf, records))) if len(pdf) else 0.0
+        run_len = n / k
+        if pattern.window is not None and row["t1"] is not None:
+            span_us = max(row["t1"] - row["t0"], 1)
+            w_us = pattern.window.total_seconds() * 1_000_000
+            run_len *= min(1.0, w_us / span_us)
+        depth = min(float(s2.max_times or 64), run_len * s_b)
+        return n * s_b * depth >= AUTO_VECTORIZE_EMIT_ESTIMATE
+    except Exception:  # noqa: BLE001 - estimator must never fail the query
+        return False
+
+
 def _branchy_fast_path(
     df: DataFrame,
     pattern: Pattern,
@@ -558,24 +648,10 @@ def _branchy_fast_path(
     from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType, StructField, StructType
 
+    if not _branchy_shape_ok(pattern, key_cols, select_expr):
+        return None
     sts = pattern.stages
-    if len(sts) != 2:
-        return None
     s1, s2 = sts
-    if s1.negated or s2.negated or s1.has_ctx or s2.has_ctx:
-        return None
-    if s1.min_times != 1 or s1.max_times != 1:
-        return None
-    if s2.contiguity != "relaxed_any" or s2.min_times != 1 or s2.greedy:
-        return None
-    for spec in select_expr.values():
-        if spec[0] == "key" and spec[1] in key_cols:
-            continue
-        if spec[0] == "first" and spec[1] in (s1.name, s2.name):
-            continue
-        if spec[0] == "count" and spec[1] == s2.name:
-            continue
-        return None  # last()/other refs: NFA path
 
     data_cols = df.columns
     needs_records = s1.needs_records or s2.needs_records
@@ -730,7 +806,7 @@ def match_pattern(
     skip_var: str | None = None,
     with_match_number: bool = False,
     select_expr: dict[str, tuple] | None = None,
-    vectorized: bool = False,
+    vectorized: bool | str = "auto",
 ) -> DataFrame:
     """CEP.pattern(stream.keyBy(...), pattern).select(...) analog.
 
@@ -741,6 +817,10 @@ def match_pattern(
     routes to the JVM-side plan in ``_branchy_fast_path``; otherwise the
     spec is synthesized into an equivalent ``select`` callable and the NFA
     runs — both paths emit identical rows for the same spec.
+    ``vectorized="auto"`` (the default) keeps explicit True/False semantics
+    available but, when the shape qualifies, picks the engine itself from
+    observed mean events-per-key (``_choose_vectorized``): long runs →
+    JVM plan, many short runs → NFA.
 
     ``select(key_dict, {stage: [event dicts]}) -> output dict`` — the
     reference's PatternSelectFunction (flink-cep .../PatternSelectFunction.java).
@@ -769,13 +849,23 @@ def match_pattern(
     if rows_per_match not in ("one", "all"):
         raise ValueError(f"rows_per_match must be 'one' or 'all', got {rows_per_match!r}")
     if select_expr is not None:
-        if (
-            vectorized
+        eligible = (
+            bool(vectorized)
             and skip_strategy == NO_SKIP
             and emit == "all"
             and rows_per_match == "one"
             and not with_match_number
-        ):
+        )
+        if eligible and vectorized == "auto":
+            # 'auto' (default): the caller expressed no preference — qualify
+            # the shape statically, then let observed key-count x run-length
+            # stats pick the cheaper engine (VERDICT r7 watch item: the NFA's
+            # per-key serial sweep loses on long branchy runs, the JVM plan's
+            # stage overhead loses on many short runs).
+            eligible = _branchy_shape_ok(
+                pattern, key_cols, select_expr
+            ) and _choose_vectorized(df, key_cols, pattern, time_col)
+        if eligible:
             fast = _branchy_fast_path(
                 df,
                 pattern,

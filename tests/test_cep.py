@@ -329,3 +329,116 @@ def test_branchy_vectorized_small_cap_and_unbounded(spark):
     assert fast == sorted(
         [(11, 1), (11, 2), (12, 1), (12, 2), (13, 1), (15, 1), (15, 2), (16, 1)]
     )
+
+
+class TestAutoVectorizeSelection:
+    """vectorized='auto' (the default) picks NFA vs the JVM branch plan from
+    observed key-count x run-length stats (VERDICT r7 ask: selection should
+    not be caller choice)."""
+
+    _SELECT = {
+        "b_id": ("first", "b", "event_id"),
+        "n_err": ("count", "b"),
+    }
+
+    @staticmethod
+    def _pattern():
+        return (
+            Pattern.begin("a")
+            .where_mask(lambda d: d["event_type"] == "click")
+            .followed_by_any("b")
+            .where_mask(lambda d: d["event_type"] == "error")
+            .one_or_more(8)
+        )
+
+    def _df(self, spark, n_keys, run_len):
+        rows = []
+        eid = 0
+        for k in range(n_keys):
+            rows.append((k, eid, "click")); eid += 1
+            for _ in range(run_len - 1):
+                rows.append((k, eid, "error")); eid += 1
+        return spark.createDataFrame(
+            [
+                (k, f"2024-01-01 00:{i % 60:02d}:{(i // 60) % 60:02d}", i, t)
+                for k, i, t in rows
+            ],
+            "user_id long, ts_s string, event_id long, event_type string",
+        ).selectExpr(
+            "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id", "event_type"
+        )
+
+    def test_shape_ok(self):
+        from fries_flink_spark.operators.cep import _branchy_shape_ok
+
+        assert _branchy_shape_ok(self._pattern(), ["user_id"], self._SELECT)
+        # 3-stage pattern: outside the covered shape
+        three = (
+            self._pattern()
+            .followed_by("c")
+            .where_mask(lambda d: d["event_type"] == "view")
+        )
+        assert not _branchy_shape_ok(three, ["user_id"], self._SELECT)
+        # last() reference: NFA-only select spec
+        bad_sel = dict(self._SELECT, last_b=("last", "b", "event_id"))
+        assert not _branchy_shape_ok(self._pattern(), ["user_id"], bad_sel)
+
+    def test_stats_choice(self, spark):
+        from fries_flink_spark.operators.cep import _choose_vectorized
+
+        # dense masks, 100 keys x 100 events: E ~ 10000 * 1.0 * cap(8) = 80k
+        many = self._df(spark, n_keys=100, run_len=100)
+        # 200 keys x 4 events: E ~ 800 * ~0.75 * 3 ~ 1.8k
+        few = self._df(spark, n_keys=200, run_len=4)
+        pat = self._pattern()
+        assert _choose_vectorized(many, ["user_id"], pat, "ts") is True
+        assert _choose_vectorized(few, ["user_id"], pat, "ts") is False
+
+    def _run_auto(self, spark, df, monkeypatch):
+        """Run with vectorized='auto'; report which engine was taken."""
+        import fries_flink_spark.operators.cep as cep
+
+        taken = {"fast": False}
+        real = cep._branchy_fast_path
+
+        def spy(*a, **kw):
+            out = real(*a, **kw)
+            taken["fast"] = out is not None
+            return out
+
+        monkeypatch.setattr(cep, "_branchy_fast_path", spy)
+        out = match_pattern(
+            df,
+            self._pattern(),
+            key_cols=["user_id"],
+            time_col="ts",
+            select=None,
+            select_expr=self._SELECT,
+            output_schema="b_id long, n_err long",
+            order_tiebreak=["event_id"],
+            emit="all",
+        )
+        rows = sorted(tuple(r) for r in out.collect())
+        return taken["fast"], rows
+
+    def test_auto_picks_per_stats_and_results_agree(self, spark, monkeypatch):
+        for df, expect_fast in (
+            (self._df(spark, 100, 100), True),
+            (self._df(spark, 60, 4), False),
+        ):
+            used_fast, rows = self._run_auto(spark, df, monkeypatch)
+            assert used_fast is expect_fast
+            # both engines must agree regardless of the auto choice
+            forced = match_pattern(
+                df,
+                self._pattern(),
+                key_cols=["user_id"],
+                time_col="ts",
+                select=None,
+                select_expr=self._SELECT,
+                vectorized=not expect_fast,
+                output_schema="b_id long, n_err long",
+                order_tiebreak=["event_id"],
+                emit="all",
+            )
+            assert rows == sorted(tuple(r) for r in forced.collect())
