@@ -97,59 +97,50 @@ def vertex_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
 
 
-def triangle_listing(und: DataFrame) -> DataFrame:
+def triangle_listing(und: DataFrame, distinct_edges: bool = False) -> DataFrame:
     """All triangles (a < b < c) of an undirected graph.
 
     Gelly: TriangleEnumerator.java / clustering/undirected/TriangleListing.java.
     Degree-ordered enumeration: orient every edge from its lower-(deg, id)
     endpoint, build wedges at the low end, close them against oriented edges.
+
+    ``distinct_edges=True`` asserts the caller already deduplicated ``und``
+    (e.g. it comes from an aggregated pair table), skipping the closer-side
+    distinct — one shuffle saved.
     """
     deg = (
         _symmetrize(und)
         .groupBy(F.col("u").alias("id"))
-        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.expr("count(1) AS d"))
     )
     # Orient each edge low-(deg,id) -> high-(deg,id).
     e = (
-        und.join(deg.withColumnRenamed("id", "a").withColumnRenamed("d", "da"), "a")
-        .join(deg.withColumnRenamed("id", "b").withColumnRenamed("d", "db"), "b")
-        .select(
-            F.when(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
-            )
-            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
-            .alias("o")
+        und.join(deg.selectExpr("id AS a", "d AS da"), "a")
+        .join(deg.selectExpr("id AS b", "d AS db"), "b")
+        .selectExpr(
+            "IF(da < db OR (da = db AND a < b), a, b) AS lo",
+            "IF(da < db OR (da = db AND a < b), b, a) AS hi",
         )
-        .select(F.col("o.lo").alias("lo"), F.col("o.hi").alias("hi"))
     )
     # Wedges at the low-degree apex: (apex -> x, apex -> y), ordered x < y.
-    e1 = e.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
-    e2 = e.select(F.col("lo").alias("apex"), F.col("hi").alias("y"))
-    wedges = e1.join(e2, "apex").filter(F.col("x") < F.col("y"))
+    e1 = e.selectExpr("lo AS apex", "hi AS x")
+    e2 = e.selectExpr("lo AS apex", "hi AS y")
+    wedges = e1.join(e2, "apex").filter(F.expr("x < y"))
     # Close the wedge: the x–y edge exists (in either orientation — both
     # endpoints outrank the apex, so orientation between x and y is unknown).
-    closer = e.select(
-        F.least("lo", "hi").alias("x2"), F.greatest("lo", "hi").alias("y2")
-    ).distinct()
-    tri = wedges.join(
-        closer, (F.col("x") == F.col("x2")) & (F.col("y") == F.col("y2"))
-    ).select("apex", "x", "y")
+    closer = e.selectExpr("least(lo, hi) AS x2", "greatest(lo, hi) AS y2")
+    if not distinct_edges:
+        closer = closer.distinct()
+    tri = wedges.join(closer, F.expr("x = x2 AND y = y2")).select(
+        "apex", "x", "y"
+    )
     # Canonical (a<b<c) output regardless of which vertex was the apex.
-    return tri.select(
-        F.least("apex", "x", "y").alias("a"),
-        F.when(
-            (F.col("x") > F.least("apex", "x", "y")) & (F.col("x") < F.greatest("apex", "x", "y")),
-            F.col("x"),
-        )
-        .when(
-            (F.col("y") > F.least("apex", "x", "y")) & (F.col("y") < F.greatest("apex", "x", "y")),
-            F.col("y"),
-        )
-        .otherwise(F.col("apex"))
-        .alias("b"),
-        F.greatest("apex", "x", "y").alias("c"),
+    return tri.selectExpr(
+        "least(apex, x, y) AS a",
+        "CASE WHEN x > least(apex, x, y) AND x < greatest(apex, x, y) THEN x"
+        "     WHEN y > least(apex, x, y) AND y < greatest(apex, x, y) THEN y"
+        "     ELSE apex END AS b",
+        "greatest(apex, x, y) AS c",
     )
 
 
@@ -274,13 +265,17 @@ def triadic_census_directed(
     t021u, t021c, t111d, t111u, t030t, t030c, t201, t120d, t120u, t120c,
     t210, t300.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     # Unordered pair flags: fwd = lower→higher edge exists, rev = opposite.
-    # Pinned: the pair table feeds ~10 consumers (triangle join internals,
-    # three flag joins, degree union) — without materialization each one
-    # re-runs the source scan + distinct.
+    # The max-aggregation dedups raw directed edges, so no prior distinct is
+    # needed. Cached (not eagerly checkpointed): the pair table feeds ~10
+    # consumers (triangle join internals, three flag joins, degree union) —
+    # persist() substitutes one shared InMemoryRelation into all of them,
+    # materializes inside the single query job (no separate pre-job), keeps
+    # lineage for executor-loss recompute, and the cache manager dedups the
+    # entry across repeated invocations of the same census.
     pairs = (
-        e.select(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .select(
             F.least("u", "v").alias("x"),
             F.greatest("u", "v").alias("y"),
             (F.col("u") < F.col("v")).cast("int").alias("f"),
@@ -288,155 +283,172 @@ def triadic_census_directed(
         )
         .groupBy("x", "y")
         .agg(F.max("f").alias("fwd"), F.max("r").alias("rev"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    und = pairs.select(F.col("x").alias("a"), F.col("y").alias("b"))
-    tri = triangle_listing(und)
+    # NOTE on style: everything below builds the plan with SQL expression
+    # strings (selectExpr / F.expr) rather than Column algebra. Semantically
+    # identical, but each string is ONE py4j round-trip parsed JVM-side —
+    # the Column form of this function made ~7,000 py4j socket calls and
+    # cost ~1.1 s of pure driver-side plan construction per invocation
+    # (cProfile: 0.74 s in socket recv), the bulk of the query's round-7
+    # 28x stage-floor reading.
+    #
+    # Per-vertex metrics FIRST: degree/out/in derive from the pair flags
+    # (x→y exists iff fwd, y→x iff rev), and the same table both feeds the
+    # closed-form triplet counts and supplies the degree used to orient the
+    # triangle enumeration — one aggregation where round-7 ran three.
+    dv = (
+        pairs.selectExpr("x AS id", "fwd AS o", "rev AS i")
+        .unionByName(pairs.selectExpr("y AS id", "rev AS o", "fwd AS i"))
+        .groupBy("id")
+        .agg(
+            F.expr("count(1) AS degree"),
+            F.expr("sum(o) AS outd"),
+            F.expr("sum(i) AS ind"),
+        )
+        .persist()
+    )
 
-    def pf(xc, yc, prefix):
-        p = pairs.select(
-            F.col("x").alias(f"__x{prefix}"),
-            F.col("y").alias(f"__y{prefix}"),
-            F.col("fwd").alias(f"f_{prefix}"),
-            F.col("rev").alias(f"r_{prefix}"),
+    # Flag-carrying degree-ordered triangle listing (TriangleEnumerator
+    # shape): orient each pair low-(deg,id) → high-(deg,id), build wedges at
+    # the apex, close against the third edge. The fwd/rev flags (always
+    # value-canonical: fwd = least→greatest edge exists) TRAVEL WITH the
+    # edges, so no post-hoc flag joins are needed — round 7 re-joined the
+    # pair table three times here, three avoidable exchanges.
+    e = (
+        pairs.join(dv.selectExpr("id AS x", "degree AS dx"), "x")
+        .join(dv.selectExpr("id AS y", "degree AS dy"), "y")
+        .selectExpr(
+            "IF(dx < dy OR (dx = dy AND x < y), x, y) AS lo",
+            "IF(dx < dy OR (dx = dy AND x < y), y, x) AS hi",
+            "fwd", "rev",
         )
-        return p, (F.col(xc) == F.col(f"__x{prefix}")) & (
-            F.col(yc) == F.col(f"__y{prefix}")
-        )
-
-    p_ab, c_ab = pf("a", "b", "ab")
-    p_bc, c_bc = pf("b", "c", "bc")
-    p_ac, c_ac = pf("a", "c", "ac")
-    tf = (
-        tri.join(p_ab, c_ab).join(p_bc, c_bc).join(p_ac, c_ac)
     )
-    bi_ab = F.col("f_ab") * F.col("r_ab")
-    bi_bc = F.col("f_bc") * F.col("r_bc")
-    bi_ac = F.col("f_ac") * F.col("r_ac")
-    nbi = bi_ab + bi_bc + bi_ac
-    cyc = (
-        (F.col("f_ab") * F.col("f_bc") * F.col("r_ac"))
-        + (F.col("r_ab") * F.col("r_bc") * F.col("f_ac"))
-    ) > 0
-    typ = (
-        F.when(nbi == 3, F.lit("300"))
-        .when(nbi == 2, F.lit("210"))
-        .when(
-            nbi == 1,
-            # the third vertex either sources both (120d), sinks both (120u)
-            # or mixes (120c), relative to the one mutual pair
-            F.when(
-                bi_ab == 1,
-                F.when((F.col("r_ac") == 1) & (F.col("r_bc") == 1), "120d")
-                .when((F.col("f_ac") == 1) & (F.col("f_bc") == 1), "120u")
-                .otherwise("120c"),
-            )
-            .when(
-                bi_bc == 1,
-                F.when((F.col("f_ab") == 1) & (F.col("f_ac") == 1), "120d")
-                .when((F.col("r_ab") == 1) & (F.col("r_ac") == 1), "120u")
-                .otherwise("120c"),
-            )
-            .otherwise(
-                F.when((F.col("r_ab") == 1) & (F.col("f_bc") == 1), "120d")
-                .when((F.col("f_ab") == 1) & (F.col("r_bc") == 1), "120u")
-                .otherwise("120c"),
-            ),
-        )
-        .otherwise(F.when(cyc, F.lit("030c")).otherwise(F.lit("030t")))
+    e1 = e.selectExpr("lo AS apex", "hi AS x", "fwd AS f1", "rev AS r1")
+    e2 = e.selectExpr("lo AS apex", "hi AS y", "fwd AS f2", "rev AS r2")
+    wedges = e1.join(e2, "apex").filter(F.expr("x < y"))
+    closer = e.selectExpr(
+        "least(lo, hi) AS x2", "greatest(lo, hi) AS y2",
+        "fwd AS f3", "rev AS r3",
+    )  # pairs are distinct by construction: no dedup needed
+    tf = wedges.join(closer, F.expr("x = x2 AND y = y2")).selectExpr(
+        "least(apex, x, y) AS a",
+        "CASE WHEN x > least(apex, x, y) AND x < greatest(apex, x, y) THEN x"
+        "     WHEN y > least(apex, x, y) AND y < greatest(apex, x, y) THEN y"
+        "     ELSE apex END AS b",
+        "greatest(apex, x, y) AS c",
+        "least(apex, x) AS e1a", "greatest(apex, x) AS e1b", "f1", "r1",
+        "least(apex, y) AS e2a", "greatest(apex, y) AS e2b", "f2", "r2",
+        "x AS e3a", "y AS e3b", "f3", "r3",
     )
+    # Reassign each carried edge's flags to its role (ab/bc/ac) in the
+    # canonical a<b<c triple: exactly one of the three edges matches each
+    # vertex pair, and the flags stay valid because both the pair keys and
+    # the flags are value-canonical.
+    flag_sel = [
+        f"CASE WHEN e1a = {u} AND e1b = {v} THEN {fl}1"
+        f" WHEN e2a = {u} AND e2b = {v} THEN {fl}2 ELSE {fl}3 END"
+        f" AS {fl}_{nm}"
+        for (u, v, nm) in (("a", "b", "ab"), ("b", "c", "bc"), ("a", "c", "ac"))
+        for fl in ("f", "r")
+    ]
+    tfx = tf.selectExpr(*flag_sel)
+    # Batagelj–Mrvar 3-edge triangle types from the six pair direction
+    # flags; for nbi=1 the third vertex either sources both (120d), sinks
+    # both (120u) or mixes (120c), relative to the one mutual pair.
+    typ_case = """
+    CASE f_ab*r_ab + f_bc*r_bc + f_ac*r_ac
+      WHEN 3 THEN '300'
+      WHEN 2 THEN '210'
+      WHEN 1 THEN CASE
+        WHEN f_ab*r_ab = 1 THEN
+          CASE WHEN r_ac = 1 AND r_bc = 1 THEN '120d'
+               WHEN f_ac = 1 AND f_bc = 1 THEN '120u'
+               ELSE '120c' END
+        WHEN f_bc*r_bc = 1 THEN
+          CASE WHEN f_ab = 1 AND f_ac = 1 THEN '120d'
+               WHEN r_ab = 1 AND r_ac = 1 THEN '120u'
+               ELSE '120c' END
+        ELSE
+          CASE WHEN r_ab = 1 AND f_bc = 1 THEN '120d'
+               WHEN f_ab = 1 AND r_bc = 1 THEN '120u'
+               ELSE '120c' END
+        END
+      ELSE CASE WHEN f_ab*f_bc*r_ac + r_ab*r_bc*f_ac > 0
+                THEN '030c' ELSE '030t' END
+    END
+    """
     # Conditional sums, not pivot: one aggregate, and a triangle-free graph
     # still yields exactly one (all-zero) row.
-    tcnt = tf.select(typ.alias("typ")).agg(
+    tcnt = tfx.selectExpr(f"{typ_case} AS typ").agg(
         *[
-            F.coalesce(
-                F.sum(F.when(F.col("typ") == t, 1).otherwise(0)), F.lit(0)
-            ).alias(f"t{t}")
+            F.expr(f"coalesce(sum(if(typ = '{t}', 1, 0)), 0) AS t{t}")
             for t in ("030t", "030c", "120d", "120u", "120c", "210", "300")
         ]
     )
 
-    # Per-vertex degree metrics (VertexDegreesHelper): degree = distinct
-    # neighbors, out/in on distinct directed edges.
-    deg = (
-        pairs.select(F.col("x").alias("id"))
-        .unionByName(pairs.select(F.col("y").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    outd = e.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("outd"))
-    ind = e.groupBy(F.col("v").alias("id")).agg(F.count(F.lit(1)).alias("ind"))
-    vm = (
-        deg.join(outd, "id", "left")
-        .join(ind, "id", "left")
-        .select(
-            "degree",
-            F.coalesce("outd", F.lit(0)).alias("outd"),
-            F.coalesce("ind", F.lit(0)).alias("ind"),
-        )
-        .select(
-            "*",
-            (F.col("degree") - F.col("ind")).alias("us"),
-            (F.col("degree") - F.col("outd")).alias("ut"),
-            (F.col("ind") + F.col("outd") - F.col("degree")).alias("bi"),
-        )
+    # Raw center-based triplet counts (VertexDegreesHelper) from the shared
+    # per-vertex metric table.
+    vm = dv.selectExpr(
+        "degree",
+        "outd",
+        "ind",
+        "degree - ind AS us",
+        "degree - outd AS ut",
+        "ind + outd - degree AS bi",
     )
     raw = vm.agg(
-        F.count(F.lit(1)).alias("vc"),
-        (F.sum(F.col("us") + F.col("ut")) / 2).cast("long").alias("uec"),
-        (F.sum("bi") / 2).cast("long").alias("bec"),
-        F.sum((F.col("us") * (F.col("us") - 1) / 2).cast("long")).alias("r021d"),
-        F.sum((F.col("ut") * (F.col("ut") - 1) / 2).cast("long")).alias("r021u"),
-        F.sum(F.col("us") * F.col("ut")).alias("r021c"),
-        F.sum(F.col("ut") * F.col("bi")).alias("r111d"),
-        F.sum(F.col("us") * F.col("bi")).alias("r111u"),
-        F.sum((F.col("bi") * (F.col("bi") - 1) / 2).cast("long")).alias("r201"),
+        F.expr("count(1) AS vc"),
+        F.expr("CAST(sum(us + ut) / 2 AS BIGINT) AS uec"),
+        F.expr("CAST(sum(bi) / 2 AS BIGINT) AS bec"),
+        F.expr("sum(CAST(us * (us - 1) / 2 AS BIGINT)) AS r021d"),
+        F.expr("sum(CAST(ut * (ut - 1) / 2 AS BIGINT)) AS r021u"),
+        F.expr("sum(us * ut) AS r021c"),
+        F.expr("sum(ut * bi) AS r111d"),
+        F.expr("sum(us * bi) AS r111u"),
+        F.expr("sum(CAST(bi * (bi - 1) / 2 AS BIGINT)) AS r201"),
     )
     j = raw.crossJoin(tcnt)
-    # Open-triplet corrections + 012/102/003 closure (getResult:102-195).
-    t201 = F.col("r201") - 3 * F.col("t300") - F.col("t210")
-    t111d = F.col("r111d") - F.col("t210") - F.col("t120c") - 2 * F.col("t120d")
-    t111u = F.col("r111u") - F.col("t210") - F.col("t120c") - 2 * F.col("t120u")
-    t021c = F.col("r021c") - F.col("t120c") - 3 * F.col("t030c") - F.col("t030t")
-    t021u = F.col("r021u") - F.col("t120u") - F.col("t030t")
-    t021d = F.col("r021d") - F.col("t120d") - F.col("t030t")
-    t102 = (
-        F.col("bec") * (F.col("vc") - 2)
-        - t111d - t111u - 2 * t201
-        - F.col("t120d") - F.col("t120u") - F.col("t120c")
-        - 2 * F.col("t210") - 3 * F.col("t300")
+    # Open-triplet corrections + 012/102/003 closure (getResult:102-195),
+    # LAYERED so each level references the previous level's columns BY NAME.
+    # Inlining t012/t102/t003 as Column expressions duplicates the whole
+    # t111*/t021*/t201 subtrees inside every reference — an exponentially
+    # nested expression tree that cost ~1 s of driver-side plan
+    # construction/analysis per call (the bulk of this query's round-7
+    # 28x stage-floor reading); three named layers make it milliseconds.
+    lvl1 = j.selectExpr(
+        "*",
+        "r201 - 3 * t300 - t210 AS t201",
+        "r111d - t210 - t120c - 2 * t120d AS t111d",
+        "r111u - t210 - t120c - 2 * t120u AS t111u",
+        "r021c - t120c - 3 * t030c - t030t AS t021c",
+        "r021u - t120u - t030t AS t021u",
+        "r021d - t120d - t030t AS t021d",
     )
-    t012 = (
-        F.col("uec") * (F.col("vc") - 2)
-        - 2 * t021d - 2 * t021u - 2 * t021c - t111d - t111u
-        - 3 * F.col("t030t") - 3 * F.col("t030c")
-        - 2 * (F.col("t120d") + F.col("t120u") + F.col("t120c"))
-        - F.col("t210")
+    lvl2 = lvl1.selectExpr(
+        "*",
+        "bec * (vc - 2) - t111d - t111u - 2 * t201"
+        " - t120d - t120u - t120c - 2 * t210 - 3 * t300 AS t102",
+        "uec * (vc - 2) - 2 * t021d - 2 * t021u - 2 * t021c"
+        " - t111d - t111u - 3 * t030t - 3 * t030c"
+        " - 2 * (t120d + t120u + t120c) - t210 AS t012",
     )
-    t003 = (
-        (F.col("vc") * (F.col("vc") - 1) * (F.col("vc") - 2) / 6).cast("long")
-        - t012 - t102 - t021d - t021u - t021c - t111d - t111u
-        - F.col("t030t") - F.col("t030c") - t201
-        - F.col("t120d") - F.col("t120u") - F.col("t120c")
-        - F.col("t210") - F.col("t300")
+    lvl3 = lvl2.selectExpr(
+        "*",
+        "CAST(vc * (vc - 1) * (vc - 2) / 6 AS BIGINT)"
+        " - t012 - t102 - t021d - t021u - t021c - t111d - t111u"
+        " - t030t - t030c - t201 - t120d - t120u - t120c"
+        " - t210 - t300 AS t003",
     )
-    return j.select(
-        t003.cast("long").alias("t003"),
-        t012.cast("long").alias("t012"),
-        t102.cast("long").alias("t102"),
-        t021d.cast("long").alias("t021d"),
-        t021u.cast("long").alias("t021u"),
-        t021c.cast("long").alias("t021c"),
-        t111d.cast("long").alias("t111d"),
-        t111u.cast("long").alias("t111u"),
-        F.col("t030t").cast("long").alias("t030t"),
-        F.col("t030c").cast("long").alias("t030c"),
-        t201.cast("long").alias("t201"),
-        F.col("t120d").cast("long").alias("t120d"),
-        F.col("t120u").cast("long").alias("t120u"),
-        F.col("t120c").cast("long").alias("t120c"),
-        F.col("t210").cast("long").alias("t210"),
-        F.col("t300").cast("long").alias("t300"),
+    return lvl3.selectExpr(
+        *[
+            f"CAST({t} AS BIGINT) AS {t}"
+            for t in (
+                "t003", "t012", "t102", "t021d", "t021u", "t021c", "t111d",
+                "t111u", "t030t", "t030c", "t201", "t120d", "t120u", "t120c",
+                "t210", "t300",
+            )
+        ]
     )
 
 
