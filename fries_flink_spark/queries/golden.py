@@ -67,10 +67,20 @@ def _write_parquet(path: str, table) -> None:
 
 def _fetch(sf_dir: str, sql: str):
     import duckdb
+    import re
 
+    q = sql.format(sf=sf_dir)
+    # Spark-written tables are DIRECTORIES of part files (scaled fixture
+    # dirs from tools/scale_probe.py); glob them for DuckDB.
+    q = re.sub(
+        r"'([^']*\.parquet)'",
+        lambda m: f"'{m.group(1)}/*.parquet'"
+        if os.path.isdir(m.group(1)) else m.group(0),
+        q,
+    )
     con = duckdb.connect()
     try:
-        return con.execute(sql.format(sf=sf_dir)).fetchall()
+        return con.execute(q).fetchall()
     finally:
         con.close()
 

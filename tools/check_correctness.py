@@ -94,7 +94,12 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        p = f"{SF_DIR}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (the scaled
+        # fixture dirs from tools/scale_probe.py); glob them for DuckDB.
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     n_pass = n_fail = n_nosql = 0
     for name, spec in sorted(registry.items()):
