@@ -83,6 +83,8 @@ def main():
             ("mm_video_scenecut", _golden.ensure_mm_video_scenecut),
             ("emb_pca_project", _golden.ensure_pca_project),
         ):
+            if name_filter and not any(f in gname for f in name_filter):
+                continue  # filtered out: don't pay its regeneration
             spec = registry.get(gname)
             if spec is not None and spec.oracle:
                 spec.oracle = spec.oracle.replace(
