@@ -802,6 +802,51 @@ LIMIT 100
 """
 
 
+def _v1_spark_body(fact: str, loc_join: str, loc_key: str) -> str:
+    """Spark-side q47/q57 body: the oracle keeps the spec's rank-based
+    lag/lead SELF-JOINS on v1 (which Spark would inline and so evaluate the
+    whole fact aggregation THREE times); here the identical neighbor
+    semantics come from lag()/lead() over the same rank order — rn is a
+    dense per-(cat,brand,loc) sequence, so `rn = rn±1` joins select exactly
+    the window neighbors, and the inner joins' drop-the-endpoints behavior
+    is the IS NOT NULL filter. One fact aggregation instead of three, no
+    self-join exchanges — the plan you want at any scale."""
+    return f"""
+WITH v1 AS (
+  SELECT i.i_category AS cat, i.i_brand AS brand, {loc_key} AS loc,
+         d.d_year AS dyear, d.d_moy AS moy,
+         CAST(sum(f.paid_cents) AS BIGINT) AS sum_cents,
+         avg(sum(f.paid_cents)) OVER (
+           PARTITION BY i.i_category, i.i_brand, {loc_key}, d.d_year)
+           AS avg_monthly_cents,
+         rank() OVER (
+           PARTITION BY i.i_category, i.i_brand, {loc_key}
+           ORDER BY d.d_year, d.d_moy) AS rn
+  FROM {fact} f
+  JOIN item i ON f.item_sk = i.i_item_sk
+  JOIN date_dim d ON f.sold_date_sk = d.d_date_sk
+  {loc_join}
+  GROUP BY i.i_category, i.i_brand, {loc_key}, d.d_year, d.d_moy),
+v2 AS (
+  SELECT cat, brand, loc, dyear, moy, sum_cents, avg_monthly_cents,
+         lag(sum_cents) OVER (PARTITION BY cat, brand, loc ORDER BY rn)
+           AS psum,
+         lead(sum_cents) OVER (PARTITION BY cat, brand, loc ORDER BY rn)
+           AS nsum
+  FROM v1)
+SELECT cat, brand, loc, dyear, moy, sum_cents,
+       CAST(floor(avg_monthly_cents * 1e4 + 0.5) AS BIGINT)
+         AS avg_monthly_micro,
+       psum AS psum_cents, nsum AS nsum_cents
+FROM v2
+WHERE psum IS NOT NULL AND nsum IS NOT NULL
+  AND dyear = 1997 AND avg_monthly_cents > 0
+  AND abs(sum_cents - avg_monthly_cents) / avg_monthly_cents > 0.1
+ORDER BY sum_cents - avg_monthly_cents, cat, brand, loc, moy
+LIMIT 100
+"""
+
+
 _ds(
     "tpcds_q47",
     "WITH " + _v1_body(
@@ -811,8 +856,13 @@ _ds(
     ),
     "TPC-DS q47 (query47.sql): store-channel months deviating >10% from the "
     "brand x store yearly average — window-over-aggregate (avg of sum), "
-    "rank-based lag/lead neighbor self-joins. The reference's hardest "
-    "windowed-agg plan.",
+    "rank-based lag/lead neighbor self-joins (Spark side: lag/lead window "
+    "functions, _v1_spark_body). The reference's hardest windowed-agg plan.",
+    spark_sql=_v1_spark_body(
+        "store_sales",
+        "JOIN store s ON f.store_sk = s.s_store_sk",
+        "s.s_store_sk",
+    ),
 )
 
 _ds(
@@ -824,6 +874,11 @@ _ds(
     ),
     "TPC-DS q57 (query57.sql): the catalog-channel twin of q47, keyed on "
     "warehouse instead of store.",
+    spark_sql=_v1_spark_body(
+        "catalog_sales",
+        "JOIN warehouse w ON f.warehouse_sk = w.w_warehouse_sk",
+        "w.w_warehouse_sk",
+    ),
 )
 
 # --------------------------------------------------------------------------- #
