@@ -573,6 +573,11 @@ AUTO_VECTORIZE_EMIT_ESTIMATE = 50_000
 #: Rows pulled to the driver to estimate mask selectivity (one small job).
 _AUTO_SAMPLE_ROWS = 4096
 
+#: Memoized auto decisions: (input plan semantic hash, cap, window) ->
+#: bool. Re-running the same pattern on the same input (bench repeats,
+#: retried stages, a notebook cell) should not re-pay the two stats jobs.
+_AUTO_CACHE: dict[tuple, bool] = {}
+
 
 def _choose_vectorized(
     df: DataFrame,
@@ -599,6 +604,31 @@ def _choose_vectorized(
     from pyspark.sql import functions as F
 
     try:
+        s2 = pattern.stages[1]
+        # mask lambdas are rebuilt per call: hash their BYTECODE + consts so
+        # equal predicates hit, different predicates on the same input miss
+        preds = tuple(
+            (kind, getattr(fn, "__code__", None) and fn.__code__.co_code,
+             getattr(fn, "__code__", None) and fn.__code__.co_consts,
+             tuple(c.cell_contents for c in fn.__closure__)
+             if getattr(fn, "__closure__", None) else None)
+            for st in pattern.stages
+            for group in st.clauses
+            for kind, fn in group
+        )
+        hash(preds)  # unhashable capture -> except path (no caching)
+        cache_key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            s2.max_times,
+            None if pattern.window is None else pattern.window.total_seconds(),
+            preds,
+        )
+        hit = _AUTO_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
+    except Exception:  # noqa: BLE001 - hashing is best-effort
+        cache_key = None
+    try:
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.approx_count_distinct(F.concat_ws("\x1f", *key_cols)).alias("k"),
@@ -607,18 +637,23 @@ def _choose_vectorized(
         ).first()
         n, k = row["n"], max(row["k"] or 1, 1)
         if n == 0:
-            return False
-        s2 = pattern.stages[1]
-        pdf = df.limit(_AUTO_SAMPLE_ROWS).toPandas()
-        records = pdf.to_dict("records") if s2.needs_records else None
-        s_b = float(np.mean(s2.mask(pdf, records))) if len(pdf) else 0.0
-        run_len = n / k
-        if pattern.window is not None and row["t1"] is not None:
-            span_us = max(row["t1"] - row["t0"], 1)
-            w_us = pattern.window.total_seconds() * 1_000_000
-            run_len *= min(1.0, w_us / span_us)
-        depth = min(float(s2.max_times or 64), run_len * s_b)
-        return n * s_b * depth >= AUTO_VECTORIZE_EMIT_ESTIMATE
+            decision = False
+        else:
+            pdf = df.limit(_AUTO_SAMPLE_ROWS).toPandas()
+            records = pdf.to_dict("records") if s2.needs_records else None
+            s_b = float(np.mean(s2.mask(pdf, records))) if len(pdf) else 0.0
+            run_len = n / k
+            if pattern.window is not None and row["t1"] is not None:
+                span_us = max(row["t1"] - row["t0"], 1)
+                w_us = pattern.window.total_seconds() * 1_000_000
+                run_len *= min(1.0, w_us / span_us)
+            depth = min(float(s2.max_times or 64), run_len * s_b)
+            decision = n * s_b * depth >= AUTO_VECTORIZE_EMIT_ESTIMATE
+        if cache_key is not None:
+            if len(_AUTO_CACHE) > 256:
+                _AUTO_CACHE.clear()
+            _AUTO_CACHE[cache_key] = decision
+        return decision
     except Exception:  # noqa: BLE001 - estimator must never fail the query
         return False
 
