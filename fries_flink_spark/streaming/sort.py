@@ -20,23 +20,32 @@ Mechanics that make it correct under Spark's micro-batch model:
   call, so buffered rows flush when the watermark advances even if the key
   receives no further data (reference: watermark processing fires the
   rowtime timer without new elements).
-- Ties on rowtime emit in arrival order (a per-key arrival ``seq`` kept in
-  state), matching the reference's FIFO tie-break for equal timestamps.
+- Ties on rowtime emit in arrival order (a per-bucket arrival ``seq`` kept
+  in state; a key's rows are a subsequence of its bucket's arrivals, so the
+  per-key tie-break is still FIFO), matching the reference's tie-break for
+  equal timestamps.
 - Rows older than the current watermark never reach the operator — Spark
   filters late input to stateful ops, exactly the reference's late-row drop
   (RowTimeSortOperator drops rows at or below the last triggering
   watermark). Disorder beyond the watermark delay is therefore LOST on both
   engines; size the delay to the source's disorder bound.
 
+Execution shape (round-8): state is kept per HASH BUCKET of keys, not per
+key, as parallel COLUMNAR arrays — the per-key logic (watermark release,
+rowtime/arrival sort, dense emit_idx) is vectorized in pandas inside each
+bucket call. The previous key-per-group layout paid one Python call + one
+pandas-DataFrame construction per key per micro-batch (~7,500 calls for
+1,500 keys over 5 batches — most of the pipeline's wall time); buckets cap
+that at ``n_buckets`` calls per batch while emitting byte-identical rows.
+
 At 100 TB: state per key is bounded by rows inside one watermark horizon —
-identical to the reference's pending-rows map. Use key_cols to shard; the
-global (single-key) variant has the same parallelism=1 contract as the
+identical to the reference's pending-rows map — and buckets spread keys
+across the stateful-shuffle partitions exactly like keyed state does; the
+global (no-key) variant keeps the same parallelism=1 contract as the
 reference's non-keyed sort.
 """
 
 from __future__ import annotations
-
-import json
 
 import pandas as pd
 
@@ -44,20 +53,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+#: Composite-key separator for the per-key emitted-count directory.
+_SEP = "\x1f"
+
 
 def event_time_sorted(
     df: DataFrame,
     ts_col: str,
     payload_cols: list[str],
     key_cols: list[str] | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Emit rows in event-time order once the watermark passes their rowtime.
 
     ``df`` must already carry a watermark on ``ts_col`` (withWatermark).
-    Output: key cols + ``ts_ms`` (rowtime, epoch millis) + payload cols +
-    ``emit_idx`` (dense per-key emission index 0,1,2,… — the order proof).
-    Buffered payload values must be JSON-serializable (project timestamps to
-    epoch numbers upstream, as with the other state-backed operators here).
+    Output: key cols (as strings) + ``ts_ms`` (rowtime, epoch millis) +
+    payload cols (doubles) + ``emit_idx`` (dense per-key emission index
+    0,1,2,… — the order proof). ``n_buckets`` bounds the Python-call count
+    per micro-batch; it does not affect results.
     """
     keys = key_cols or []
     fields = ", ".join(
@@ -67,62 +80,94 @@ def event_time_sorted(
         + ["emit_idx long"]
     )
     out_cols = keys + ["ts_ms"] + payload_cols + ["emit_idx"]
+    state_fields = ", ".join(
+        ["seq0 long"]
+        + [f"k_{k} array<string>" for k in keys]
+        + ["b_ts array<long>", "b_seq array<long>"]
+        + [f"p_{c} array<double>" for c in payload_cols]
+        + ["ek array<string>", "ev array<long>"]
+    )
+    n_keys = len(keys)
+    n_pay = len(payload_cols)
 
-    def wrapper(key, pdf_iter, state: GroupState):
+    def wrapper(_bucket, pdf_iter, state: GroupState):
         if state.exists:
-            raw, emitted = state.get
-            buf = json.loads(raw) if raw else []
+            st = state.get
+            seq0 = st[0]
+            kcols = [list(st[1 + i]) for i in range(n_keys)]
+            b_ts = list(st[1 + n_keys])
+            b_seq = list(st[2 + n_keys])
+            pcols = [list(st[3 + n_keys + i]) for i in range(n_pay)]
+            emitted = dict(zip(st[3 + n_keys + n_pay], st[4 + n_keys + n_pay]))
         else:
-            buf, emitted = [], 0
-        seq = max((r["__seq"] for r in buf), default=-1) + 1
+            seq0 = 0
+            kcols = [[] for _ in range(n_keys)]
+            b_ts, b_seq = [], []
+            pcols = [[] for _ in range(n_pay)]
+            emitted = {}
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
-            # columnar extraction (no iterrows): tolist() once per column,
-            # then a plain zip — ~10x on wide batches
+            # columnar extraction (no iterrows): tolist() once per column
             ts_ms = (
                 pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000
             ).tolist()
-            payload = [pdf[c].astype(float).tolist() for c in payload_cols]
-            for j, t in enumerate(ts_ms):
-                buf.append(
-                    {
-                        "ts_ms": int(t),
-                        "__seq": seq,
-                        **{c: col[j] for c, col in zip(payload_cols, payload)},
-                    }
-                )
-                seq += 1
+            for i, k in enumerate(keys):
+                kcols[i].extend(pdf[k].astype(str).tolist())
+            for i, c in enumerate(payload_cols):
+                pcols[i].extend(pdf[c].astype(float).tolist())
+            b_ts.extend(int(t) for t in ts_ms)
+            b_seq.extend(range(seq0, seq0 + len(ts_ms)))
+            seq0 += len(ts_ms)
         wm = state.getCurrentWatermarkMs()
-        ready = sorted(
-            (r for r in buf if r["ts_ms"] <= wm), key=lambda r: (r["ts_ms"], r["__seq"])
-        )
-        buf = [r for r in buf if r["ts_ms"] > wm]
-        state.update((json.dumps(buf), emitted + len(ready)))
+        cols = {"ts_ms": b_ts, "__seq": b_seq}
+        for i, k in enumerate(keys):
+            cols[k] = kcols[i]
+        for i, c in enumerate(payload_cols):
+            cols[c] = pcols[i]
+        buf = pd.DataFrame(cols)
+        ready_mask = buf["ts_ms"] <= wm
+        ready = buf[ready_mask]
+        kept = buf[~ready_mask]
+        if len(ready):
+            ready = ready.sort_values([*keys, "ts_ms", "__seq"])
+            ck = (
+                ready[keys[0]].str.cat([ready[k] for k in keys[1:]], sep=_SEP)
+                if keys else pd.Series([""] * len(ready), index=ready.index)
+            )
+            ready = ready.assign(
+                emit_idx=ck.groupby(ck).cumcount()
+                + ck.map(lambda c: emitted.get(c, 0))
+            )
+            for c, cnt in ck.value_counts().items():
+                emitted[c] = emitted.get(c, 0) + int(cnt)
+        state.update((
+            seq0,
+            *[kept[k].tolist() for k in keys],
+            kept["ts_ms"].tolist(),
+            kept["__seq"].tolist(),
+            *[kept[c].tolist() for c in payload_cols],
+            list(emitted.keys()),
+            list(emitted.values()),
+        ))
         # flush on the next watermark advance even without new data
         state.setTimeoutTimestamp(wm + 1)
-        if ready:
-            kv = dict(zip(keys, key if isinstance(key, tuple) else (key,)))
-            yield pd.DataFrame(
-                [
-                    {
-                        **kv,
-                        "ts_ms": r["ts_ms"],
-                        **{c: r[c] for c in payload_cols},
-                        "emit_idx": emitted + i,
-                    }
-                    for i, r in enumerate(ready)
-                ],
-                columns=out_cols,
-            )
+        if len(ready):
+            yield ready[out_cols]
 
-    keyed = df if keys else df.withColumn("__k", F.lit("all"))
+    if keys:
+        keyed = df.withColumn(
+            "__b", F.pmod(F.xxhash64(*[F.col(k).cast("string") for k in keys]),
+                          F.lit(n_buckets))
+        )
+    else:
+        keyed = df.withColumn("__b", F.lit(0))
     return (
-        keyed.groupBy(*(keys or ["__k"]))
+        keyed.groupBy("__b")
         .applyInPandasWithState(
             wrapper,
             fields,
-            "buf string, emitted long",
+            state_fields,
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
