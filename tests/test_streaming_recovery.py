@@ -105,3 +105,93 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
         assert want[k][0] == n and abs(want[k][1] - total) < 1e-6
     # append mode withholds only windows the final watermark hasn't closed
     assert len(got) >= len(want) * 0.5
+
+
+def test_event_time_sorted_state_survives_restart(spark, tmp_path):
+    """Kill-and-resume for the bucketed event-time sort: rows buffered in
+    GroupState before the stop must release (in order, with dense per-key
+    emit_idx continuing the pre-stop sequence) after a NEW query resumes
+    from the same checkpoint — the RowTimeSortOperator state-checkpoint
+    contract under Spark's recovery model."""
+    from datetime import datetime, timedelta
+
+    from fries_flink_spark.streaming.sort import event_time_sorted
+    from fries_flink_spark.streaming.sources import stream_from_df
+
+    base = datetime(2024, 1, 1)
+    jit = lambda i: (i * 7) % 7 - 3  # noqa: E731 - bounded disorder
+    rows = [
+        (i // 20, "ab"[i % 2], base + timedelta(seconds=i + jit(i)), float(i))
+        for i in range(60)
+    ]
+    rows += [(3, "a", base + timedelta(hours=2), -1.0),
+             (3, "b", base + timedelta(hours=2), -1.0),
+             (4, "a", base + timedelta(hours=2, seconds=1), -2.0),
+             (4, "b", base + timedelta(hours=2, seconds=1), -2.0)]
+    ev = spark.createDataFrame(
+        rows, "chunkno long, k string, ts timestamp, value double"
+    )
+    sdf, stage = stream_from_df(ev, n_chunks=5, order_col="chunkno")
+    out_dir = str(tmp_path / "sorted_sink")
+    ckpt = str(tmp_path / "sorted_ckpt")
+    hold = tmp_path / "held"
+    hold.mkdir()
+
+    def start():
+        res = event_time_sorted(
+            sdf.withWatermark("ts", "8 seconds"),
+            ts_col="ts",
+            payload_cols=["value"],
+            key_cols=["k"],
+        )
+        return (
+            res.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    try:
+        parts = sorted(
+            f for f in os.listdir(stage)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        moved = parts[2:]  # hold back chunks 2..4 (incl. both sentinels)
+        for f in moved:
+            shutil.move(os.path.join(stage, f), hold / f)
+        q1 = start()
+        q1.processAllAvailable()
+        q1.stop()
+        n1 = (
+            spark.read.parquet(out_dir).count()
+            if os.path.isdir(out_dir) else 0
+        )
+        for f in moved:
+            src, dst = hold / f, os.path.join(stage, f)
+            mt = os.stat(src).st_mtime
+            shutil.move(src, dst)
+            os.utime(dst, (mt, mt))
+        q2 = start()
+        q2.processAllAvailable()
+        q2.stop()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    got = spark.read.parquet(out_dir).where("value >= 0").collect()
+    assert len(got) > n1, "resumed query emitted nothing new"
+    assert len(got) == 60, "rows lost or duplicated across the restart"
+    for key in ("a", "b"):
+        seq = sorted(
+            ((r.emit_idx, r.ts_ms, r.value) for r in got if r.k == key)
+        )
+        assert [e for e, _, _ in seq] == list(range(30))  # dense, no reset
+        assert [t for _, t, _ in seq] == sorted(t for _, t, _ in seq)
+        # the right rows in the right global event-time order per key
+        want = [
+            float(i) for i in sorted(
+                (i for i in range(60) if "ab"[i % 2] == key),
+                key=lambda i: (i + jit(i), i),
+            )
+        ]
+        assert [v for _, _, v in seq] == want
