@@ -381,4 +381,6 @@ def cep_branchy_vectorized(spark, sf_dir):
         order_tiebreak=["event_id"],
         emit="all",
     )
-    return out.orderBy("user_id", "a_id", "b_id", "n_err")
+    # dim-sized output: one-partition local sort, not a range exchange
+    # (sorted_result docstring) — the NFA twin above already does this
+    return out.transform(sorted_result, "user_id", "a_id", "b_id", "n_err")
