@@ -69,6 +69,22 @@ def get_spark(
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     b = (
         SparkSession.builder.master(master)
+    )
+    if master.startswith("local-cluster"):
+        # Separate executor JVMs spawn their own Python workers, which need
+        # this package importable (cloudpickle serializes module-level
+        # functions BY REFERENCE). On a real cluster this is the job's
+        # wheel/--py-files; for the local-cluster probe, executorEnv is the
+        # equivalent. Without it every pickle-by-reference query dies
+        # executor-side with ModuleNotFoundError.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        b = b.config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{repo_root}:{existing}" if existing else repo_root,
+        )
+    b = (
+        b
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", driver_memory)
