@@ -240,21 +240,27 @@ def run_streaming_benches(spark, repeats: int = 3) -> tuple[
             minhash_table,
         )
 
+        from functools import reduce
+
         docs = load_table(spark, SF_DIR, "documents")
         corpus = docs.filter(F.col("doc_id") % 10 < 8)
         new = docs.filter(F.col("doc_id") % 10 >= 8)
         index0 = band_table(minhash_table(corpus, "text", "doc_id"), "doc_id")
         sdf, stage = stream_from_df(new, n_chunks=3, order_col="doc_id")
-        state = {"index": index0.localCheckpoint(eager=True)}
+        # append-only index SEGMENTS: checkpoint only each batch's new
+        # entries and union the segments lazily at probe time — re-
+        # checkpointing the whole index per batch copies all prior data
+        # every batch (O(total^2) movement), exactly what a real ingest
+        # avoids by appending index files
+        segments = [index0.localCheckpoint(eager=True)]
         try:
             def ingest(batch_df, _epoch):
+                index = reduce(lambda a, b: a.unionByName(b), segments)
                 survivors, new_entries = incremental_dedup(
-                    batch_df, state["index"], "text", "doc_id"
+                    batch_df, index, "text", "doc_id"
                 )
                 survivors.write.mode("overwrite").format("noop").save()
-                state["index"] = state["index"].unionByName(
-                    new_entries
-                ).localCheckpoint(eager=True)
+                segments.append(new_entries.localCheckpoint(eager=True))
 
             q = (
                 sdf.writeStream.foreachBatch(ingest)
