@@ -139,11 +139,11 @@ def cdc_debezium_roundtrip(spark, sf_dir):
              row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
       FROM chg
     )
-    SELECT c.c_custkey AS id,
+    SELECT COALESCE(l.id, c.c_custkey) AS id,
            CAST(floor(CASE WHEN l.id IS NULL THEN c.c_acctbal ELSE l.val END
                 * 1e2 + 0.5) AS BIGINT) AS val
     FROM customer c
-    LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l ON l.id = c.c_custkey
+    FULL JOIN (SELECT * FROM latest WHERE rn = 1) l ON l.id = c.c_custkey
     WHERE l.row_kind IS NULL OR l.row_kind <> '-D'
     ORDER BY id
     """,
@@ -152,7 +152,14 @@ def changelog_apply(spark, sf_dir):
     """Incremental snapshot maintenance (operators/changelog.apply_changelog):
     a customer-balance snapshot merged with an orders-derived changelog
     (+U latest-wins by seq, -D removes) — ONE union + ONE keyed window, the
-    per-micro-batch materialized-view step the streaming CDC test drives."""
+    per-micro-batch materialized-view step the streaming CDC test drives.
+
+    The oracle is a FULL join: apply_changelog has UPSERT semantics (a +U
+    for a key absent from the snapshot INSERTS it — the reference's
+    upsert-sink behavior). A LEFT-join oracle only agreed by dataset
+    accident (every 1x custkey exists); the round-8 10x strict gate, whose
+    replicated orders reference custkeys beyond the 1x customer table,
+    exposed the difference."""
     from ..operators.changelog import apply_changelog
 
     cust = load_table(spark, sf_dir, "customer").select(
