@@ -192,8 +192,9 @@ def tpch_q5(spark, sf_dir):
 @query(
     "tpch_q6",
     oracle="""
-    SELECT CAST(floor(sum(l_extendedprice * l_discount) * 1e4 + 0.5) AS BIGINT)
-           AS revenue
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT))
+           AS BIGINT) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -202,17 +203,19 @@ def tpch_q5(spark, sf_dir):
     """,
 )
 def tpch_q6(spark, sf_dir):
+    # Single-group revenue sum: per-row exact integerization (cents x
+    # discount-percent = 1e-4-dollar units), same rationale as tpch_q19 —
+    # one global double sum is summation-order-sensitive at scale.
     (li,) = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        F.col("l_discount") * 100
+    ).cast("long")
     return li.filter(
         (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
         & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
         & (F.col("l_discount").between(0.03, 0.07))
         & (F.col("l_quantity") < 24)
-    ).agg(
-        micro(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-            "revenue"
-        )
-    )
+    ).agg(F.sum(rev).cast("long").alias("revenue"))
 
 
 # --------------------------------------------------------------------------- #
@@ -639,15 +642,31 @@ def tpch_q15(spark, sf_dir):
 @query(
     "tpch_q17",
     oracle="""
-    SELECT CAST(floor(sum(l_extendedprice) / 7.0 * 1e6 + 0.5) AS BIGINT) AS avg_yearly
+    WITH pp AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size < 15
+    ), pa AS (
+      SELECT l_partkey AS ap_key, 0.2 * avg(l_quantity) AS avg_qty
+      FROM lineitem JOIN pp ON p_partkey = l_partkey
+      GROUP BY l_partkey
+    )
+    SELECT CAST((20000 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)) + 7)
+                // 14 AS BIGINT) AS avg_yearly
     FROM lineitem
-    JOIN part ON p_partkey = l_partkey
-    JOIN (SELECT l_partkey AS ap_key, 0.2 * avg(l_quantity) AS avg_qty
-          FROM lineitem GROUP BY l_partkey) pa ON ap_key = p_partkey
-    WHERE p_brand = 'Brand#1' AND p_size < 15 AND l_quantity < avg_qty
+    JOIN pa ON ap_key = l_partkey
+    WHERE l_quantity < avg_qty
     """,
 )
 def tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H q17 shape). Round-8 10x-gate
+    hardening, twice over: (1) the old oracle's single dual-condition join
+    (part joined on BOTH ap_key and l_partkey) made DuckDB spill >60 GB of
+    temp at 6M rows — restructured as CTEs joining the per-part average
+    straight to lineitem (identical relational content: restricting the
+    average to surviving partkeys cannot change per-key averages); (2) the
+    emit integerizes per row (exact cents) and applies the /7 annualization
+    with integer rounding-division, floor((2e4·S + 7) / 14) — the
+    single-group double sum diverged in its last digit between engines at
+    10x, the same class tpch_q19/q6 hit."""
     li, part = _t(spark, sf_dir, "lineitem", "part")
     per_part = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
         (F.avg("l_quantity") * 0.2).alias("avg_qty")
@@ -659,7 +678,12 @@ def tpch_q17(spark, sf_dir):
         )
         .join(per_part, F.col("ap_key") == F.col("p_partkey"))
         .filter(F.col("l_quantity") < F.col("avg_qty"))
-        .agg(micro(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+        .agg(
+            F.expr(
+                "CAST((20000 * sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                " + 7) DIV 14 AS BIGINT)"
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -669,7 +693,9 @@ def tpch_q17(spark, sf_dir):
 @query(
     "tpch_q19",
     oracle="""
-    SELECT CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT) AS revenue
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           AS BIGINT) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
            AND l_quantity BETWEEN 1 AND 20)
@@ -678,6 +704,14 @@ def tpch_q17(spark, sf_dir):
     """,
 )
 def tpch_q19(spark, sf_dir):
+    # Revenue emits in 1e-4 dollar units via PER-ROW exact integerization
+    # (price is a 2dp decimal in binary floats, discount an integer percent:
+    # round(x*100) recovers exact integers; cents * (100 - pct) IS the
+    # 1e-4-dollar revenue). A micro(sum(double)) emit diverged by one final
+    # digit at the round-8 10x gate: this query aggregates to ONE group, so
+    # nothing shortens the float summation and the engines' different
+    # summation orders reach the quantization boundary (q1's grouped sums
+    # escape by length, not by construction).
     li, part = _t(spark, sf_dir, "lineitem", "part")
     cond = (
         (F.col("p_brand") == "Brand#1")
@@ -688,14 +722,13 @@ def tpch_q19(spark, sf_dir):
         & F.col("p_size").between(5, 20)
         & F.col("l_quantity").between(5, 40)
     )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
-        .agg(
-            micro(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
+        .agg(F.sum(rev).cast("long").alias("revenue"))
     )
 
 
