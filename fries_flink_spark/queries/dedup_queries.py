@@ -175,9 +175,13 @@ _SIMHASH_SUM = " + ".join(
 )
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash per document (dedup/minhash.simhash_table) — md5-nibble
-    votes, bit-identical across engines."""
+    votes, bit-identical across engines. sortWithinPartitions, not
+    sorted_result: the operator is zero-exchange end-to-end (a per-row fold),
+    and the output is corpus-sized — a repartition(1) would both add the
+    plan's only shuffle and be wrong at scale; the driver compare is
+    order-insensitive."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_table(docs, "text", "doc_id").transform(sorted_result, "doc_id")
+    return simhash_table(docs, "text", "doc_id").sortWithinPartitions("doc_id")
 
 
 @query(
