@@ -206,7 +206,9 @@ def dedup_embedding_cosine(spark, sf_dir):
     return (
         cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
         .select("a", "b", micro(F.col("cos"), 4).alias("cos"))
-        .transform(sorted_result, "a", "b")
+        # pair output is corpus-sized at scale: no repartition(1); the
+        # driver compare is order-insensitive
+        .sortWithinPartitions("a", "b")
     )
 
 

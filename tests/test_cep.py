@@ -442,3 +442,26 @@ class TestAutoVectorizeSelection:
                 emit="all",
             )
             assert rows == sorted(tuple(r) for r in forced.collect())
+
+    def test_auto_choice_memoized(self, spark, monkeypatch):
+        """A repeat of the same (input plan, pattern) must hit the decision
+        memo — zero stats jobs on the second call. The pattern is REBUILT
+        (fresh lambda objects): the memo keys mask bytecode, not identity."""
+        import fries_flink_spark.operators.cep as cep
+        from pyspark.sql import DataFrame
+
+        df = self._df(spark, n_keys=100, run_len=100)
+        cep._AUTO_CACHE.clear()
+        assert cep._choose_vectorized(df, ["user_id"], self._pattern(), "ts") is True
+        assert len(cep._AUTO_CACHE) == 1
+
+        calls: list[int] = []
+        orig = DataFrame.agg
+
+        def spy(self, *a, **kw):
+            calls.append(1)
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, "agg", spy)
+        assert cep._choose_vectorized(df, ["user_id"], self._pattern(), "ts") is True
+        assert calls == []

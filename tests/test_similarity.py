@@ -99,7 +99,17 @@ def test_lsh_plan_zero_exchange_no_hof(emb, qv):
     assert "lambdafunction" not in plan_string(df).lower()
 
 
-def test_cosine_pairs_tiled_matches_single_block(emb):
+@pytest.fixture()
+def force_tiled(spark):
+    """Disable the broadcast small-input path (mirrors a 100 TB input where
+    no side fits spark.sql.autoBroadcastJoinThreshold)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cosine_pairs_tiled_matches_single_block(emb, force_tiled):
     """Multi-block tiling is pure execution strategy: results must be
     identical to the single-block rendition, each unordered pair once."""
     single = {
@@ -116,7 +126,7 @@ def test_cosine_pairs_tiled_matches_single_block(emb):
     assert all(a < b for a, b, _ in single)
 
 
-def test_cosine_pairs_no_driver_collect(emb, monkeypatch):
+def test_cosine_pairs_no_driver_collect(emb, force_tiled, monkeypatch):
     """The tiled path must never materialize the table on the driver."""
     import pyspark.sql.dataframe as df_mod
 
@@ -126,6 +136,37 @@ def test_cosine_pairs_no_driver_collect(emb, monkeypatch):
     monkeypatch.setattr(df_mod.DataFrame, "toPandas", boom)
     out = cosine_pairs(emb, "embedding", "vec_id", 0.4, rows_per_block=64)
     assert out.count() > 0
+
+
+def test_cosine_pairs_broadcast_path_small_input(spark, emb):
+    """Below the broadcast threshold the GEMM runs as ONE mapInPandas pass:
+    no cogroup, no exchange — and the pair set matches the tiled path."""
+    small = cosine_pairs(emb, "embedding", "vec_id", 0.4)
+    plan = plan_string(small)
+    assert "MapInPandas" in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert exchange_count(small) == 0
+    got = {(r["a"], r["b"], round(r["cos"], 9)) for r in small.collect()}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tiled = {
+            (r["a"], r["b"], round(r["cos"], 9))
+            for r in cosine_pairs(emb, "embedding", "vec_id", 0.4).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == tiled
+
+
+def test_cosine_pairs_tiled_engages_above_threshold(emb, force_tiled):
+    """At scale (input larger than the broadcast bound — simulated here by
+    disabling the threshold) the cogrouped tiling MUST engage; the
+    broadcast shortcut is for small inputs only."""
+    df = cosine_pairs(emb, "embedding", "vec_id", 0.4)
+    plan = plan_string(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "MapInPandas" not in plan
 
 
 def test_semantic_dedup_greedy_keep(spark):

@@ -20,6 +20,15 @@ Replication keeps the DISTRIBUTIONS that drive each plan linear in N:
   letters-only rotation cycled every 25 replicas, leaving 4 verbatim copies
   of every doc and a measured 6x superlinear candidate-pair blowup that was
   probe data, not engine behavior.
+- embeddings: vec_id offset AND a per-replica SIGNED COORDINATE PERMUTATION
+  of the vector (replica 0 = identity, so fixture lookups like the
+  vec_id=0 query vector are unchanged). A signed permutation is an exact
+  isometry with NO float arithmetic: within-replica cosines are preserved
+  bit-for-bit (each replica contributes exactly the 1x near-dup pair
+  structure), while cross-replica cosines decorrelate like a random
+  rotation (~N(0, 1/dim)), so threshold-pair volume grows ~linearly in the
+  factor. Naive copy would make every vector an exact f-way duplicate -
+  a factor^2 pair blowup that is data pathology, not engine behavior.
 
 The probe runs with the fixture cache OFF: the question is how the
 production scan->shuffle path scales, not how fast a warmed cache is.
@@ -43,7 +52,7 @@ from fries_flink_spark.session import get_spark
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PROBES = ["tpcds_q14", "dedup_minhash_lsh", "sql_mr_all_rows", "cep_branchy_any"]
-SMALL_TABLES = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+SMALL_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
 
 def _doc_cipher(r: int) -> tuple[str, str]:
@@ -125,6 +134,50 @@ def build_scale_dir(spark, factor: int) -> str:
             "overwrite"
         ).parquet(f"{out}/documents.parquet")
         mark("documents")
+
+    if not done("embeddings"):
+        import numpy as np
+        import pandas as pd
+
+        emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+        v_span = emb.agg(F.max("vec_id")).first()[0] + 1
+        dim = len(emb.select("embedding").first()[0])
+        perms = np.empty((factor, dim), dtype="int64")
+        signs = np.empty((factor, dim), dtype="float32")
+        perms[0] = np.arange(dim)
+        signs[0] = 1.0
+        for r in range(1, factor):
+            rng = np.random.default_rng(7000 + r)
+            perms[r] = rng.permutation(dim)
+            signs[r] = rng.integers(0, 2, dim).astype("float32") * 2 - 1
+
+        def rotate(batches):
+            for b in batches:
+                reps = (b["vec_id"].to_numpy() // v_span).astype("int64")
+                x = np.stack(b["embedding"].to_numpy()).astype("float32")
+                out = np.empty_like(x)
+                for r in np.unique(reps):
+                    m = reps == r
+                    out[m] = x[m][:, perms[r]] * signs[r]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": b["vec_id"],
+                        "embedding": list(out),
+                        "label": b["label"],
+                    }
+                )
+
+        (
+            emb.crossJoin(rep)
+            .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * v_span)
+            .drop("__rep")
+            .mapInPandas(
+                rotate, schema="vec_id bigint, embedding array<float>, label int"
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out}/embeddings.parquet")
+        )
+        mark("embeddings")
 
     import shutil
 
