@@ -137,9 +137,9 @@ def classify_load(
     return "quiesced", ramped
 
 
-def run_streaming_benches(spark, repeats: int = 3) -> tuple[
-    dict[str, float], dict[str, list[float]]
-]:
+def run_streaming_benches(
+    spark, repeats: int = 3, state_partitions: int = 8
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Streaming perf signal (round-7): three bounded-replay pipelines timed
     end-to-end (chunk staging + full stream drain) at SF_DIR — event-time
     sorted replay, global streaming Top-N, and the foreachBatch
@@ -272,8 +272,8 @@ def run_streaming_benches(spark, repeats: int = 3) -> tuple[
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
-    timed("stream_event_sorted", sorted_replay, state_partitions=8)
-    timed("stream_topn", topn_replay, state_partitions=8)
+    timed("stream_event_sorted", sorted_replay, state_partitions=state_partitions)
+    timed("stream_topn", topn_replay, state_partitions=state_partitions)
     timed("stream_dedup_ingest", dedup_ingest)
     return out, samples_out
 

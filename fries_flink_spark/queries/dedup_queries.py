@@ -188,18 +188,21 @@ def dedup_simhash(spark, sf_dir):
     "dedup_embedding_cosine",
     oracle="""
     SELECT a.vec_id AS a, b.vec_id AS b,
-           CAST(floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)
+           CAST(floor(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DOUBLE)
                 * 1e4 + 0.5) AS BIGINT) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
     ORDER BY a, b
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.4), via the blocked-GEMM
-    operator (similarity/ann.cosine_pairs): broadcast normalized matrix, one
-    numpy matmul per partition — float64 throughout, matching DuckDB's
-    list_cosine_similarity to well past the rounded 4 decimals."""
+    operator (similarity/ann.cosine_pairs) — float64 throughout. The oracle
+    casts both vectors to DOUBLE[] first: DuckDB's list_cosine_similarity on
+    raw FLOAT[] computes in float32, whose ~1e-7 error flipped a micro-unit
+    on 1 of 95k pairs at the 10x fixture (f32 0.45204994 vs f64 0.45205002
+    across the .45205 boundary — the round-8 §49 divergence class, caught by
+    the same decade gate); in float64 both engines agree to ~1e-15."""
     from ..similarity.ann import cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -36,11 +36,11 @@ def _query_vec(spark, sf_dir):
     oracle="""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
-           CAST(floor(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE)
+           CAST(floor(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS DOUBLE)
                 * 1e4 + 0.5) AS BIGINT) AS cos
     FROM embeddings e, q
     WHERE e.vec_id <> 0
-    ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
     LIMIT 10
     """,
 )
@@ -57,10 +57,10 @@ def sim_topk_bruteforce(spark, sf_dir):
     oracle="""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
-           CAST(floor(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE)
+           CAST(floor(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS DOUBLE)
                 * 1e4 + 0.5) AS BIGINT) AS cos
     FROM embeddings e, q
-    WHERE e.vec_id <> 0 AND list_cosine_similarity(e.embedding, q.qv) >= 0.15
+    WHERE e.vec_id <> 0 AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) >= 0.15
     ORDER BY e.vec_id
     """,
 )
@@ -106,12 +106,12 @@ def _bucket_sql_expr() -> str:
     ),
     q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
     SELECT e.vec_id,
-           CAST(floor(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE)
+           CAST(floor(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS DOUBLE)
                 * 1e4 + 0.5) AS BIGINT)
              AS cos
     FROM b e, q
     WHERE e.vec_id <> 0 AND bit_count(xor(e.bucket, q.qb)) <= 1
-    ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
     LIMIT 10
     """,
 )
@@ -160,11 +160,24 @@ def sim_topk_ivf(spark, sf_dir):
 def sim_ivf_recall(spark, sf_dir):
     """Driver-visible quality band for the IVF path (the agg_approx_distinct
     pattern): recall of IVF top-10 vs exact brute-force top-10 must reach
-    0.5 with nprobe=4 of 16 cells. The sketch is engine-specific, the band
-    is not."""
+    0.5. The index is SIZED TO THE CORPUS the way a real deployment sizes
+    IVF — cells ~ sqrt(n)/3 (floor 16), probing a quarter of them (floor 4):
+    fixed 16/4 is exactly right at the base fixtures (<= 2k vectors, where
+    the rule floors to 16/4, keeping those runs bit-identical) but at the
+    10x dir (20k vectors, 10 permuted-replica manifolds) 16 cells cannot
+    resolve the structure and recall legitimately collapses — a quality
+    band calibrated at one scale must carry its sizing rule to survive the
+    next decade. The sketch is engine-specific, the band is not."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     qv = _query_vec(spark, sf_dir)
-    ivf = ivf_topk(emb, "embedding", "vec_id", qv, k=10).select("vec_id")
+    n = emb.count()
+    cells = max(16, int(math.sqrt(n) / 3))
+    ivf = ivf_topk(
+        emb, "embedding", "vec_id", qv, k=10,
+        n_centroids=cells, nprobe=max(4, cells // 4),
+    ).select("vec_id")
     brute = cosine_topk(emb, "embedding", "vec_id", qv, k=10).select("vec_id")
     hits = ivf.join(brute, "vec_id").count()
     return spark.createDataFrame([(10, hits >= 5)], "k long, recall_ok boolean")
@@ -242,8 +255,14 @@ def pq_adc_recall(spark, sf_dir):
     nemb = l2_normalize(emb, "embedding", "vec_id")
     books = pq_train(nemb, "embedding", "vec_id", dim=64, m=16, ksub=32, n_iter=2)
     codes = pq_encode(nemb, "embedding", "vec_id", books)
+    # Shortlist sized to the corpus (~n/40, floor 50 — identical to the old
+    # fixed 50 at every base fixture <= 2k): a constant shortlist dilutes to
+    # nothing as n grows and the recall band would fail at the 10x dir for
+    # sizing, not engine, reasons.
+    n = emb.count()
     reranked = pq_shortlist_rerank(
-        emb, codes, "embedding", "vec_id", books, qvn, k=10, shortlist=50
+        emb, codes, "embedding", "vec_id", books, qvn, k=10,
+        shortlist=max(50, n // 40),
     ).select("vec_id")
     brute = cosine_topk(emb, "embedding", "vec_id", qv, k=10).select("vec_id")
     hits = reranked.join(brute, "vec_id").count()

@@ -142,6 +142,57 @@ def main():
                 "SELECT * FROM __sig_mat WHERE doc_id % 10 >= 8",
             ),
         ]
+        # The connected-components oracles use a transitive-closure recursive
+        # CTE (reach = every (node, reachable-label) pair): O(sum of
+        # component-size^2) rows — 22.6M at sf0.1's one 4,752-doc component,
+        # ~226M at 10x, which DuckDB 1.0 (no keyed recursion) cannot finish.
+        # In scale mode the components come from an INDEPENDENT union-find
+        # (plain Python) over the DuckDB-computed candidate pairs; cluster_id
+        # = min doc_id per component, the same definition the CTE encodes.
+        # The registered sf0.01 oracles the driver runs are unchanged.
+        from fries_flink_spark.queries.dedup_queries import _CAND_CTES
+
+        con.execute(
+            """
+            CREATE TABLE __cand AS
+            WITH bands AS (
+              SELECT doc_id, b.band,
+                     CASE b.band
+                       WHEN 0 THEN md5(mh0 || '|' || mh1)
+                       WHEN 1 THEN md5(mh2 || '|' || mh3)
+                       WHEN 2 THEN md5(mh4 || '|' || mh5)
+                       ELSE        md5(mh6 || '|' || mh7)
+                     END AS key
+              FROM __sig_mat, (SELECT unnest(generate_series(0, 3)) AS band) b)
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+                                     AND x.doc_id < y.doc_id
+            """
+        )
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in con.execute("SELECT a, b FROM __cand").fetchall():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        cc_rows = [(n, _find(n)) for n in parent]
+        con.execute("CREATE TABLE __cc_mat (node BIGINT, cluster_id BIGINT)")
+        if cc_rows:
+            con.executemany("INSERT INTO __cc_mat VALUES (?, ?)", cc_rows)
+        tail = _CAND_CTES[_CAND_CTES.index("    edges AS") :]
+        rewrites.append(
+            (tail, "    cc AS (SELECT node, cluster_id FROM __cc_mat)\n")
+        )
         for spec in registry.values():
             if spec.oracle:
                 for old, new in rewrites:
