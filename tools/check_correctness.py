@@ -61,6 +61,9 @@ def table_hash(rows, colnames):
 
 def main():
     name_filter = sys.argv[1:]
+    excludes = [
+        e for e in os.environ.get("SPARK_GRAFT_EXCLUDE", "").split(",") if e
+    ]
     from fries_flink_spark.registry import load_all
     from fries_flink_spark.session import get_spark
 
@@ -85,6 +88,8 @@ def main():
         ):
             if name_filter and not any(f in gname for f in name_filter):
                 continue  # filtered out: don't pay its regeneration
+            if any(e in gname for e in excludes):
+                continue  # excluded: don't pay its regeneration
             spec = registry.get(gname)
             if spec is not None and spec.oracle:
                 spec.oracle = spec.oracle.replace(
@@ -198,9 +203,15 @@ def main():
                 for old, new in rewrites:
                     spec.oracle = spec.oracle.replace(old, new)
 
+    # SPARK_GRAFT_EXCLUDE (parsed above): comma-separated substrings to SKIP
+    # (e.g. the BPE goldens on scaled dirs, whose regeneration is a
+    # driver-side Python training loop).
     n_pass = n_fail = n_nosql = 0
     for name, spec in sorted(registry.items()):
         if name_filter and not any(f in name for f in name_filter):
+            continue
+        if any(e in name for e in excludes):
+            print(f"SKIP  {name} (SPARK_GRAFT_EXCLUDE)")
             continue
         t0 = time.time()
         try:
