@@ -168,7 +168,19 @@ def run_streaming_benches(
         have bucket/key parallelism far below 32, so 32 state partitions
         just multiply commit I/O — measured 6.5 s → 3.9 s on
         stream_event_sorted at 8. Sizing this conf to the stateful op's key
-        parallelism is exactly what a real deployment does."""
+        parallelism is exactly what a real deployment does.
+
+        Provider choice (tools/rocksdb_probe.py, PERF §58): partition count
+        dominates the provider at every measured state size — parts=8 beats
+        parts=32 under BOTH HDFSBacked and RocksDB. The providers are noise
+        apart at sf0.01/sf0.1; at the 10x dir RocksDB+parts=8 is the best
+        cell (7-18% over HDFSBacked — its changelog commit replaces the
+        whole-snapshot delta write, which starts to matter once per-batch
+        state deltas are MBs). The bench keeps the session default
+        (HDFSBacked) so the row series stays comparable round-over-round;
+        at real state scale, set
+        spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider
+        and keep state partitions at key parallelism."""
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))

@@ -187,3 +187,48 @@ def test_q76_colname_all_null(spark, sf_dir, reg):
     assert rows
     assert all(r.col_name is None for r in rows)
     assert all(r.sales_cnt >= 1 for r in rows)
+
+
+def test_cbo_substrate_value_identity(spark, sf_dir, reg, monkeypatch):
+    """SPARK_GRAFT_CBO=1 swaps the temp-view substrate for ANALYZEd catalog
+    tables + cost-based join reordering (reference parity: the TPC-DS e2e
+    run feeds Flink per-table/column stats, TpcdsStatsProvider.java:37).
+    Stats change PLANS, never values — the join-heaviest ports must return
+    bit-identical rows on both substrates, and the CBO session must really
+    be on catalog tables with cbo enabled."""
+    from fries_flink_spark.queries import tpcds as T
+
+    names = ["tpcds_q17", "tpcds_q64", "tpcds_q14b", "tpcds_q95"]
+    register_tpcds(spark, sf_dir)
+    baseline = {
+        n: sorted(tuple(r) for r in reg[n].fn(spark, sf_dir).collect())
+        for n in names
+    }
+    T._REGISTERED.pop(id(spark), None)
+    T._Q14_SHARED.pop(id(spark), None)
+    monkeypatch.setenv("SPARK_GRAFT_CBO", "1")
+    try:
+        register_tpcds(spark, sf_dir)
+        assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+        assert spark.catalog.currentDatabase().startswith("tpcds_cbo_")
+        # q17's fact-fact-fact chain must now carry catalog stats: its
+        # optimized plan rows come from ANALYZE, not defaults
+        assert not any(
+            t.isTemporary
+            for t in spark.catalog.listTables()
+            if t.name == "store_sales"
+        )
+        for n in names:
+            got = sorted(
+                tuple(r) for r in reg[n].fn(spark, sf_dir).collect()
+            )
+            assert got == baseline[n], n
+    finally:
+        # restore the default substrate for the rest of the session
+        spark.sql("USE default")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        monkeypatch.delenv("SPARK_GRAFT_CBO")
+        T._REGISTERED.pop(id(spark), None)
+        T._Q14_SHARED.pop(id(spark), None)
+        register_tpcds(spark, sf_dir)

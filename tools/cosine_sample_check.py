@@ -7,8 +7,14 @@ deterministic subset vec_id % STRIDE == 0 — so this is a true value-level
 compare of the operator (the tiled-GEMM path still engages: the subset is
 sized above the broadcast threshold), just on a 1/STRIDE^2 pair sample.
 
-Usage: python tools/cosine_sample_check.py [sf_dir] [stride]
+Usage: python tools/cosine_sample_check.py [sf_dir] [stride] [broadcast_threshold]
        (default: /tmp/spark_graft_scale100, stride 10 -> 20k vectors)
+
+Run it twice to value-verify BOTH engine paths at scale: once with the
+default threshold (the subset's stats estimate sits under 10 MB -> the
+broadcast+mapInPandas path engages) and once with a small threshold, e.g.
+1048576, to force the tiled cogrouped-GEMM path on the same subset — the
+printed `tiled_path` flag states which path actually ran.
 """
 
 from __future__ import annotations
@@ -24,6 +30,7 @@ os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "0")
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale100"
     stride = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    threshold = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
     import duckdb
     from pyspark.sql import functions as F
@@ -34,6 +41,8 @@ def main() -> None:
     from fries_flink_spark.similarity.ann import cosine_pairs
 
     spark = get_spark(app_name="cosine-sample", cpus=24, shuffle_partitions=24)
+    if threshold is not None:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(threshold))
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % stride == 0
     )
