@@ -57,12 +57,22 @@ SMALL_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
 def _doc_cipher(r: int) -> tuple[str, str]:
     """Replica-unique bijection over the corpus alphabet [a-z ]: rotate the
-    letters by r%25+1, then swap space with letter r//25 — the (rotation,
-    swap) pair is distinct for r < 25*26 = 650."""
+    letters by r%25+1, then swap space with letter (r//25)%26, then (for
+    r >= 650 only — replicas below that keep their original mapping, so
+    previously-built 10x/100x dirs are unchanged) transpose letter
+    (r//650-1)%25 with 'z'. The (rotation, space-swap, z-transposition)
+    triple is distinct for r < 650*26 = 16,900. The third factor exists
+    because the 1000x build exhausted the 650-cipher space: replicas r and
+    r+650 carried IDENTICAL text, which merged their LSH near-dup buckets
+    and SQUARED candidate-pair volume (the exact data pathology the module
+    docstring warns naive replication causes — it ENOSPC'd the local disk
+    before the probe could even time the query)."""
     alpha = string.ascii_lowercase
     s = (r % 25) + 1
     rot = {c: alpha[(i + s) % 26] for i, c in enumerate(alpha)}
     swap_l = alpha[(r // 25) % 26]
+    t = r // 650
+    z_l = alpha[(t - 1) % 25] if t > 0 else None
     out = {}
     for c in alpha + " ":
         m = rot.get(c, c)  # space rotates to itself
@@ -70,6 +80,11 @@ def _doc_cipher(r: int) -> tuple[str, str]:
             m = " "
         elif m == " ":
             m = swap_l
+        if z_l is not None:  # extra transposition, applied after the swap
+            if m == z_l:
+                m = "z"
+            elif m == "z":
+                m = z_l
         out[c] = m
     src = alpha + " "
     return src, "".join(out[c] for c in src)
@@ -125,10 +140,10 @@ def build_scale_dir(spark, factor: int) -> str:
             "doc_id", F.col("doc_id") + F.col("__rep") * d_span
         )
         cases = None
-        for r in range(min(factor, 650)):
+        for r in range(min(factor, 16900)):
             src, dst = _doc_cipher(r)
             expr = F.translate(F.col("text"), src, dst)
-            cond = F.col("__rep") % 650 == r
+            cond = F.col("__rep") % 16900 == r
             cases = F.when(cond, expr) if cases is None else cases.when(cond, expr)
         shifted.withColumn("text", cases).drop("__rep").write.mode(
             "overwrite"
@@ -209,6 +224,15 @@ def main() -> None:
                 ts.append(time.time() - t0)
             row.append(f"{min(ts):.2f}s")
         print(f"PROBE {row[0]:28s} 1x {row[1]:>8s}  {factor}x {row[2]:>8s}")
+        # Release this probe's persisted frames and shuffle files before the
+        # next one: q14's ds_base persist at 1000x is tens of GB of
+        # MEMORY_AND_DISK blocks, and register_tpcds only unpersists on an
+        # sf switch — carried into the LSH probe it ENOSPC'd the local disk
+        # (a single-node artifact: per-probe working sets, not one probe's
+        # footprint, exceeded /tmp). ContextCleaner deletes shuffle files
+        # only when their stage objects are GC'd, hence the explicit gc.
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
     spark.stop()
 
 
