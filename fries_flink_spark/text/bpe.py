@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,24 +55,42 @@ def word_histogram(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _merge_in_syms(syms, left: str, right: str):
-    """Greedy left-to-right merge of adjacent (left, right) into one symbol.
+def _merge_in_syms(left: str, right: str):
+    """Greedy left-to-right merge of adjacent (left, right) into one symbol,
+    as an Arrow-batched pandas UDF over the vocab-sized symbol table.
 
-    The fold keeps the classic non-overlap semantics: 'aaa' under merge
-    (a, a) becomes [aa, a] — a freshly merged symbol never re-merges with
-    the next element within the same pass.
+    Keeps the classic non-overlap semantics: 'aaa' under merge (a, a)
+    becomes [aa, a] — a freshly merged symbol never re-merges with the next
+    element within the same pass.
+
+    Why Python and not a Catalyst ``aggregate`` fold: the fold's array
+    accumulator is copied on every step (``GenericArrayData.copy`` inside
+    ``ArrayAggregate.eval``), making one merge pass O(len²) per word — a
+    577-symbol word (a document with no split characters) costs ~330k array
+    copies per merge. The linear Python scan over an Arrow batch is ~1000×
+    cheaper on long words, and the table this runs on is vocabulary-sized
+    by design (never corpus-sized), so the Python path is off the hot scan.
     """
-    merged = F.lit(left + right)
-    return F.aggregate(
-        syms,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
+    merged = left + right
+
+    @F.pandas_udf("array<string>")
+    def apply_one(col: pd.Series) -> pd.Series:
+        def one(syms):
+            if left not in syms:  # C-speed reject: most words lack the pair
+                return syms
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        return col.map(one)
+
+    return apply_one
 
 
 def train_bpe(
@@ -95,21 +114,39 @@ def train_bpe(
         ).alias("syms"),
     ).localCheckpoint(eager=True)
 
+    def _pair_counts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Map-side combine in Python: one Counter per partition, emitting
+        # only the DISTINCT pairs seen there (thousands of rows) instead of
+        # exploding every adjacency (len(syms)-1 rows per word). The
+        # Catalyst transform→struct→explode alternative is interpreted
+        # per element (higher-order functions don't codegen) and shuffles
+        # the full adjacency multiset — ~10× slower on a 200k-word vocab.
+        import collections
+
+        for pdf in it:
+            cnt: collections.Counter = collections.Counter()
+            for syms, f in zip(pdf["syms"], pdf["freq"]):
+                f = int(f)
+                for i in range(len(syms) - 1):
+                    cnt[(syms[i], syms[i + 1])] += f
+            if cnt:
+                ks = list(cnt.keys())
+                yield pd.DataFrame(
+                    {
+                        "l": [k[0] for k in ks],
+                        "r": [k[1] for k in ks],
+                        "n": [cnt[k] for k in ks],
+                    }
+                )
+
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         pairs = (
             vocab.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("freq").alias("n"))
+            .select("freq", "syms")
+            .mapInPandas(_pair_counts, schema="l string, r string, n long")
+            .groupBy("l", "r")
+            .agg(F.sum("n").alias("n"))
         )
         top = (
             pairs.orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
@@ -123,7 +160,7 @@ def train_bpe(
         # Re-checkpoint per merge: the fold expression would otherwise nest
         # num_merges deep and blow up analysis/codegen time.
         vocab = vocab.withColumn(
-            "syms", _merge_in_syms(F.col("syms"), left, right)
+            "syms", _merge_in_syms(left, right)(F.col("syms"))
         ).localCheckpoint(eager=True)
     return merges
 
@@ -135,6 +172,8 @@ def apply_merges_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
     for left, right in merges:
         if len(syms) < 2:
             break
+        if left not in syms:  # C-speed reject: this pass can't apply
+            continue
         out, i = [], 0
         while i < len(syms):
             if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:

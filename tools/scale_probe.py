@@ -99,6 +99,17 @@ def build_scale_dir(spark, factor: int) -> str:
         return os.path.exists(os.path.join(out, f"_DONE_{table}"))
 
     def mark(table: str) -> None:
+        # Post-write sanity: the replicated table must hold exactly
+        # factor x the base row count. A same-session back-to-back build
+        # once wrote an EMPTY (but _SUCCESS-marked) lineitem at 100x --
+        # an assert here turns that silent corruption into a loud retry.
+        base_n = spark.read.parquet(f"{BASE}/{table}.parquet").count()
+        got_n = spark.read.parquet(f"{out}/{table}.parquet").count()
+        if got_n != base_n * factor:
+            raise RuntimeError(
+                f"scale build corrupt: {table} at {factor}x has {got_n} rows, "
+                f"expected {base_n * factor}"
+            )
         open(os.path.join(out, f"_DONE_{table}"), "w").write("ok")
 
     if not done("lineitem"):
