@@ -85,14 +85,20 @@ def agg_cube(spark, sf_dir):
     "agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(floor(sum(l_extendedprice) * 1e4 + 0.5) AS BIGINT) AS sum_price
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def agg_rollup(spark, sf_dir):
+    # sum_price in exact integer cents (l_extendedprice is 2-decimal data):
+    # the rollup's grand-total row sums the WHOLE table, and a double sum
+    # rounded after the fact is summation-order-sensitive there (first
+    # diverged at the 100x dir, 60M rows — same class as tpch q6/q17/q19).
     (li,) = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        micro(F.sum("l_extendedprice"), 4).alias("sum_price")
+        F.sum(cents).cast("long").alias("sum_price")
     )
 
 
@@ -330,7 +336,7 @@ def agg_having(spark, sf_dir):
     "agg_salted_skew",
     oracle="""
     SELECT event_type, count(*) AS n,
-           CAST(floor(sum(value) * 1e4 + 0.5) AS BIGINT) AS total,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total,
            min(value) AS mn, max(value) AS mx
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -340,25 +346,26 @@ def agg_salted_skew(spark, sf_dir):
     (operators/skew.salted_agg — the hot-key mitigation for 100 TB
     aggregations, reference rebalance+partial-agg pattern): results equal
     the plain aggregation's. count/min/max are salt-invariant exactly; the
-    float sum is salt-ORDER-dependent in its last ulps, so both sides apply
-    the tie-safe portable rounding (portable.py) like the other float-sum
-    oracles."""
+    sum runs over exact integer cents (value is 2-decimal data), making it
+    salt-order- AND summation-order-invariant at any scale (the rounded
+    double sum first diverged at the 100x dir's 2M-row hot groups)."""
     from ..catalog import load_table
     from ..operators.skew import salted_agg
 
     ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("value_c", F.round(F.col("value") * 100).cast("long"))
     out = salted_agg(
         ev,
         ["event_type"],
         [
             ("n", "count", "value"),
-            ("total", "sum", "value"),
+            ("total", "sum", "value_c"),
             ("mn", "min", "value"),
             ("mx", "max", "value"),
         ],
         n_salts=8,
     )
     return out.select(
-        "event_type", "n", micro(F.col("total"), 4).alias("total"),
+        "event_type", "n", F.col("total").cast("long").alias("total"),
         "mn", "mx",
     ).orderBy("event_type")
