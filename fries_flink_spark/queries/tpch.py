@@ -36,12 +36,15 @@ def _t(spark, sf_dir, *names):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)                                       AS sum_qty,
-           CAST(floor(sum(l_extendedprice) * 1e4 + 0.5) AS BIGINT)
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                                                                  AS sum_base_price,
-           CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 1e4 + 0.5)
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
                 AS BIGINT)                                       AS sum_disc_price,
-           CAST(floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
-                      * 1e4 + 0.5) AS BIGINT)                    AS sum_charge,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                AS DECIMAL(38, 0))                               AS sum_charge,
            CAST(floor(avg(l_quantity) * 1e4 + 0.5) AS BIGINT)    AS avg_qty,
            CAST(floor(avg(l_extendedprice) * 1e4 + 0.5) AS BIGINT) AS avg_price,
            CAST(floor(avg(l_discount) * 1e4 + 0.5) AS BIGINT)    AS avg_disc,
@@ -52,21 +55,30 @@ def _t(spark, sf_dir, *names):
     """,
 )
 def tpch_q1(spark, sf_dir):
-    # Price/avg aggregates emit integer micro-units (micro, 4): sums of
-    # decimal-valued doubles are summation-order-sensitive in the last ulp,
-    # and Spark's partial-agg tree visits rows in a different order than
-    # DuckDB's sequential fold (tpch_q10 diverged exactly this way at sf0.1).
-    # sum_qty stays raw: l_quantity is integral, so its double sum is exact.
+    # Money sums run over exact per-row integers (cents, cents×discount-pct,
+    # cents×disc-pct×tax-pct — all 2-decimal data), so they are summation-
+    # order-invariant at ANY scale; the previous rounded double sums held to
+    # sf1-scale but a group of 150M rows (the 1000x dir) pushes the 1e-4-unit
+    # total past 2^52 where the double sum can no longer represent it.
+    # sum_charge needs 128-bit headroom (≤1.1e11/row × 600M rows > int64) —
+    # decimal(38,0) on the Spark side, DuckDB's native HUGEINT sum mirrored
+    # to DECIMAL(38,0). Avg columns stay micro-rounded doubles: their
+    # divergence window is ~1e-12 of a rounding unit. sum_qty stays raw:
+    # l_quantity is integral, its double sum is exact below 2^53.
     (li,) = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    tax_pct = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '1999-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            micro(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            micro(F.sum(disc_price), 4).alias("sum_disc_price"),
-            micro(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.sum(cents).cast("long").alias("sum_base_price"),
+            F.sum(cents * disc_pct).cast("long").alias("sum_disc_price"),
+            F.sum((cents * disc_pct * tax_pct).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sum_charge"),
             micro(F.avg("l_quantity"), 4).alias("avg_qty"),
             micro(F.avg("l_extendedprice"), 4).alias("avg_price"),
             micro(F.avg("l_discount"), 4).alias("avg_disc"),
