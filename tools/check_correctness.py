@@ -100,6 +100,11 @@ def main():
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 
     con = duckdb.connect()
+    # SPARK_GRAFT_DUCK_THREADS: cap the oracle's thread pool (DuckDB defaults
+    # to every core) so concurrent harness runs don't oversubscribe the box.
+    duck_threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS", "")
+    if duck_threads:
+        con.execute(f"SET threads={int(duck_threads)}")
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         # Spark-written tables are DIRECTORIES of part files (the scaled
