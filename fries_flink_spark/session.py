@@ -88,6 +88,11 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", driver_memory)
+        # The driver contract COLLECTS full query results for the oracle
+        # compare; at scaled fixture dirs a pair-emitting dedup query can
+        # return >1 GiB, which the 1g default silently caps. Scales with
+        # the configured heap (collect buffers live inside it).
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Long benchmark/driver sessions compile hundreds of WholeStageCodegen

@@ -230,12 +230,30 @@ def main():
     # SPARK_GRAFT_EXCLUDE (parsed above): comma-separated substrings to SKIP
     # (e.g. the BPE goldens on scaled dirs, whose regeneration is a
     # driver-side Python training loop).
+    # SPARK_GRAFT_SKIP_PASSED: path to a prior run's log; every exact query
+    # name on a "PASS  <name>:" line there is skipped, so an interrupted
+    # sweep (OOM-killed JVM, machine loss) resumes where it stopped.
+    already_passed: set = set()
+    skip_log = os.environ.get("SPARK_GRAFT_SKIP_PASSED", "")
+    if skip_log and os.path.exists(skip_log):
+        import re as _re
+
+        with open(skip_log, errors="replace") as fh:
+            content = fh.read().replace("\r", "\n")
+        for line in content.splitlines():
+            m = _re.match(r"PASS\s+(\S+):", line.strip())
+            if m:
+                already_passed.add(m.group(1))
+        print(f"resuming: {len(already_passed)} previously-passed queries skipped")
+
     n_pass = n_fail = n_nosql = 0
     for name, spec in sorted(registry.items()):
         if name_filter and not any(f in name for f in name_filter):
             continue
         if any(e in name for e in excludes):
             print(f"SKIP  {name} (SPARK_GRAFT_EXCLUDE)")
+            continue
+        if name in already_passed:
             continue
         t0 = time.time()
         try:
