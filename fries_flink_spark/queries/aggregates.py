@@ -337,7 +337,8 @@ def agg_having(spark, sf_dir):
     oracle="""
     SELECT event_type, count(*) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total,
-           min(value) AS mn, max(value) AS mx
+           min(CAST(round(value * 100) AS BIGINT)) AS mn,
+           max(CAST(round(value * 100) AS BIGINT)) AS mx
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -360,8 +361,11 @@ def agg_salted_skew(spark, sf_dir):
         [
             ("n", "count", "value"),
             ("total", "sum", "value_c"),
-            ("mn", "min", "value"),
-            ("mx", "max", "value"),
+            # min/max in cents too: keeps every output column integral
+            # (exact, and the oracle-portability lint's round()-with-DOUBLE
+            # rule stays structurally inapplicable).
+            ("mn", "min", "value_c"),
+            ("mx", "max", "value_c"),
         ],
         n_salts=8,
     )

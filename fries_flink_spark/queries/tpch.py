@@ -35,16 +35,16 @@ def _t(spark, sf_dir, *names):
     "tpch_q1",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)                                       AS sum_qty,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(l_quantity) AS BIGINT)                       AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                                                                  AS sum_base_price,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                 AS BIGINT)                                       AS sum_disc_price,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                    * (100 + CAST(round(l_tax * 100) AS BIGINT)))
-                AS DECIMAL(38, 0))                               AS sum_charge,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                    * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+                AS DOUBLE)                                       AS sum_charge,
            CAST(floor(avg(l_quantity) * 1e4 + 0.5) AS BIGINT)    AS avg_qty,
            CAST(floor(avg(l_extendedprice) * 1e4 + 0.5) AS BIGINT) AS avg_price,
            CAST(floor(avg(l_discount) * 1e4 + 0.5) AS BIGINT)    AS avg_disc,
@@ -60,24 +60,28 @@ def tpch_q1(spark, sf_dir):
     # order-invariant at ANY scale; the previous rounded double sums held to
     # sf1-scale but a group of 150M rows (the 1000x dir) pushes the 1e-4-unit
     # total past 2^52 where the double sum can no longer represent it.
-    # sum_charge needs 128-bit headroom (≤1.1e11/row × 600M rows > int64) —
-    # decimal(38,0) on the Spark side, DuckDB's native HUGEINT sum mirrored
-    # to DECIMAL(38,0). Avg columns stay micro-rounded doubles: their
-    # divergence window is ~1e-12 of a rounding unit. sum_qty stays raw:
-    # l_quantity is integral, its double sum is exact below 2^53.
+    # sum_charge needs 128-bit headroom (≤1.1e11/row × 600M rows > int64):
+    # the sum runs in decimal(38,0) Spark-side / HUGEINT duck-side (both
+    # exact), then ONE correctly-rounded cast to double on each engine —
+    # identical results from identical integers, and the output column is a
+    # portable double (the oracle lint rejects int128-typed outputs: how a
+    # driver materializes HUGEINT through pandas is version-dependent).
+    # Avg columns stay micro-rounded doubles: their divergence window is
+    # ~1e-12 of a rounding unit. sum_qty emits BIGINT: l_quantity is
+    # integral, its sum is exact below 2^53.
     (li,) = _t(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_pct = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
-    tax_pct = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc_pct = F.lit(100) - F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    tax_pct = F.lit(100) + F.floor(F.col("l_tax") * 100 + 0.5).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '1999-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
             F.sum(cents).cast("long").alias("sum_base_price"),
             F.sum(cents * disc_pct).cast("long").alias("sum_disc_price"),
             F.sum((cents * disc_pct * tax_pct).cast("decimal(38,0)"))
-            .cast("decimal(38,0)")
+            .cast("double")
             .alias("sum_charge"),
             micro(F.avg("l_quantity"), 4).alias("avg_qty"),
             micro(F.avg("l_extendedprice"), 4).alias("avg_price"),
