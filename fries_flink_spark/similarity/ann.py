@@ -295,23 +295,35 @@ def cosine_pairs(
 
         def gemm_bcast(batches):
             r_ids, r_mat = bc.value
+            n_right = len(r_ids)
+            # Bound the transient score matrix: a full Arrow batch against a
+            # broadcast side near the 64 MB threshold (200k × 64 floats) is
+            # batch_rows × n doubles — 16 GB at 10k-row batches, which the
+            # first 100×-dir bench run paid with an OOM-killed JVM. Chunk the
+            # left rows so each matmul's output stays ≤ ~8M doubles (64 MB);
+            # identical emitted pairs, pure blocking of the same product.
+            chunk = max(1, 8_000_000 // max(1, n_right))
             for b in batches:
                 if not len(b):
                     continue
                 xl = np.stack(b["__vec"].to_numpy()).astype("float64")
                 xl /= np.linalg.norm(xl, axis=1, keepdims=True)
                 lids = b["__id"].to_numpy()
-                sim = xl @ r_mat.T
-                ii, jj = np.nonzero(sim >= thr)
-                # each unordered pair once: emitted by its smaller-id row
-                keep = lids[ii] < r_ids[jj]
-                yield pd.DataFrame(
-                    {
-                        "a": lids[ii][keep],
-                        "b": r_ids[jj][keep],
-                        "cos": sim[ii, jj][keep],
-                    }
-                )
+                for s in range(0, len(lids), chunk):
+                    xs, ls = xl[s : s + chunk], lids[s : s + chunk]
+                    sim = xs @ r_mat.T
+                    ii, jj = np.nonzero(sim >= thr)
+                    # each unordered pair once: emitted by its smaller-id row
+                    keep = ls[ii] < r_ids[jj]
+                    if not keep.any():
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "a": ls[ii][keep],
+                            "b": r_ids[jj][keep],
+                            "cos": sim[ii, jj][keep],
+                        }
+                    )
 
         src = df.select(
             F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
