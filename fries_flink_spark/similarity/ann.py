@@ -331,7 +331,13 @@ def cosine_pairs(
         # Right-size the Arrow batches: a broadcast-small input scattered
         # over many map partitions pays one Python-worker round trip per
         # tiny batch. coalesce (narrow, no exchange) only ever reduces.
+        # ALSO cap concurrent workers by broadcast residency: every Python
+        # worker unpickles its own copy of (ids, mat) (~2-3× the 8-byte
+        # estimate transiently), so workers × est_bytes must fit a fixed
+        # budget — 32 workers × a 102 MB matrix killed a cgroup-capped box.
+        est_bytes = max(1, n * dim * 8)
         target = max(1, min(spark.sparkContext.defaultParallelism, -(-n // 256)))
+        target = max(1, min(target, 1_500_000_000 // est_bytes))
         return src.coalesce(target).mapInPandas(
             gemm_bcast, schema=f"a {id_type}, b {id_type}, cos double"
         )
@@ -371,18 +377,28 @@ def cosine_pairs(
         xr /= np.linalg.norm(xr, axis=1, keepdims=True)
         lids = lpdf["__id"].to_numpy()
         rids = rpdf["__id"].to_numpy()
-        sim = xl @ xr.T
-        ii, jj = np.nonzero(sim >= thr)
-        cc = sim[ii, jj]
-        if bi == bj:
-            # same block on both sides: keep the upper triangle only
-            keep = lids[ii] < rids[jj]
-            a, b, cc = lids[ii][keep], rids[jj][keep], cc[keep]
-        else:
-            # disjoint blocks: every hit is a distinct unordered pair
-            a = np.minimum(lids[ii], rids[jj])
-            b = np.maximum(lids[ii], rids[jj])
-        return pd.DataFrame({"a": a, "b": b, "cos": cc})
+        # Bound the transient score matrix exactly like the broadcast path:
+        # rows_per_block bounds the INPUT sides (~33 MB each) but a full
+        # block × block product is rows_per_block² doubles (34 GB at the
+        # 65536 default) — chunk the left rows so each matmul's output
+        # stays ≤ ~8M doubles; identical pairs, pure blocking.
+        chunk = max(1, 8_000_000 // max(1, len(rids)))
+        outs = []
+        for s in range(0, len(lids), chunk):
+            xs, ls = xl[s : s + chunk], lids[s : s + chunk]
+            sim = xs @ xr.T
+            ii, jj = np.nonzero(sim >= thr)
+            cc = sim[ii, jj]
+            if bi == bj:
+                # same block on both sides: keep the upper triangle only
+                keep = ls[ii] < rids[jj]
+                a, b, cc = ls[ii][keep], rids[jj][keep], cc[keep]
+            else:
+                # disjoint blocks: every hit is a distinct unordered pair
+                a = np.minimum(ls[ii], rids[jj])
+                b = np.maximum(ls[ii], rids[jj])
+            outs.append(pd.DataFrame({"a": a, "b": b, "cos": cc}))
+        return pd.concat(outs, ignore_index=True)
 
     # Pin the exchange width: the cogroup's cost is GEMM FLOPs, not shuffle
     # bytes, so AQE's byte-proportional coalescing (session.RUNTIME_CONFS)
