@@ -56,6 +56,27 @@ def golden_path(name: str, sf_dir: str) -> str:
     return os.path.join(GOLDEN_DIR, f"{name}_{_sf_name(sf_dir)}.parquet")
 
 
+def fixture_fingerprint(sf_dir: str, table: str = "documents") -> tuple:
+    """Cheap content fingerprint of one fixture table: (mtime_ns, size) summed
+    over the file or the part files of a Spark-written directory. Used in
+    memo keys (BPE training/replay) so a fixture REBUILT at the same path
+    within one process (scale_probe then a sweep, or force-regenerated
+    fixtures) invalidates the memo instead of serving stale results —
+    mirroring how golden parquet files are invalidated."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        mt = sz = 0
+        for f in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, f))
+            mt = max(mt, st.st_mtime_ns)
+            sz += st.st_size
+        return (mt, sz)
+    if os.path.exists(p):
+        st = os.stat(p)
+        return (st.st_mtime_ns, st.st_size)
+    return (0, 0)
+
+
 def _write_parquet(path: str, table) -> None:
     import pyarrow.parquet as pq
 
@@ -557,7 +578,12 @@ def _bpe_replay(sf_dir: str, num_merges: int, min_freq: int):
     import collections
     import re
 
-    memo_key = (os.path.normpath(sf_dir), num_merges, min_freq)
+    memo_key = (
+        os.path.normpath(sf_dir),
+        fixture_fingerprint(sf_dir),
+        num_merges,
+        min_freq,
+    )
     if memo_key in _BPE_REPLAY_MEMO:
         return _BPE_REPLAY_MEMO[memo_key]
 

@@ -480,7 +480,9 @@ def _trained_merges(spark, sf_dir):
     from . import golden as _g
     from ..text.bpe import train_bpe, word_histogram
 
-    key = _os.path.normpath(sf_dir)
+    # Keyed by (path, fixture fingerprint): a fixture rebuilt at the same
+    # path within one process invalidates the memo (ADVICE r9).
+    key = (_os.path.normpath(sf_dir), _g.fixture_fingerprint(sf_dir))
     if key not in _BPE_TRAIN_MEMO:
         docs = load_table(spark, sf_dir, "documents")
         _BPE_TRAIN_MEMO[key] = train_bpe(

@@ -41,10 +41,14 @@ def _t(spark, sf_dir, *names):
            CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
                     * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                 AS BIGINT)                                       AS sum_disc_price,
-           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
-                    * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
-                AS DOUBLE)                                       AS sum_charge,
+           CAST(CAST(sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                          * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) >> 31)
+                     AS HUGEINT) * 2147483648
+                + sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                       * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) & 2147483647)
+                AS VARCHAR)                                      AS sum_charge,
            CAST(floor(avg(l_quantity) * 1e4 + 0.5) AS BIGINT)    AS avg_qty,
            CAST(floor(avg(l_extendedprice) * 1e4 + 0.5) AS BIGINT) AS avg_price,
            CAST(floor(avg(l_discount) * 1e4 + 0.5) AS BIGINT)    AS avg_disc,
@@ -60,19 +64,24 @@ def tpch_q1(spark, sf_dir):
     # order-invariant at ANY scale; the previous rounded double sums held to
     # sf1-scale but a group of 150M rows (the 1000x dir) pushes the 1e-4-unit
     # total past 2^52 where the double sum can no longer represent it.
-    # sum_charge needs 128-bit headroom (≤1.1e11/row × 600M rows > int64):
-    # the sum runs in decimal(38,0) Spark-side / HUGEINT duck-side (both
-    # exact), then ONE correctly-rounded cast to double on each engine —
-    # identical results from identical integers, and the output column is a
-    # portable double (the oracle lint rejects int128-typed outputs: how a
-    # driver materializes HUGEINT through pandas is version-dependent).
-    # Avg columns stay micro-rounded doubles: their divergence window is
-    # ~1e-12 of a rounding unit. sum_qty emits BIGINT: l_quantity is
-    # integral, its sum is exact below 2^53.
+    # sum_charge needs 128-bit headroom (≤1.1e11/row × 600M rows > int64),
+    # but a decimal(38,0) aggregation is ~2× a Tungsten long sum (it doubled
+    # q1's bench row in r9). Round-10 formulation: split each per-row product
+    # into two int64 accumulators — hi = v >> 31 (≤51 per row) and
+    # lo = v & (2^31−1) — sum both as plain long sums (exact to ~4B rows per
+    # group), and recombine ONCE per group in decimal(38,0)/HUGEINT:
+    # hi·2^31 + lo. The result is emitted as an exact integer STRING so no
+    # int128→double cast appears in an oracle-compared column: DuckDB's
+    # HUGEINT→double is a two-step ldexp(upper,64)+lower that can double-
+    # round vs Spark's correctly-rounded BigDecimal path (ADVICE r9), and
+    # the lint rejects int128-typed outputs. Avg columns stay micro-rounded
+    # doubles: their divergence window is ~1e-12 of a rounding unit.
+    # sum_qty emits BIGINT: l_quantity is integral, its sum exact below 2^53.
     (li,) = _t(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     disc_pct = F.lit(100) - F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
     tax_pct = F.lit(100) + F.floor(F.col("l_tax") * 100 + 0.5).cast("long")
+    charge = cents * disc_pct * tax_pct  # nonneg, ≤ ~1.1e11 per row
     return (
         li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '1999-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -80,8 +89,13 @@ def tpch_q1(spark, sf_dir):
             F.sum("l_quantity").cast("long").alias("sum_qty"),
             F.sum(cents).cast("long").alias("sum_base_price"),
             F.sum(cents * disc_pct).cast("long").alias("sum_disc_price"),
-            F.sum((cents * disc_pct * tax_pct).cast("decimal(38,0)"))
-            .cast("double")
+            (
+                F.sum(F.shiftright(charge, 31)).cast("decimal(38,0)")
+                * F.lit(2147483648)
+                + F.sum(charge.bitwiseAND(F.lit(2147483647)))
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
             .alias("sum_charge"),
             micro(F.avg("l_quantity"), 4).alias("avg_qty"),
             micro(F.avg("l_extendedprice"), 4).alias("avg_price"),

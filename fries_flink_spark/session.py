@@ -51,6 +51,21 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _mem_gb(mem: str) -> int:
+    """Parse a JVM memory string ('48g', '8192m') to whole GiB (floor, min 1)."""
+    m = mem.strip().lower()
+    try:
+        if m.endswith("g"):
+            return max(1, int(float(m[:-1])))
+        if m.endswith("m"):
+            return max(1, int(float(m[:-1])) // 1024)
+        if m.endswith("k"):
+            return 1
+        return max(1, int(float(m)) // (1024**3))
+    except ValueError:
+        return 8
+
+
 def get_spark(
     app_name: str = "fries-flink-spark",
     cpus: int | None = None,
@@ -90,9 +105,16 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         # The driver contract COLLECTS full query results for the oracle
         # compare; at scaled fixture dirs a pair-emitting dedup query can
-        # return >1 GiB, which the 1g default silently caps. Scales with
-        # the configured heap (collect buffers live inside it).
-        .config("spark.driver.maxResultSize", "8g")
+        # return >1 GiB, which the 1g default silently caps. Collect buffers
+        # live inside the driver heap, so the cap is derived from it:
+        # heap/4 capped at 8g (8g at the default SPARK_GRAFT_DRIVER_MEM=48g;
+        # a smaller SPARK_GRAFT_DRIVER_MEM shrinks the cap proportionally so
+        # an oversized collect fails cleanly at the cap instead of OOMing
+        # the driver JVM).
+        .config(
+            "spark.driver.maxResultSize",
+            f"{max(1, min(8, _mem_gb(driver_memory) // 4))}g",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Long benchmark/driver sessions compile hundreds of WholeStageCodegen

@@ -233,6 +233,25 @@ def main():
     # SPARK_GRAFT_SKIP_PASSED: path to a prior run's log; every exact query
     # name on a "PASS  <name>:" line there is skipped, so an interrupted
     # sweep (OOM-killed JVM, machine loss) resumes where it stopped.
+    # Staleness guard (ADVICE r9): every run prints its git HEAD; a resume
+    # refuses when the skip-log's recorded HEAD differs from the current
+    # tree's (the prior passes would silently certify stale code), unless
+    # SPARK_GRAFT_RESUME_STALE=1 explicitly accepts that (e.g. the only
+    # commits since were docs). Resumed queries are counted separately in
+    # the summary so a resumed run's totals don't overstate what THIS run
+    # verified.
+    import subprocess as _sp
+
+    try:
+        head = _sp.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        head = "unknown"
+    print(f"HEAD {head}")
+
     already_passed: set = set()
     skip_log = os.environ.get("SPARK_GRAFT_SKIP_PASSED", "")
     if skip_log and os.path.exists(skip_log):
@@ -240,13 +259,33 @@ def main():
 
         with open(skip_log, errors="replace") as fh:
             content = fh.read().replace("\r", "\n")
+        log_head = None
         for line in content.splitlines():
+            hm = _re.match(r"HEAD\s+([0-9a-f]{7,40})$", line.strip())
+            if hm:
+                log_head = hm.group(1)
             m = _re.match(r"PASS\s+(\S+):", line.strip())
             if m:
                 already_passed.add(m.group(1))
+        if log_head is None:
+            print(
+                "resume WARNING: skip-log records no HEAD (pre-r10 log) — "
+                "its passes may predate code changes"
+            )
+            if os.environ.get("SPARK_GRAFT_RESUME_STALE", "") != "1":
+                print("refusing to resume (set SPARK_GRAFT_RESUME_STALE=1 to accept)")
+                return 2
+        elif log_head != head and head != "unknown":
+            print(
+                f"resume WARNING: skip-log HEAD {log_head[:12]} != current "
+                f"{head[:12]} — its passes were verified on different code"
+            )
+            if os.environ.get("SPARK_GRAFT_RESUME_STALE", "") != "1":
+                print("refusing to resume (set SPARK_GRAFT_RESUME_STALE=1 to accept)")
+                return 2
         print(f"resuming: {len(already_passed)} previously-passed queries skipped")
 
-    n_pass = n_fail = n_nosql = 0
+    n_pass = n_fail = n_nosql = n_resumed = 0
     for name, spec in sorted(registry.items()):
         if name_filter and not any(f in name for f in name_filter):
             continue
@@ -254,6 +293,7 @@ def main():
             print(f"SKIP  {name} (SPARK_GRAFT_EXCLUDE)")
             continue
         if name in already_passed:
+            n_resumed += 1
             continue
         t0 = time.time()
         try:
@@ -304,7 +344,8 @@ def main():
         else:
             print(f"PASS  {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_nosql} rows-only")
+    resumed = f" (+{n_resumed} resumed from prior log)" if n_resumed else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_nosql} rows-only{resumed}")
     spark.stop()
     return 1 if n_fail else 0
 
