@@ -51,6 +51,38 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    ),
+}
+
+
+def resolve_state_provider(sf_dir: str) -> str:
+    """Pick the streaming state-store provider class for a fixture dir.
+
+    ``SPARK_GRAFT_STATE_PROVIDER``: ``hdfs`` | ``rocksdb`` | ``auto``
+    (default). Auto chooses RocksDB at the scaled fixture dirs (sf1-scale
+    and up): tools/rocksdb_probe.py (PERF §58) measured RocksDB + 8 state
+    partitions as the best cell on all three streaming pipelines there —
+    its changelog commit replaces HDFSBacked's whole-snapshot delta write,
+    which starts to matter once per-batch state deltas are MBs. At bench
+    SFs the providers are noise apart, so HDFSBacked stays the default for
+    row-series comparability. Set the result as
+    ``spark.sql.streaming.stateStore.providerClass`` BEFORE starting the
+    streaming query (the provider is fixed per query at start)."""
+    mode = os.environ.get("SPARK_GRAFT_STATE_PROVIDER", "auto").lower()
+    if mode in STATE_STORE_PROVIDERS:
+        return STATE_STORE_PROVIDERS[mode]
+    scaled = "spark_graft_scale" in sf_dir
+    return STATE_STORE_PROVIDERS["rocksdb" if scaled else "hdfs"]
+
+
 def _mem_gb(mem: str) -> int:
     """Parse a JVM memory string ('48g', '8192m') to whole GiB (floor, min 1)."""
     m = mem.strip().lower()

@@ -40,3 +40,96 @@ def test_endpoint_beats_ramp_in_severity():
     state, ramped = classify_load(0.8, 0.9, {"q1": [1.0, 2.5, 4.0]})
     assert state == "CONTAMINATED"
     assert ramped == ["q1"]
+
+
+# ---- round-10 additions: per-row micro-sentinel + provider/memory utils ----
+
+def test_flag_external_names_loaded_rows():
+    from bench import flag_external
+
+    flagged = flag_external({"q1": 0.3, "q2": 8.1, "q3": 1.9, "q4": 6.0})
+    assert flagged == ["q2", "q4"]
+
+
+def test_flag_external_clean_run_empty():
+    from bench import flag_external
+
+    assert flag_external({"q1": 0.0, "q2": 3.9}) == []
+
+
+def test_external_cpu_meter_sees_foreign_load():
+    """The meter must attribute a CPU burn in ANOTHER process group to
+    'external', and near-zero when the burner is inside our own group."""
+    import subprocess
+    import sys
+    import time
+
+    from bench import ExternalCpuMeter
+
+    burner = (
+        "import time\n"
+        "t0 = time.time()\n"
+        "while time.time() - t0 < 1.2:\n"
+        "    sum(i * i for i in range(10000))\n"
+    )
+    # ours=False: double-fork — the intermediate exits immediately, so the
+    # burner is orphaned to init and its ppid chain no longer reaches us
+    # (exactly how genuinely foreign load looks); ours=True: direct
+    # children, whose ppid chain does reach us.
+    orphaner = (
+        "import subprocess, sys\n"
+        f"subprocess.Popen([sys.executable, '-c', {burner!r}],"
+        " start_new_session=True)\n"
+    )
+    for ours in (False, True):
+        meter = ExternalCpuMeter()
+        t0 = time.time()
+        code = orphaner if not ours else burner
+        procs = [
+            subprocess.Popen([sys.executable, "-c", code]) for _ in range(6)
+        ]
+        time.sleep(0.9)  # burners still alive: sample mid-burn
+        ext = meter.sample(time.time() - t0)
+        for p in procs:
+            p.wait()
+        if not ours:
+            time.sleep(1.0)  # let the orphaned burners finish before next leg
+            assert ext > 3.0, f"foreign 6-core burn read as {ext} cores"
+        else:
+            assert ext < 2.0, f"descendant burn leaked to external: {ext}"
+
+
+def test_resolve_state_provider_auto_and_overrides(monkeypatch):
+    from fries_flink_spark.session import (
+        STATE_STORE_PROVIDERS,
+        resolve_state_provider,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_PROVIDER", raising=False)
+    assert (
+        resolve_state_provider("/root/testdata/sf0.1")
+        == STATE_STORE_PROVIDERS["hdfs"]
+    )
+    assert (
+        resolve_state_provider("/tmp/spark_graft_scale10")
+        == STATE_STORE_PROVIDERS["rocksdb"]
+    )
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PROVIDER", "rocksdb")
+    assert (
+        resolve_state_provider("/root/testdata/sf0.01")
+        == STATE_STORE_PROVIDERS["rocksdb"]
+    )
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PROVIDER", "hdfs")
+    assert (
+        resolve_state_provider("/tmp/spark_graft_scale100")
+        == STATE_STORE_PROVIDERS["hdfs"]
+    )
+
+
+def test_mem_gb_parse():
+    from fries_flink_spark.session import _mem_gb
+
+    assert _mem_gb("48g") == 48
+    assert _mem_gb("8192m") == 8
+    assert _mem_gb("512m") == 1   # floor, min 1
+    assert _mem_gb("bogus") == 8  # fail-safe default

@@ -17,11 +17,29 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from fries_flink_spark.catalog import load_table
+from fries_flink_spark.session import STATE_STORE_PROVIDERS
 from fries_flink_spark.streaming.sources import stream_from_table
 from fries_flink_spark.streaming.windows import tumble_agg
+
+
+@pytest.fixture(params=sorted(STATE_STORE_PROVIDERS))
+def state_provider(request, spark):
+    """Run each recovery test under BOTH state-store providers: RocksDB is
+    the documented at-scale choice (session.resolve_state_provider, PERF
+    §58), so kill-and-resume must hold under its changelog checkpoint
+    format too, not only under HDFSBacked's delta files."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, STATE_STORE_PROVIDERS[request.param])
+    yield request.param
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
 
 
 def _start(agg, out_dir, ckpt_dir):
@@ -34,7 +52,7 @@ def _start(agg, out_dir, ckpt_dir):
     )
 
 
-def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path, state_provider):
     out_dir = str(tmp_path / "sink")
     ckpt_dir = str(tmp_path / "ckpt")
     hold = tmp_path / "held_back"
@@ -107,7 +125,7 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     assert len(got) >= len(want) * 0.5
 
 
-def test_event_time_sorted_state_survives_restart(spark, tmp_path):
+def test_event_time_sorted_state_survives_restart(spark, tmp_path, state_provider):
     """Kill-and-resume for the bucketed event-time sort: rows buffered in
     GroupState before the stop must release (in order, with dense per-key
     emit_idx continuing the pre-stop sequence) after a NEW query resumes

@@ -64,6 +64,15 @@ def main():
     excludes = [
         e for e in os.environ.get("SPARK_GRAFT_EXCLUDE", "").split(",") if e
     ]
+    # The CBO substrate (CTAS + ANALYZE FOR ALL COLUMNS, queries/tpcds.py)
+    # is measured 1.46x better aggregate on the join-heavy TPC-DS ports at
+    # the 10x dir (PERF §57) but costs a ~60s warmup — which amortizes over
+    # a full-registry sweep and not over a targeted run. Full sweeps (no
+    # name filter) therefore default it ON; SPARK_GRAFT_CBO=0 opts out,
+    # filtered runs keep the plain temp-view substrate.
+    if not name_filter and os.environ.get("SPARK_GRAFT_CBO", "") == "":
+        os.environ["SPARK_GRAFT_CBO"] = "1"
+        print("CBO substrate ON (full-sweep default; SPARK_GRAFT_CBO=0 disables)")
     from fries_flink_spark.registry import load_all
     from fries_flink_spark.session import get_spark
 
