@@ -251,12 +251,18 @@ def main():
     # verified.
     import subprocess as _sp
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         head = _sp.run(
             ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            capture_output=True, text=True, timeout=10,
+            cwd=repo, capture_output=True, text=True, timeout=10,
         ).stdout.strip() or "unknown"
+        dirty = _sp.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if head != "unknown" and dirty:
+            head += "-dirty"  # uncommitted edits: never resumable as-is
     except Exception:
         head = "unknown"
     print(f"HEAD {head}")
