@@ -114,6 +114,13 @@ def main():
     duck_threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS", "")
     if duck_threads:
         con.execute(f"SET threads={int(duck_threads)}")
+    # SPARK_GRAFT_DUCK_MEM (e.g. "24GB"): cap the oracle's memory budget
+    # (DuckDB defaults to 80% of RAM, which on one box CONCURRENT with a
+    # large Spark heap is how the round-9 kernel OOMs happened; a capped
+    # DuckDB spills to disk instead).
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "")
+    if duck_mem:
+        con.execute(f"SET memory_limit='{duck_mem}'")
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         # Spark-written tables are DIRECTORIES of part files (the scaled
