@@ -636,32 +636,45 @@ def tpch_q14(spark, sf_dir):
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+               AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, CAST(floor(total_revenue * 1e4 + 0.5) AS BIGINT) AS total_revenue
+    SELECT s_suppkey, s_name, CAST(total_revenue AS BIGINT) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     ORDER BY s_suppkey
     """,
 )
 def tpch_q15(spark, sf_dir):
+    # The top-supplier predicate is an EQUALITY against max(total_revenue),
+    # so total_revenue must be bit-stable across re-evaluations of the same
+    # CTE: with double sums, DuckDB's morsel-parallel aggregation summed the
+    # revenue CTE's two references in different orders at the 1000x dir
+    # (600M rows) and the equality matched ZERO rows (r10 decade find).
+    # Exact integer cents x discount-pct units (the same 1e-4-dollar scale
+    # the old micro() emit produced) make the sum order-invariant on both
+    # engines and the equality exact. Max per-supplier total at 1000x is
+    # ~3e14 — well inside int64.
     li, sup = _t(spark, sf_dir, "lineitem", "supplier")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc_pct = F.lit(100) - F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
     revenue = (
         li.filter(
             (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
             & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01'"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .agg(F.sum(cents * disc_pct).alias("total_revenue"))
     )
     top = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
-        .select("s_suppkey", "s_name", micro(F.col("total_revenue"), 4).alias("total_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
 
@@ -945,8 +958,10 @@ def tpch_q2(spark, sf_dir):
     oracle="""
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           CAST(floor(sum(l_extendedprice * (1 - l_discount)
-                     - p_retailprice * l_quantity * 0.1) * 1e4 + 0.5)
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                    - 10 * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT))
             AS BIGINT) AS sum_profit
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
@@ -958,12 +973,21 @@ def tpch_q2(spark, sf_dir):
     """,
 )
 def tpch_q9(spark, sf_dir):
+    # Exact per-row profit in integer 1e-4-dollar units — cents×(100−d_pct)
+    # − 10×retail_cents×qty (all 2-decimal data + integral qty, so every
+    # row's profit is an exact multiple of 1e-4): the double sum diverged
+    # by 52 units at the 1000x dir's ~8M-row (nation, year) groups — the
+    # same summation-order class as q1/q11/q15, fixed the same way. Group
+    # totals are ~2.7e14, well inside int64.
     li, orders, sup, nat, part = _t(
         spark, sf_dir, "lineitem", "orders", "supplier", "nation", "part"
     )
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * 0.1
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc_pct = F.lit(100) - F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    retail_cents = F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+    profit = cents * disc_pct - F.lit(10) * retail_cents * F.col(
+        "l_quantity"
+    ).cast("long")
     return (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -976,7 +1000,7 @@ def tpch_q9(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(micro(F.sum(profit), 4).alias("sum_profit"))
+        .agg(F.sum(profit).cast("long").alias("sum_profit"))
     )
 
 
@@ -988,35 +1012,53 @@ def tpch_q9(spark, sf_dir):
     "tpch_q11",
     oracle="""
     WITH vals AS (
-      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+      SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS v
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation   ON n_nationkey = s_nationkey
       WHERE n_name = 'NATION_3'
       GROUP BY l_partkey
     )
-    SELECT l_partkey, CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS value
+    SELECT l_partkey, CAST(v * 100 AS BIGINT) AS value
     FROM vals
-    WHERE value > (SELECT 2.0 * sum(value) / count(*) FROM vals)
+    WHERE v * (SELECT count(*) FROM vals) > (SELECT 2 * sum(v) FROM vals)
     ORDER BY value DESC, l_partkey
     """,
 )
 def tpch_q11(spark, sf_dir):
+    # Exact integer per-part values (cents x integral quantity; x100 on emit
+    # keeps the original 1e-4-dollar output unit): the double sum diverged
+    # in its last rounding unit at the 1000x dir (600M rows, ~3000
+    # rows/part — the same summation-order class as q1/q6/rollup). The
+    # data-relative bar (2x the mean; the official query's fixed fraction
+    # is spec-scaled by 1/SF for the same reason) is evaluated as the
+    # cross-multiplied INTEGER predicate v*cnt > 2*total so no float ratio
+    # appears anywhere; the total needs 128-bit headroom (~1.2e19 at
+    # 1000x), so it alone runs in decimal(38,0)/HUGEINT — a 200k-row
+    # second-stage aggregate, not the 600M-row hot path.
     li, sup, nat = _t(spark, sf_dir, "lineitem", "supplier", "nation")
     nat3 = nat.filter(F.col("n_name") == "NATION_3")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    qty = F.col("l_quantity").cast("long")
     vals = (
         li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat3), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+        .agg(F.sum(cents * qty).alias("v"))
     )
-    # Data-relative bar (2x the mean per-part value): the official query's
-    # fixed fraction is spec-scaled by 1/SF for the same reason — a constant
-    # share of the total empties out as part count grows (it did at sf0.1).
-    threshold = vals.agg((F.lit(2.0) * F.sum("value") / F.count(F.lit(1))).alias("thr"))
+    threshold = vals.agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("tot"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
     return (
-        vals.join(F.broadcast(threshold), F.col("value") > F.col("thr"))
-        .select("l_partkey", micro(F.col("value"), 4).alias("value"))
+        vals.join(
+            F.broadcast(threshold),
+            F.col("v").cast("decimal(38,0)") * F.col("cnt")
+            > F.lit(2) * F.col("tot"),
+        )
+        .select("l_partkey", (F.col("v") * 100).cast("long").alias("value"))
         .orderBy(F.desc("value"), "l_partkey")
     )
 
