@@ -260,18 +260,21 @@ def jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a_sh = sh.select(F.col(id_col).alias("a"), "s")
     b_sh = sh.select(F.col(id_col).alias("b"), "s")
-    # MERGE hints are load-bearing at scale: the exploded shingle tables
-    # carry no stats (sequence-explode lineage), so Catalyst UNDER-estimates
-    # them and plans BroadcastHashJoin with the ~docs×290-row side as build
-    # — which works by luck below the 8 GiB broadcast cap and failed hard at
-    # the 100x dir (500k docs → >8 GiB build side, r10 decade find). These
-    # sides are guaranteed huge at any interesting scale; a sort-merge join
-    # is spillable and correct at 100 TB. The sizes joins below stay
-    # UN-hinted on purpose: sizes is one row per doc, so AQE's measured
-    # stats pick broadcast while it fits and fall back when it doesn't.
+    # SHUFFLE_HASH hints are load-bearing at scale: the exploded shingle
+    # tables carry no stats (sequence-explode lineage), so Catalyst
+    # UNDER-estimates them and plans BroadcastHashJoin with the ~docs×290-row
+    # side as build — which works by luck below the 8 GiB broadcast cap and
+    # failed hard at the 100x dir (500k docs → >8 GiB build side, r10
+    # decade find). Shuffled-hash (not sort-merge: sorting the
+    # candidate×shingle probe side — 3.2B rows at the 100x dir — spilled
+    # ~100 GB of sort runs; the hash build side is the hinted table, whose
+    # per-partition maps are MBs) keeps both joins shuffle-partitioned with
+    # no per-node table ever exceeding a partition. The sizes joins below
+    # stay UN-hinted on purpose: sizes is one row per doc, so AQE's
+    # measured stats pick broadcast while it fits and fall back when not.
     inter = (
-        candidates.join(a_sh.hint("merge"), "a")
-        .join(b_sh.hint("merge"), ["b", "s"])
+        candidates.join(a_sh.hint("shuffle_hash"), "a")
+        .join(b_sh.hint("shuffle_hash"), ["b", "s"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("__i"))
     )
