@@ -26,13 +26,6 @@ from fries_flink_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# Scaled fixture dirs (BENCH_10x context) default the CBO substrate ON: its
-# ~60s CTAS+ANALYZE warmup amortizes there and the join-heavy TPC-DS rows
-# are measured 1.46x faster under it (PERF §57). The sf0.1 bench default
-# stays OFF so the headline row series remains comparable round-over-round.
-if "spark_graft_scale" in SF_DIR:
-    os.environ.setdefault("SPARK_GRAFT_CBO", "1")
-
 # Headline set: the operator families that dominate 100 TB pipelines —
 # scan→agg, multi-way joins, window aggs, top-n, sessionization, LSH dedup,
 # text metrics, vector search.
@@ -113,6 +106,122 @@ def _sentinel(spark) -> float:
     return round(time.time() - t0, 3)
 
 
+def _probe_work(n: int) -> int:
+    """Fixed CPU-bound unit of probe work (module-level: must pickle for the
+    worker pool). A linear-congruential fold — pure Python bytecode, no
+    allocation growth, deterministic instruction count per call."""
+    acc = 1
+    for i in range(n):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+    return acc
+
+
+class WallClockProbe:
+    """Wall-clock-relative contention probe (round-10 lesson: the driver's
+    BENCH skew source is OUTSIDE this PID namespace — host/co-tenant
+    contention that /proc inside the sandbox provably cannot see; the r10
+    ExternalCpuMeter read max 0.06 cores while untouched rows ran 1.4-1.9x
+    over judge solo).
+
+    A fixed-work multi-process burn is timed between query rows: ``tasks``
+    identical pure-Python units dispatched to a persistent ``workers``-wide
+    process pool, wall time to drain recorded. Host contention that steals
+    cores from the box inflates this probe exactly as it inflates the query
+    rows — no /proc attribution needed, so the namespace blind spot is gone.
+    The pool is created (and its fork+import cost paid) once at init;
+    each probe costs ~tasks x ~15 ms of CPU, negligible between rows.
+
+    Flagging is RELATIVE to the run's own floor (min over all probes): a
+    transient contention window cannot deflate a minimum, so the floor is
+    the best same-box solo estimate even when the run starts loaded.
+    Whole-run persistent load is the endpoint sentinels' job, not this
+    probe's."""
+
+    #: Flag threshold, sized from measurement: a quiet box's neighborhood
+    #: ratios top out ~1.3-1.4 (the bench JVM's own GC/compile threads
+    #: jitter a 50 ms dispatch), while a 16-of-32-core foreign load reads
+    #: 1.84-1.98; 1.5 splits the distributions. Milder skew is the
+    #: min-of-N (unstable_queries) mechanism's job.
+    RATIO = 1.5
+
+    def __init__(self, workers: int, work_n: int = 400_000) -> None:
+        from concurrent.futures import ProcessPoolExecutor
+
+        self._tasks = workers
+        self._work_n = work_n
+        self._pool = ProcessPoolExecutor(max_workers=workers)
+        # warm every worker (fork + interpreter start out of the measurement)
+        list(self._pool.map(_probe_work, [1000] * workers))
+        self.samples: list[float] = []
+
+    def probe(self) -> float:
+        """One probe = min of two back-to-back dispatches: a single ~50 ms
+        dispatch can spike on scheduler/GC jitter alone, but contention that
+        spans a query row inflates both; the min keeps the false-flag rate
+        down without dulling the real signal."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            list(
+                self._pool.map(
+                    _probe_work, [self._work_n] * self._tasks, chunksize=1
+                )
+            )
+            best = min(best, time.perf_counter() - t0)
+        dt = round(best, 4)
+        self.samples.append(dt)
+        return dt
+
+    def close(self) -> None:
+        self._pool.shutdown()
+
+
+def flag_wall_probe(
+    probes: list[float], names: list[str], ratio: float = WallClockProbe.RATIO
+) -> tuple[float, dict[str, float], list[str]]:
+    """Flag rows whose neighborhood probes ran slow relative to the run floor.
+
+    ``probes`` has one entry taken BEFORE the sweep plus one after each row
+    (len == len(names) + 1); row i's neighborhood is min(probes[i],
+    probes[i+1]) — BOTH bracketing probes must be inflated to flag. min,
+    not max, by measurement: the bench JVM's own post-row GC/compile bursts
+    spike a single probe ~1.6x on a quiet box (false flag under max), while
+    the skew class this defends against — sustained host/co-tenant load
+    spanning multiple rows (r10: 1.4-1.9x on untouched rows) — inflates
+    consecutive probes and is caught. Load that arrives and leaves strictly
+    inside one row is the min-of-N (unstable_queries) mechanism's job.
+    Returns (floor_sec, per-row neighborhood/floor ratios, flagged names)."""
+    if not probes or len(probes) != len(names) + 1:
+        return 0.0, {}, []
+    floor = min(probes)
+    if floor <= 0:
+        return 0.0, {}, []
+    by_row = {
+        name: round(min(probes[i], probes[i + 1]) / floor, 2)
+        for i, name in enumerate(names)
+    }
+    return floor, by_row, sorted(n for n, r in by_row.items() if r > ratio)
+
+
+def flag_unstable(
+    samples_by_query: dict[str, list[float]], ratio: float = 1.3
+) -> list[str]:
+    """Rows whose published median exceeds their own min by > ``ratio`` —
+    the min-of-N defense: a transient contention window can inflate a median
+    but cannot deflate a minimum, so a large median/min spread marks a row
+    whose median was measured under load (or is otherwise not reproducible
+    run-to-run). Sub-0.2s rows are skipped: at that floor the spread is
+    scheduler jitter, not contention."""
+    out = []
+    for name, s in samples_by_query.items():
+        if len(s) >= 2:
+            mn = min(s)
+            med = sorted(s)[len(s) // 2]
+            if med > 0.2 and mn > 0 and med / mn > ratio:
+                out.append(name)
+    return sorted(out)
+
+
 class ExternalCpuMeter:
     """Per-row external-CPU accounting from /proc (round-9 lesson: the
     endpoint sentinels both read quiesced while ~17 unchanged rows were
@@ -157,6 +266,13 @@ class ExternalCpuMeter:
             if not pid.isdigit():
                 continue
             try:
+                # kernel threads (kthreadd descendants: kworkers doing
+                # writeback/flush for OUR OWN spills) have an empty cmdline;
+                # counting them as external would let an IO-heavy row
+                # self-inflict a false 'ramped' flag (ADVICE r10)
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    if not fh.read(1):
+                        continue
                 with open(f"/proc/{pid}/stat") as fh:
                     st = fh.read()
                 rest = st[st.rindex(")") + 2 :].split()
@@ -236,9 +352,9 @@ def flag_external(
     ext_by_query: dict[str, float], threshold: float = ExternalCpuMeter.FLAG_CORES
 ) -> list[str]:
     """Rows whose measurement window carried more than ``threshold`` external
-    busy cores (processes outside the bench's process group) — i.e. rows
-    measured on a loaded box. Published in the bench JSON so inflated rows
-    are named instead of silently recorded."""
+    busy cores (processes that are not descendants of the bench process) —
+    i.e. rows measured on a loaded box. Published in the bench JSON so
+    inflated rows are named instead of silently recorded."""
     return sorted(n for n, v in ext_by_query.items() if v > threshold)
 
 
@@ -395,6 +511,14 @@ def run_streaming_benches(
 
 
 def main() -> None:
+    # Scaled fixture dirs (BENCH_10x context) default the CBO substrate ON:
+    # its ~60s CTAS+ANALYZE warmup amortizes there and the join-heavy TPC-DS
+    # rows are measured 1.46x faster under it (PERF §57). The sf0.1 bench
+    # default stays OFF so the headline row series remains comparable
+    # round-over-round. In main(), not module scope: importing bench (the
+    # sentinel tests do) must not mutate the process environment (ADVICE r10).
+    if "spark_graft_scale" in SF_DIR:
+        os.environ.setdefault("SPARK_GRAFT_CBO", "1")
     registry = load_all()
     spark = get_spark(app_name="fries-bench", cpus=CPUS, shuffle_partitions=CPUS)
     # JMH-style warmup: run every headline query once at the smallest SF so
@@ -428,9 +552,18 @@ def main() -> None:
     # load that arrives and leaves mid-sweep flags exactly the rows it
     # inflated — the round-9 BENCH skew class the endpoint sentinels missed.
     meter = ExternalCpuMeter()
+    # Wall-clock-relative defense (round-11): a fixed-work multi-process
+    # probe interleaved between rows catches contention from OUTSIDE this
+    # PID namespace (host/co-tenant load), which the /proc meter provably
+    # cannot see — r10's skewed rows carried max 0.06 'external cores'.
+    wall_probe = WallClockProbe(workers=min(CPUS, os.cpu_count() or CPUS))
+    wall_probe.probe()  # settle; the first post-warm probe still pays pool
+    wall_probe.samples.clear()  # task-dispatch JIT — exclude it from the floor
     ext_by_query: dict[str, float] = {}
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     samples_by_query: dict[str, list[float]] = {}
+    wall_probe.probe()  # pre-sweep bracket
     for name in HEADLINE:
         spec = registry[name]
         samples = []
@@ -441,11 +574,18 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             samples.append(round(time.time() - t0, 3))
         ext_by_query[name] = meter.sample(time.time() - t_row)
+        wall_probe.probe()  # post-row bracket
         samples_by_query[name] = samples
         timings[name] = sorted(samples)[len(samples) // 2]
+        mins[name] = min(samples)
         print(f"  {name}: {timings[name]:.2f}s  {[round(s, 2) for s in samples]}",
               file=sys.stderr)
     ext_flagged = flag_external(ext_by_query)
+    probe_floor, probe_by_query, probe_flagged = flag_wall_probe(
+        wall_probe.samples, HEADLINE
+    )
+    unstable = flag_unstable(samples_by_query)
+    wall_probe.close()
 
     # post-sentinel BEFORE the streaming section: it guards the timed
     # headline sweep against external load; the streaming pipelines leave
@@ -474,9 +614,11 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     load_state, ramped = classify_load(sentinel_pre, sentinel_post, samples_by_query)
     # per-row escalation: endpoint sentinels quiesced but some rows ran
-    # with external CPU on the box => the run is "ramped", with the
-    # inflated rows named (round-9's BENCH skew would have self-flagged)
-    if ext_flagged and load_state == "quiesced":
+    # with external CPU on the box (meter) or with the wall-clock probe
+    # inflated around them (host-level contention the meter cannot see) =>
+    # the run is "ramped", with the inflated rows named (round-9's and
+    # round-10's BENCH skew classes would both have self-flagged)
+    if (ext_flagged or probe_flagged) and load_state == "quiesced":
         load_state = "ramped"
     print(
         json.dumps(
@@ -485,8 +627,21 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # min-of-N alongside the medians: a transient contention
+                # window can inflate a median but cannot deflate a minimum,
+                # so round-over-round compares should prefer queries_min
+                # whenever a row appears in unstable_queries
+                "queries_min": mins,
+                "unstable_queries": unstable,
+                "wall_probe": {
+                    "floor_sec": probe_floor,
+                    "ratio": WallClockProbe.RATIO,
+                    "by_query": probe_by_query,
+                    "flagged": probe_flagged,
+                },
                 "streaming": streaming,
                 "streaming_samples": streaming_samples,
+                "streaming_unstable": flag_unstable(streaming_samples),
                 "streaming_load_state": stream_load_state,
                 "streaming_ramped": stream_ramped,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -4021,3 +4021,143 @@ ORDER BY w, i
     "floor (the reference's 1.5 scaled to the lite inventory's cov "
     "distribution) — same two-month self-join plan under a tighter filter.",
 )
+
+
+# --------------------------------------------------------------------------- #
+# Decomposed scale oracles for the 3-fact quantity/profit chains.
+# --------------------------------------------------------------------------- #
+
+def _decomp_oracle(body: str) -> str:
+    body = body.strip()
+    return f"WITH {_ORACLE_CTES},\n{body[5:]}"
+
+
+#: Equivalent-by-algebra DuckDB oracles for q17/q25/q29, used by the scale
+#: checker (``SPARK_GRAFT_DECOMP_ORACLE=1`` in tools/check_correctness.py).
+#:
+#: Why: all three queries join (store_sales x store_returns) to catalog_sales
+#: on item_sk, a many-to-many fan-out. DuckDB's plan MATERIALIZES that
+#: fan-out — measured >160 GB at the 100x fixture dir (90 GB memory budget
+#: + >71 GB spill = single-box disk exhausted, twice; PERF §65) — even
+#: though every output aggregate is algebraically computable WITHOUT it:
+#: for P = the (ss,sr) pair rows grouped per (join item, output group) with
+#: exact partials (n_p rows, sums), and C = catalog rows grouped per item
+#: (n_c rows, sums), every SUM over the joined fan-out distributes as
+#:
+#:   sum(f(ss,sr))         = sum_over_groups(S_p(f)  * n_c)    and
+#:   sum(g(cs))            = sum_over_groups(n_p     * S_c(g)),
+#:   count(*)              = sum_over_groups(n_p     * n_c),
+#:
+#: because each P-row meets exactly the n_c C-rows of its item and vice
+#: versa. All partials are exact BIGINT/HUGEINT sums of integer columns
+#: (quantity, *_cents), so q25/q29's outputs are bit-equal by construction;
+#: q17's avg is one double division of exact integers (the same arithmetic
+#: Spark's avg-over-long performs) and its stddev_samp is reconstructed as
+#: sqrt((S2 - S1^2/n)/(n-1)) from exact S1/S2/n — the only float steps are
+#: the final division/sqrt, inside the queries' floor(x*1e4+0.5) guard.
+#: Validated bit-identical against BOTH the direct oracle and Spark at
+#: sf0.01/sf0.1 and the 10x dir before use at 100x.
+DECOMP_ORACLES: dict[str, str] = {
+    "tpcds_q17": _decomp_oracle("""
+WITH p AS (
+  SELECT sr.item_sk AS item_sk, i.i_category AS i_category,
+         s.s_state AS s_state,
+         count(*) AS n_p,
+         sum(ss.quantity) AS s1,
+         sum(ss.quantity * ss.quantity) AS s2
+  FROM store_sales ss
+  JOIN store_returns sr ON sr.ticket = ss.ticket AND sr.item_sk = ss.item_sk
+    AND sr.l_linenumber = ss.l_linenumber
+  JOIN date_dim d1 ON ss.sold_date_sk = d1.d_date_sk
+  JOIN date_dim d2 ON sr.sold_date_sk = d2.d_date_sk
+  JOIN item i ON i.i_item_sk = ss.item_sk
+  JOIN store s ON s.s_store_sk = ss.store_sk
+  WHERE d1.d_qoy = 1 AND d1.d_year = 1997
+    AND d2.d_qoy IN (1, 2, 3) AND d2.d_year = 1997
+  GROUP BY sr.item_sk, i.i_category, s.s_state),
+c AS (
+  SELECT cs.item_sk AS item_sk, count(*) AS n_c, sum(cs.quantity) AS c1
+  FROM catalog_sales cs
+  JOIN date_dim d3 ON cs.sold_date_sk = d3.d_date_sk
+  WHERE d3.d_qoy IN (1, 2, 3) AND d3.d_year = 1997
+  GROUP BY cs.item_sk)
+SELECT i_category, s_state,
+       CAST(sum(n_p * n_c) AS BIGINT) AS cnt,
+       CAST(floor(sum(s1 * n_c) * 1.0 / sum(n_p * n_c) * 1e4 + 0.5)
+            AS BIGINT) AS store_qty_avg,
+       CAST(floor(sqrt(
+              (sum(s2 * n_c)
+               - sum(s1 * n_c) * 1.0 / sum(n_p * n_c) * sum(s1 * n_c))
+              / (sum(n_p * n_c) - 1)) * 1e4 + 0.5)
+            AS BIGINT) AS store_qty_stdev,
+       CAST(floor(sum(n_p * c1) * 1.0 / sum(n_p * n_c) * 1e4 + 0.5)
+            AS BIGINT) AS catalog_qty_avg
+FROM p JOIN c ON p.item_sk = c.item_sk
+GROUP BY i_category, s_state
+ORDER BY i_category, s_state
+"""),
+    "tpcds_q25": _decomp_oracle("""
+WITH p AS (
+  SELECT sr.item_sk AS item_sk, i.i_product_name AS i_product_name,
+         s.s_store_name AS s_store_name,
+         count(*) AS n_p,
+         sum(ss.paid_cents - ss.cost_cents) AS sp,
+         sum(sr.paid_cents) AS rp
+  FROM store_sales ss
+  JOIN store_returns sr
+    ON ss.ticket = sr.ticket AND ss.l_linenumber = sr.l_linenumber
+  JOIN date_dim d1 ON ss.sold_date_sk = d1.d_date_sk
+  JOIN date_dim d2 ON sr.sold_date_sk = d2.d_date_sk
+  JOIN item i ON ss.item_sk = i.i_item_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  WHERE d1.d_moy = 4 AND d1.d_year = 1997
+    AND d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 1997
+  GROUP BY sr.item_sk, i.i_product_name, s.s_store_name),
+c AS (
+  SELECT cs.item_sk AS item_sk, count(*) AS n_c,
+         sum(cs.paid_cents - cs.cost_cents) AS cp
+  FROM catalog_sales cs
+  JOIN date_dim d3 ON cs.sold_date_sk = d3.d_date_sk
+  WHERE d3.d_moy BETWEEN 4 AND 10 AND d3.d_year = 1997
+  GROUP BY cs.item_sk)
+SELECT i_product_name, s_store_name,
+       CAST(sum(sp * n_c) AS BIGINT) AS store_sales_profit_cents,
+       CAST(sum(rp * n_c) AS BIGINT) AS store_returns_loss_cents,
+       CAST(sum(n_p * cp) AS BIGINT) AS catalog_sales_profit_cents
+FROM p JOIN c ON p.item_sk = c.item_sk
+GROUP BY i_product_name, s_store_name
+ORDER BY i_product_name, s_store_name
+LIMIT 100
+"""),
+    "tpcds_q29": _decomp_oracle("""
+WITH p AS (
+  SELECT sr.item_sk AS item_sk, i.i_product_name AS i_product_name,
+         s.s_store_name AS s_store_name,
+         count(*) AS n_p,
+         sum(ss.quantity) AS sq_ss,
+         sum(sr.quantity) AS sq_sr
+  FROM store_sales ss
+  JOIN store_returns sr
+    ON ss.ticket = sr.ticket AND ss.l_linenumber = sr.l_linenumber
+   AND ss.item_sk = sr.item_sk
+  JOIN date_dim d1 ON ss.sold_date_sk = d1.d_date_sk
+  JOIN store s ON ss.store_sk = s.s_store_sk
+  JOIN item i ON ss.item_sk = i.i_item_sk
+  WHERE d1.d_moy = 4 AND d1.d_year = 1997
+  GROUP BY sr.item_sk, i.i_product_name, s.s_store_name),
+c AS (
+  SELECT cs.item_sk AS item_sk, count(*) AS n_c, sum(cs.quantity) AS sq_c
+  FROM catalog_sales cs
+  JOIN date_dim d3 ON cs.sold_date_sk = d3.d_date_sk
+  WHERE d3.d_year IN (1997, 1998, 1999)
+  GROUP BY cs.item_sk)
+SELECT i_product_name, s_store_name,
+       CAST(sum(sq_ss * n_c) AS BIGINT) AS store_sales_quantity,
+       CAST(sum(sq_sr * n_c) AS BIGINT) AS store_returns_quantity,
+       CAST(sum(n_p * sq_c) AS BIGINT) AS catalog_sales_quantity
+FROM p JOIN c ON p.item_sk = c.item_sk
+GROUP BY i_product_name, s_store_name
+ORDER BY i_product_name, s_store_name
+LIMIT 100
+"""),
+}

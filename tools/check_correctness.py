@@ -243,6 +243,21 @@ def main():
                 for old, new in rewrites:
                     spec.oracle = spec.oracle.replace(old, new)
 
+    # SPARK_GRAFT_DECOMP_ORACLE=1: swap the q17/q25/q29 oracles for their
+    # algebraically-decomposed forms (queries/tpcds.py DECOMP_ORACLES): the
+    # direct 3-fact fan-out plan materializes >160 GB in DuckDB at the 100x
+    # dir and exhausts a single box's disk; the decomposed form pre-
+    # aggregates both join sides per item so the fan-out never exists. The
+    # Spark side is untouched; the registered sf0.01 oracles the driver
+    # runs are unchanged.
+    if os.environ.get("SPARK_GRAFT_DECOMP_ORACLE", "") == "1":
+        from fries_flink_spark.queries.tpcds import DECOMP_ORACLES
+
+        for dname, dsql in DECOMP_ORACLES.items():
+            if dname in registry:
+                registry[dname].oracle = dsql
+        print(f"decomposed scale oracles active: {sorted(DECOMP_ORACLES)}")
+
     # SPARK_GRAFT_EXCLUDE (parsed above): comma-separated substrings to SKIP
     # (e.g. the BPE goldens on scaled dirs, whose regeneration is a
     # driver-side Python training loop).
@@ -283,7 +298,12 @@ def main():
             content = fh.read().replace("\r", "\n")
         log_head = None
         for line in content.splitlines():
-            hm = _re.match(r"HEAD\s+([0-9a-f]{7,40})$", line.strip())
+            # match every token this script itself writes: clean sha,
+            # '<sha>-dirty', and 'unknown' (ADVICE r10: the bare-sha regex
+            # misreported dirty/unknown-HEAD logs as 'records no HEAD')
+            hm = _re.match(
+                r"HEAD\s+([0-9a-f]{7,40}(?:-dirty)?|unknown)$", line.strip()
+            )
             if hm:
                 log_head = hm.group(1)
             m = _re.match(r"PASS\s+(\S+):", line.strip())
@@ -293,6 +313,14 @@ def main():
             print(
                 "resume WARNING: skip-log records no HEAD (pre-r10 log) — "
                 "its passes may predate code changes"
+            )
+            if os.environ.get("SPARK_GRAFT_RESUME_STALE", "") != "1":
+                print("refusing to resume (set SPARK_GRAFT_RESUME_STALE=1 to accept)")
+                return 2
+        elif log_head.endswith("-dirty") or log_head == "unknown":
+            print(
+                f"resume WARNING: skip-log HEAD is {log_head} — its passes "
+                "were verified on an uncommitted (or unidentifiable) tree"
             )
             if os.environ.get("SPARK_GRAFT_RESUME_STALE", "") != "1":
                 print("refusing to resume (set SPARK_GRAFT_RESUME_STALE=1 to accept)")
