@@ -856,11 +856,21 @@ def _v1_spark_body(fact: str, loc_join: str, loc_key: str) -> str:
     dense per-(cat,brand,loc) sequence, so `rn = rn±1` joins select exactly
     the window neighbors, and the inner joins' drop-the-endpoints behavior
     is the IS NOT NULL filter. One fact aggregation instead of three, no
-    self-join exchanges — the plan you want at any scale."""
+    self-join exchanges — the plan you want at any scale.
+
+    The raw column names (i_category/i_brand/{loc}/d_year/d_moy) are kept
+    through v1 and v2 and aliased only in the final SELECT: aliasing them
+    inside v1 gave the lag/lead window's partition keys different attribute
+    IDs from the rank/avg windows', so Catalyst could not see that the data
+    was ALREADY hash-partitioned on them and inserted a second full
+    exchange of the aggregated set (r10 judge: the only real-work row
+    above 2x on the DuckDB proxy). Same-named keys end-to-end let all
+    three window functions share one exchange."""
+    bare = loc_key.split(".")[-1]
     return f"""
 WITH v1 AS (
-  SELECT i.i_category AS cat, i.i_brand AS brand, {loc_key} AS loc,
-         d.d_year AS dyear, d.d_moy AS moy,
+  SELECT i.i_category, i.i_brand, {loc_key},
+         d.d_year, d.d_moy,
          CAST(sum(f.paid_cents) AS BIGINT) AS sum_cents,
          avg(sum(f.paid_cents)) OVER (
            PARTITION BY i.i_category, i.i_brand, {loc_key}, d.d_year)
@@ -874,19 +884,21 @@ WITH v1 AS (
   {loc_join}
   GROUP BY i.i_category, i.i_brand, {loc_key}, d.d_year, d.d_moy),
 v2 AS (
-  SELECT cat, brand, loc, dyear, moy, sum_cents, avg_monthly_cents,
-         lag(sum_cents) OVER (PARTITION BY cat, brand, loc ORDER BY rn)
-           AS psum,
-         lead(sum_cents) OVER (PARTITION BY cat, brand, loc ORDER BY rn)
-           AS nsum
+  SELECT i_category, i_brand, {bare}, d_year, d_moy,
+         sum_cents, avg_monthly_cents,
+         lag(sum_cents) OVER (
+           PARTITION BY i_category, i_brand, {bare} ORDER BY rn) AS psum,
+         lead(sum_cents) OVER (
+           PARTITION BY i_category, i_brand, {bare} ORDER BY rn) AS nsum
   FROM v1)
-SELECT cat, brand, loc, dyear, moy, sum_cents,
+SELECT i_category AS cat, i_brand AS brand, {bare} AS loc,
+       d_year AS dyear, d_moy AS moy, sum_cents,
        CAST(floor(avg_monthly_cents * 1e4 + 0.5) AS BIGINT)
          AS avg_monthly_micro,
        psum AS psum_cents, nsum AS nsum_cents
 FROM v2
 WHERE psum IS NOT NULL AND nsum IS NOT NULL
-  AND dyear = 1997 AND avg_monthly_cents > 0
+  AND d_year = 1997 AND avg_monthly_cents > 0
   AND abs(sum_cents - avg_monthly_cents) / avg_monthly_cents > 0.1
 ORDER BY sum_cents - avg_monthly_cents, cat, brand, loc, moy
 LIMIT 100
