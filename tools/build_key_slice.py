@@ -1,0 +1,61 @@
+"""Build a KEY-SLICED fixture dir: `events` filtered to a deterministic
+residue class (user_id % K == r), every other table symlinked unchanged.
+
+Purpose: exact (not sampled) oracle verification of per-key-partitioned
+operators at fixture scales where the FULL output is too large to collect
+and hash driver-side (e.g. sql_mr_all_rows at the 1000x dir emits ~50M
+rows). MATCH_RECOGNIZE / CEP / per-user windows partition by user_id, so
+restricting BOTH engines to the same residue class preserves every match
+within the class bit-for-bit — the compare is exact on the slice, and the
+slice is chosen by residue (not head-N), so every per-key pathology
+(longest runs, densest users) has the same distribution as the full table.
+The full-table engine-side completion (rows produced, no oracle) is proven
+separately by the calling gate.
+
+Usage: python tools/build_key_slice.py <src_sf_dir> <dst_dir> [K] [r]
+       (default K=97, r=3)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def build(src: str, dst: str, k: int = 97, r: int = 3) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        s = os.path.join(src, f"{t}.parquet")
+        d = os.path.join(dst, f"{t}.parquet")
+        if os.path.lexists(d):
+            continue
+        if t == "events":
+            glob = f"{s}/*.parquet" if os.path.isdir(s) else s
+            con = duckdb.connect()
+            con.execute(
+                f"COPY (SELECT * FROM '{glob}' WHERE user_id % {k} = {r}) "
+                f"TO '{d}' (FORMAT PARQUET)"
+            )
+            n = con.execute(f"SELECT count(*) FROM '{d}'").fetchone()[0]
+            total = con.execute(f"SELECT count(*) FROM '{glob}'").fetchone()[0]
+            con.close()
+            print(f"events slice: {n} of {total} rows (user_id % {k} = {r})")
+            assert n > 0, "empty slice — wrong key column or residue"
+        else:
+            os.symlink(s, d)
+    print(f"key-slice dir ready: {dst}")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1]
+    dst = sys.argv[2]
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 97
+    r = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    build(src, dst, k, r)
