@@ -232,3 +232,61 @@ def test_cbo_substrate_value_identity(spark, sf_dir, reg, monkeypatch):
         T._REGISTERED.pop(id(spark), None)
         T._Q14_SHARED.pop(id(spark), None)
         register_tpcds(spark, sf_dir)
+
+
+def test_decomp_oracles_equal_direct_oracles():
+    """The decomposed scale oracles (DECOMP_ORACLES, used above the 10x dir
+    where the direct 3-fact fan-out plan exhausts single-box disk) must
+    return exactly the direct oracles' rows — pure DuckDB at sf0.001, no
+    Spark: this is an ORACLE-vs-ORACLE algebra check, independent of the
+    engine compare the checker performs."""
+    import duckdb
+
+    from fries_flink_spark.queries.tpcds import DECOMP_ORACLES
+    from fries_flink_spark.registry import load_all
+
+    reg = load_all()
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    for name, decomp_sql in sorted(DECOMP_ORACLES.items()):
+        direct = con.execute(reg[name].oracle).fetchall()
+        decomp = con.execute(decomp_sql).fetchall()
+        assert decomp == direct, f"{name}: decomposed oracle diverges"
+        assert direct, f"{name}: empty result proves nothing"
+
+
+def test_key_slice_builder_exact_subset(tmp_path):
+    """build_key_slice: the sliced events table is exactly the residue
+    class, other tables are shared unchanged (symlinks)."""
+    import os
+
+    import duckdb
+
+    from tools.build_key_slice import build
+
+    dst = str(tmp_path / "slice")
+    build("/root/testdata/sf0.001", dst, k=7, r=2)
+    con = duckdb.connect()
+    n_slice, n_bad = con.execute(
+        f"SELECT count(*), count(*) FILTER (user_id % 7 != 2) "
+        f"FROM '{dst}/events.parquet'"
+    ).fetchone()
+    n_want = con.execute(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/events.parquet' "
+        "WHERE user_id % 7 = 2"
+    ).fetchone()[0]
+    assert n_bad == 0 and n_slice == n_want > 0
+    assert os.path.islink(f"{dst}/lineitem.parquet")
+    li = con.execute(f"SELECT count(*) FROM '{dst}/lineitem.parquet'").fetchone()[0]
+    li_src = con.execute(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/lineitem.parquet'"
+    ).fetchone()[0]
+    assert li == li_src
