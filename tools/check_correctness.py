@@ -258,6 +258,23 @@ def main():
                 registry[dname].oracle = dsql
         print(f"decomposed scale oracles active: {sorted(DECOMP_ORACLES)}")
 
+    # SPARK_GRAFT_ORACLE_NOMAT=1: drop the MATERIALIZED hint from the
+    # TPC-DS oracles' ds_base CTE. The hint is right at every bench SF and
+    # at 10x/100x (each query references the channel views 2-6 times), but
+    # at the 1000x dir the materialization IS the disk wall: 600M rows x 15
+    # cols of CTE spill (>46 GB measured on tpcds_q14b) on top of DuckDB's
+    # hash memory. Inlined, DuckDB recomputes the lineitem-orders join per
+    # reference — pure streaming hash joins, no materialized spill — trading
+    # CPU for the disk the box doesn't have. Semantics identical (the hint
+    # is an evaluation strategy, not a query change).
+    if os.environ.get("SPARK_GRAFT_ORACLE_NOMAT", "") == "1":
+        for spec in registry.values():
+            if spec.oracle:
+                spec.oracle = spec.oracle.replace(
+                    "ds_base AS MATERIALIZED (", "ds_base AS ("
+                )
+        print("oracle ds_base materialization OFF (SPARK_GRAFT_ORACLE_NOMAT)")
+
     # SPARK_GRAFT_EXCLUDE (parsed above): comma-separated substrings to SKIP
     # (e.g. the BPE goldens on scaled dirs, whose regeneration is a
     # driver-side Python training loop).
