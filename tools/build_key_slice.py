@@ -12,8 +12,10 @@ slice is chosen by residue (not head-N), so every per-key pathology
 The full-table engine-side completion (rows produced, no oracle) is proven
 separately by the calling gate.
 
-Usage: python tools/build_key_slice.py <src_sf_dir> <dst_dir> [K] [r]
-       (default K=97, r=3)
+Usage: python tools/build_key_slice.py <src_sf_dir> <dst_dir> [K] [r] [tables]
+       (default K=97, r=3, tables=events; tables is comma-separated from
+        {events, documents, part, customer} — documents slices on doc_id, exact
+        for any per-document/row-wise operator)
 """
 
 from __future__ import annotations
@@ -28,25 +30,39 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+#: residue key per sliceable table — each is the table's row identity (or,
+#: for events, the partition key of every keyed operator over it), so a
+#: residue class is exact for row-wise and per-key operators alike
+SLICE_KEYS = {
+    "events": "user_id",
+    "documents": "doc_id",
+    "part": "p_partkey",
+    "customer": "c_custkey",
+}
 
-def build(src: str, dst: str, k: int = 97, r: int = 3) -> None:
+
+def build(
+    src: str, dst: str, k: int = 97, r: int = 3,
+    slice_tables: tuple[str, ...] = ("events",),
+) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         s = os.path.join(src, f"{t}.parquet")
         d = os.path.join(dst, f"{t}.parquet")
         if os.path.lexists(d):
             continue
-        if t == "events":
+        if t in slice_tables:
+            key = SLICE_KEYS[t]
             glob = f"{s}/*.parquet" if os.path.isdir(s) else s
             con = duckdb.connect()
             con.execute(
-                f"COPY (SELECT * FROM '{glob}' WHERE user_id % {k} = {r}) "
+                f"COPY (SELECT * FROM '{glob}' WHERE {key} % {k} = {r}) "
                 f"TO '{d}' (FORMAT PARQUET)"
             )
             n = con.execute(f"SELECT count(*) FROM '{d}'").fetchone()[0]
             total = con.execute(f"SELECT count(*) FROM '{glob}'").fetchone()[0]
             con.close()
-            print(f"events slice: {n} of {total} rows (user_id % {k} = {r})")
+            print(f"{t} slice: {n} of {total} rows ({key} % {k} = {r})")
             assert n > 0, "empty slice — wrong key column or residue"
         else:
             os.symlink(s, d)
@@ -58,4 +74,5 @@ if __name__ == "__main__":
     dst = sys.argv[2]
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 97
     r = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-    build(src, dst, k, r)
+    tabs = tuple(sys.argv[5].split(",")) if len(sys.argv) > 5 else ("events",)
+    build(src, dst, k, r, tabs)
