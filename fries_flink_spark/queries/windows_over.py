@@ -214,30 +214,61 @@ def over_first_last_value(spark, sf_dir):
 @query(
     "over_global_agg",
     oracle="""
-    SELECT o_orderkey, o_totalprice,
-           CAST(floor(o_totalprice / sum(o_totalprice) OVER () * 1e10 + 0.5)
-                AS BIGINT) AS price_share,
-           CAST(floor(avg(o_totalprice) OVER (PARTITION BY o_orderstatus) * 1e4 + 0.5)
-                AS BIGINT) AS status_avg
-    FROM orders
+    WITH c AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM orders),
+         t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM c),
+         s AS (SELECT o_orderstatus, CAST(sum(cents) AS BIGINT) AS sc,
+                      count(*) AS n
+               FROM c GROUP BY o_orderstatus)
+    SELECT c.o_orderkey, c.o_totalprice,
+           CAST(floor(CAST(c.cents AS DOUBLE) / CAST(t.total_cents AS DOUBLE)
+                      * 1e10 + 0.5) AS BIGINT) AS price_share,
+           CAST(floor(CAST(s.sc AS DOUBLE) / CAST(s.n AS DOUBLE)
+                      * 100 + 0.5) AS BIGINT) AS status_avg
+    FROM c
+    JOIN s USING (o_orderstatus)
+    CROSS JOIN t
     ORDER BY o_orderkey
     """,
 )
 def over_global_agg(spark, sf_dir):
-    """Unpartitioned OVER () and partition-only window (no ORDER BY)."""
+    """Global-aggregate-per-row (SQL `sum(x) OVER ()` / partition-only
+    window, flink OverAggregate with an unpartitioned unbounded frame,
+    reference flink-table OverWindow planning).
+
+    Physical strategy: Spark's WindowExec executes an unpartitioned
+    unbounded window as a SINGLE task holding every row (150M rows in one
+    partition at the 1000x dir) — the canonical skewed-window scale-killer.
+    The same logical result is computed here as two tiny aggregates (one
+    scalar total, one 3-row per-status table) broadcast back onto the
+    fully parallel scan: identical output, zero single-task stages, and
+    the per-row arithmetic is a fixed IEEE754 op sequence over EXACT
+    integer cents (int64-safe: total cents at 1000x ~3.75e16 < 2^63), so
+    the result is bit-identical across engines and partitionings by
+    construction (the 1000x summation-order defect class, SCALING.md).
+    """
     orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    t = c.agg(F.sum("cents").alias("total_cents"))
+    s = c.groupBy("o_orderstatus").agg(
+        F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("n")
+    )
+    d = F.col("cents").cast("double") / F.col("total_cents").cast("double")
+    a = F.col("sc").cast("double") / F.col("n").cast("double")
     return (
-        orders.select(
+        c.crossJoin(F.broadcast(t))
+        .join(F.broadcast(s), "o_orderstatus")
+        .select(
             "o_orderkey",
             "o_totalprice",
-            micro(
-                F.col("o_totalprice")
-                / F.sum("o_totalprice").over(Window.partitionBy()),
-                10,
-            ).alias("price_share"),
-            micro(
-                F.avg("o_totalprice").over(Window.partitionBy("o_orderstatus")), 4
-            ).alias("status_avg"),
+            F.floor(d * F.lit(1e10) + F.lit(0.5)).cast("long").alias("price_share"),
+            F.floor(a * F.lit(100.0) + F.lit(0.5)).cast("long").alias("status_avg"),
         )
         .orderBy("o_orderkey")
     )

@@ -14,7 +14,7 @@ separately by the calling gate.
 
 Usage: python tools/build_key_slice.py <src_sf_dir> <dst_dir> [K] [r] [tables]
        (default K=97, r=3, tables=events; tables is comma-separated from
-        {events, documents, part, customer} — documents slices on doc_id, exact
+        {events, documents, part, customer, orders} — documents slices on doc_id, exact
         for any per-document/row-wise operator)
 """
 
@@ -38,6 +38,10 @@ SLICE_KEYS = {
     "documents": "doc_id",
     "part": "p_partkey",
     "customer": "c_custkey",
+    # orders slices on o_custkey (not o_orderkey) so customer-partitioned
+    # windows (over_ranking's PARTITION BY o_custkey) keep every partition
+    # intact within the residue class
+    "orders": "o_custkey",
 }
 
 
