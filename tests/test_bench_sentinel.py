@@ -100,6 +100,7 @@ def test_external_cpu_meter_sees_foreign_load():
         pytest.skip(f"box carries {baseline} external cores; meter "
                     "attribution is only assertable on a quiet box")
 
+    readings = {}
     for ours in (False, True):
         meter = ExternalCpuMeter()
         t0 = time.time()
@@ -108,16 +109,28 @@ def test_external_cpu_meter_sees_foreign_load():
             subprocess.Popen([sys.executable, "-c", code]) for _ in range(6)
         ]
         time.sleep(2.0)  # burners still alive: sample mid-burn
-        ext = meter.sample(time.time() - t0)
+        readings[ours] = meter.sample(time.time() - t0)
         for p in procs:
             p.wait()
         if not ours:
             time.sleep(1.5)  # let the orphaned burners finish before next leg
-            assert ext > 3.0, f"foreign 6-core burn read as {ext} cores"
-        else:
-            assert ext < 2.0 + baseline, (
-                f"descendant burn leaked to external: {ext}"
-            )
+    # The pre-gate can pass during a lull of an oscillating co-tenant (a
+    # concurrent Spark sweep idles between stages): re-probe AFTER the legs
+    # and skip if the box ramped mid-test — attribution is only assertable
+    # on a box that stayed quiet throughout.
+    probe2 = ExternalCpuMeter()
+    t0 = time.time()
+    time.sleep(0.8)
+    baseline_after = probe2.sample(time.time() - t0)
+    if baseline_after > 2.0:
+        pytest.skip(f"box ramped to {baseline_after} external cores "
+                    "mid-test; meter attribution needs a quiet box")
+    assert readings[False] > 3.0, (
+        f"foreign 6-core burn read as {readings[False]} cores"
+    )
+    assert readings[True] < 2.0 + max(baseline, baseline_after), (
+        f"descendant burn leaked to external: {readings[True]}"
+    )
 
 
 # ---- round-11 additions: wall-clock-relative contention defense ----
