@@ -80,13 +80,37 @@ def semantic_dedup(
         x = x / norms
         n = len(ids)
         keep = np.ones(n, dtype=bool)
-        kept_rows: list[int] = []
         limit = n if cap is None else min(n, cap)
-        for i in range(limit):
-            if kept_rows and float(np.max(x[kept_rows] @ x[i])) >= thr:
-                keep[i] = False
-            else:
-                kept_rows.append(i)
+        # Blocked greedy keep, output-identical to the element-at-a-time
+        # form (same dot products, same ascending-id decision order) but
+        # O(c²·d/B) memory traffic instead of O(c²·d): the 1000x gate found
+        # the naive loop's per-iteration fancy-index COPY of the kept matrix
+        # (x[kept_rows], a fresh (m×d) allocation per element) thrashing at
+        # 125k-member clusters — 16 concurrent tasks sat at 75% kernel time
+        # moving pages instead of computing. The kept set now lives packed
+        # in a preallocated buffer streamed ONCE per block (one GEMM), and
+        # within-block decisions resolve against a precomputed b×b inner
+        # matrix.
+        buf = np.empty((limit, x.shape[1]), dtype="float64")
+        m = 0
+        block = 2048
+        for s in range(0, limit, block):
+            e = min(s + block, limit)
+            blk = x[s:e]
+            prior = (buf[:m] @ blk.T).max(axis=0) if m else None
+            inner = blk @ blk.T
+            loc: list[int] = []
+            for j in range(e - s):
+                hit = prior is not None and prior[j] >= thr
+                if not hit and loc:
+                    hit = float(np.max(inner[loc, j])) >= thr
+                if hit:
+                    keep[s + j] = False
+                else:
+                    loc.append(j)
+            if loc:
+                buf[m : m + len(loc)] = blk[loc]
+                m += len(loc)
         # Rows beyond the hot-cluster cap are kept unexamined (documented).
         return pd.DataFrame(
             {"id": ids, "cluster": pdf["__cid"].to_numpy(), "keep": keep}

@@ -473,12 +473,30 @@ def ensure_semantic_dedup(
     keep = np.ones(len(ids), dtype=bool)
     for cid in range(n_clusters):
         rows_c = [i for i in range(len(ids)) if assign[i] == cid]  # id-sorted
-        kept: list[int] = []
-        for i in rows_c:
-            if kept and float(np.max(xn[kept] @ xn[i])) >= threshold:
-                keep[i] = False
-            else:
-                kept.append(i)
+        # Blocked greedy, mirroring dedup/semantic.py::prune — the
+        # element-at-a-time form re-copies the kept matrix per element
+        # (quadratic memory traffic), infeasible at 125k-member clusters.
+        xc = xn[rows_c]
+        buf = np.empty_like(xc)
+        m = 0
+        block = 2048
+        for s in range(0, len(rows_c), block):
+            e = min(s + block, len(rows_c))
+            blk = xc[s:e]
+            prior = (buf[:m] @ blk.T).max(axis=0) if m else None
+            inner = blk @ blk.T
+            loc: list[int] = []
+            for j in range(e - s):
+                hit = prior is not None and prior[j] >= threshold
+                if not hit and loc:
+                    hit = float(np.max(inner[loc, j])) >= threshold
+                if hit:
+                    keep[rows_c[s + j]] = False
+                else:
+                    loc.append(j)
+            if loc:
+                buf[m : m + len(loc)] = blk[loc]
+                m += len(loc)
     _write_parquet(
         path,
         pa.table(
