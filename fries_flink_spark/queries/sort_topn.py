@@ -80,14 +80,18 @@ def topn_per_group(spark, sf_dir):
 
 @query(
     "topn_dense_rank",
+    # dense_rank over values == row_number over DISTINCT values, so the
+    # oracle aggregates 600M rows to ~150 distinct (flag, qty) pairs BEFORE
+    # the window — the direct dense_rank form full-sorts the fact table and
+    # exhausted the box's disk at the 1000x dir (oracle-side scale algebra,
+    # SCALING.md).
     oracle="""
     SELECT l_returnflag, l_quantity, rk FROM (
       SELECT l_returnflag, l_quantity,
-             dense_rank() OVER (PARTITION BY l_returnflag
+             row_number() OVER (PARTITION BY l_returnflag
                                 ORDER BY l_quantity DESC) AS rk
-      FROM lineitem
+      FROM (SELECT DISTINCT l_returnflag, l_quantity FROM lineitem)
     ) WHERE rk <= 2
-    GROUP BY l_returnflag, l_quantity, rk
     ORDER BY l_returnflag, rk
     """,
 )
