@@ -65,11 +65,27 @@ def minhash_table(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> Data
             F.md5(F.col("__t").substr(F.col("__i"), F.lit(k))).alias("__h"),
         )
     )
-    return hashed.groupBy(id_col).agg(
+    # Aggregate the NUMERIC value of each 8-hex-char window, not the string:
+    # min over a STRING buffer is unsupported by HashAggregateExec, so the
+    # string form silently planned as SortAggregate — a full sort of the
+    # exploded (doc, shingle) table (~300x corpus rows) on BOTH sides of the
+    # exchange. Fixed-width lowercase hex is order-isomorphic to its integer
+    # value ('0'-'9' < 'a'-'f' maps monotonically to 0-15), so min(conv(s,16))
+    # == conv(min(s),16) exactly; the hex string is reconstructed bit-identical
+    # after the aggregate (lpad restores leading zeros that hex() drops).
+    agged = hashed.groupBy(id_col).agg(
         *[
-            F.min(F.substring("__h", 1 + 3 * j, 8)).alias(f"mh{j}")
+            F.min(F.conv(F.substring("__h", 1 + 3 * j, 8), 16, 10).cast("long"))
+            .alias(f"__m{j}")
             for j in range(N_PERMS)
         ]
+    )
+    return agged.select(
+        F.col(id_col),
+        *[
+            F.lower(F.lpad(F.hex(F.col(f"__m{j}")), 8, "0")).alias(f"mh{j}")
+            for j in range(N_PERMS)
+        ],
     )
 
 
