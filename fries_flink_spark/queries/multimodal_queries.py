@@ -58,7 +58,11 @@ def mm_image_features(spark, sf_dir):
     (histogram + mean/std). Exercises binary column -> Arrow batch -> numpy ->
     fixed-width vector at table scale."""
     _golden.ensure_mm_image_features(sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    # Explicit projection before the opaque mapInPandas: Spark cannot see
+    # which columns to_syn touches and would otherwise ship every documents
+    # column (lang/source/n_chars) through the Arrow boundary (guide: pass
+    # only the columns the function needs).
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def to_syn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -115,7 +119,7 @@ def mm_video_frames(spark, sf_dir):
     from ..multimodal.media import VIDEO_MAGIC, sample_frames
 
     _golden.ensure_mm_video_frames(sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def to_syn_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -166,7 +170,7 @@ def mm_audio_features(spark, sf_dir):
     from ..multimodal.media import audio_features, encode_syn_audio
 
     _golden.ensure_mm_audio_features(sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def to_syn_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -202,7 +206,7 @@ def mm_video_scenecut(spark, sf_dir):
     from ..multimodal.media import VIDEO_MAGIC, detect_scene_cuts
 
     _golden.ensure_mm_video_scenecut(sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def to_syn_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

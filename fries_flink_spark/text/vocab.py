@@ -147,12 +147,22 @@ def contaminated_docs(
     then a semi join on the n-gram followed by a distinct on the benchmark
     doc id. Two shuffles total, both on deduplicated keys.
     """
+    # Join key: xxhash64 of the n-gram, not the string — 8-byte fixed keys
+    # shrink the distinct-aggregation state and the broadcast/shuffle bytes
+    # ~3x (same discipline as dedup.minhash.jaccard_pairs; collision odds
+    # ~|grams|^2/2^65 are the accepted repo-wide residual).
+    def hashed_grams(text: Column) -> Column:
+        return F.explode(
+            F.transform(
+                F.array_distinct(word_ngrams(text, n)), lambda g: F.xxhash64(g)
+            )
+        )
+
     bench_grams = benchmark.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+        F.col(id_col), hashed_grams(F.col(text_col)).alias("g")
     )
     train_grams = train.select(
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g")
+        hashed_grams(F.col(text_col)).alias("g")
     ).distinct()
     return (
         bench_grams.join(train_grams, "g", "left_semi")
