@@ -20,6 +20,18 @@ from ..operators.cep import Pattern, match_pattern
 from ..registry import query, sorted_result
 
 
+def _cep_events(spark, sf_dir):
+    """Events projected to the columns every pattern in this module touches
+    (keys, time, tiebreak, the masked ``event_type``). ``match_pattern`` is
+    opaque to Catalyst — without the explicit select, ``value`` and the
+    ``props`` JSON string would be shuffled by key and shipped through the
+    Arrow boundary on every query here (guide §4.1: pass only the columns
+    the function needs)."""
+    return load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+
 @query(
     "cep_next",
     oracle="""
@@ -41,7 +53,7 @@ from ..registry import query, sorted_result
 def cep_next(spark, sf_dir):
     """Strict contiguity: click IMMEDIATELY followed by purchase within 30
     minutes, per user (Flink Pattern.begin().next(); one NFA sweep per key)."""
-    events = load_table(spark, sf_dir, "events")
+    events = _cep_events(spark, sf_dir)
     pat = (
         Pattern.begin("a")
         .where_mask(lambda d: d["event_type"] == "click")
@@ -87,7 +99,7 @@ def cep_next(spark, sf_dir):
 def cep_followed_by(spark, sf_dir):
     """Relaxed contiguity: click followed (skipping other events) by the first
     purchase within 30 minutes, per user (Flink Pattern.followedBy)."""
-    events = load_table(spark, sf_dir, "events")
+    events = _cep_events(spark, sf_dir)
     pat = (
         Pattern.begin("a")
         .where_mask(lambda d: d["event_type"] == "click")
@@ -131,7 +143,7 @@ def cep_followed_by(spark, sf_dir):
 def cep_error_burst(spark, sf_dir):
     """Quantifier: three consecutive errors within 2 hours per user
     (Pattern.times(3) — the times/oneOrMore looping-state machinery)."""
-    events = load_table(spark, sf_dir, "events")
+    events = _cep_events(spark, sf_dir)
     pat = (
         Pattern.begin("e")
         .where_mask(lambda d: d["event_type"] == "error")
@@ -172,7 +184,7 @@ def cep_no_purchase(spark, sf_dir):
     """Absence pattern: click NOT followed by a purchase within 30 minutes
     (Flink Pattern.notFollowedBy:304 as terminal stage + within — the
     abandoned-cart shape, a top CEP use case)."""
-    events = load_table(spark, sf_dir, "events")
+    events = _cep_events(spark, sf_dir)
     pat = (
         Pattern.begin("a")
         .where_mask(lambda d: d["event_type"] == "click")
@@ -213,7 +225,7 @@ def cep_not_next(spark, sf_dir):
     """Absence with strict contiguity: an error whose IMMEDIATELY following
     event is not another error (Flink Pattern.notNext:273) — isolated-failure
     detection."""
-    events = load_table(spark, sf_dir, "events")
+    events = _cep_events(spark, sf_dir)
     pat = (
         Pattern.begin("a")
         .where_mask(lambda d: d["event_type"] == "error")
@@ -257,7 +269,7 @@ def cep_not_next(spark, sf_dir):
 def cep_or_where(spark, sf_dir):
     """OR-combined stage conditions (Flink Pattern.or:175): (click OR view)
     followed by the first purchase within 30 minutes."""
-    events = load_table(spark, sf_dir, "events")
+    events = _cep_events(spark, sf_dir)
     pat = (
         Pattern.begin("a")
         .where_mask(lambda d: d["event_type"] == "click")
@@ -343,7 +355,7 @@ def cep_branchy_any(spark, sf_dir):
     prefix is a distinct match. This is the worst case for the NFA's Python
     match expansion (the engine's documented throughput ceiling, PERF.md);
     the oracle restates it as gaps-and-islands + correlated run caps."""
-    events = load_table(spark, sf_dir, "events")
+    events = _cep_events(spark, sf_dir)
     out = match_pattern(
         events,
         _branchy_pattern(),
@@ -368,7 +380,7 @@ def cep_branchy_vectorized(spark, sf_dir):
     the window/explode stage chain), the vectorized plan is the scale path —
     per-key work is JVM-parallel within a key, where the NFA sweep is serial
     per key. Both engines are oracled against the identical SQL."""
-    events = load_table(spark, sf_dir, "events")
+    events = _cep_events(spark, sf_dir)
     out = match_pattern(
         events,
         _branchy_pattern(),

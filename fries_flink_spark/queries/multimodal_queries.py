@@ -13,12 +13,31 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..multimodal.media import IMAGE_MAGIC, image_features
+from ..multimodal.media import IMAGE_MAGIC, VIDEO_MAGIC, image_features
 from ..registry import query, sorted_result
 from . import golden as _golden
+
+
+def _syn_content(header: bytes, n_bytes: int) -> Column:
+    """SYN media content derived from ``text`` in pure codegen: the first
+    ``n_bytes`` utf-8 bytes zero-padded to ``n_bytes``, behind the constant
+    ``header``. Byte-identical to the former Python/mapInPandas synthesizer
+    (substring/rpad operate bytewise on BINARY, exactly like the numpy
+    slice-and-pad) — keeping the synthesis in the JVM removes one whole
+    MapInPandas stage per pipeline, so the media bytes cross the Arrow
+    boundary once (into the feature operator) instead of twice."""
+    return F.concat(
+        F.lit(header),
+        F.rpad(
+            F.substring(F.encode(F.col("text"), "UTF-8"), 1, n_bytes),
+            n_bytes,
+            bytes([0]),
+        ),
+    )
 
 
 @query(
@@ -58,30 +77,13 @@ def mm_image_features(spark, sf_dir):
     (histogram + mean/std). Exercises binary column -> Arrow batch -> numpy ->
     fixed-width vector at table scale."""
     _golden.ensure_mm_image_features(sf_dir)
-    # Explicit projection before the opaque mapInPandas: Spark cannot see
-    # which columns to_syn touches and would otherwise ship every documents
-    # column (lang/source/n_chars) through the Arrow boundary (guide: pass
-    # only the columns the function needs).
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def to_syn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = np.frombuffer(text.encode("utf-8")[:256], dtype=np.uint8)
-                px = np.zeros(256, dtype=np.uint8)
-                px[: len(raw)] = raw
-                rows.append(
-                    (
-                        did,
-                        IMAGE_MAGIC
-                        + _struct.pack(">HHB", 16, 16, 1)
-                        + px.tobytes(),
-                    )
-                )
-            yield pd.DataFrame(rows, columns=["media_id", "content"])
-
-    imgs = docs.mapInPandas(to_syn, schema="media_id long, content binary")
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _syn_content(IMAGE_MAGIC + _struct.pack(">HHB", 16, 16, 1), 256).alias(
+            "content"
+        ),
+    )
     feats = image_features(imgs)
     # Driver-hashable projection: the canonicalizer can't hash array<double>
     # cells, so flatten the vector to '|'-joined INTEGER micro-units
@@ -116,24 +118,16 @@ def mm_video_frames(spark, sf_dir):
     (multimodal/media.sample_frames — the explode-shaped transform), then
     per-frame mean (sum/64, dyadic-exact) and peak. Golden-parquet oracle
     from an independent numpy replay."""
-    from ..multimodal.media import VIDEO_MAGIC, sample_frames
+    from ..multimodal.media import sample_frames
 
     _golden.ensure_mm_video_frames(sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def to_syn_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = np.frombuffer(text.encode("utf-8")[:256], dtype=np.uint8)
-                px = np.zeros(256, dtype=np.uint8)
-                px[: len(raw)] = raw
-                rows.append(
-                    (did, VIDEO_MAGIC + _struct.pack(">HHH", 8, 8, 4) + px.tobytes())
-                )
-            yield pd.DataFrame(rows, columns=["media_id", "content"])
-
-    vids = docs.mapInPandas(to_syn_video, schema="media_id long, content binary")
+    docs = load_table(spark, sf_dir, "documents")
+    vids = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _syn_content(VIDEO_MAGIC + _struct.pack(">HHH", 8, 8, 4), 256).alias(
+            "content"
+        ),
+    )
     frames = sample_frames(vids, every_nth=2)
 
     def frame_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -203,24 +197,16 @@ def mm_video_scenecut(spark, sf_dir):
     """Shot-boundary detection on SYN video (multimodal/media.detect_scene_cuts):
     frame-diff of per-frame means against a dyadic threshold — one mapInPandas
     pass, flags engine-exact against the independent numpy golden."""
-    from ..multimodal.media import VIDEO_MAGIC, detect_scene_cuts
+    from ..multimodal.media import detect_scene_cuts
 
     _golden.ensure_mm_video_scenecut(sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def to_syn_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = np.frombuffer(text.encode("utf-8")[:256], dtype=np.uint8)
-                px = np.zeros(256, dtype=np.uint8)
-                px[: len(raw)] = raw
-                rows.append(
-                    (did, VIDEO_MAGIC + _struct.pack(">HHH", 8, 8, 4) + px.tobytes())
-                )
-            yield pd.DataFrame(rows, columns=["media_id", "content"])
-
-    vids = docs.mapInPandas(to_syn_video, schema="media_id long, content binary")
+    docs = load_table(spark, sf_dir, "documents")
+    vids = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _syn_content(VIDEO_MAGIC + _struct.pack(">HHH", 8, 8, 4), 256).alias(
+            "content"
+        ),
+    )
     return detect_scene_cuts(vids, threshold=16.0).orderBy("media_id", "frame_idx")
 
 
