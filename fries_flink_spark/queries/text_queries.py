@@ -790,7 +790,7 @@ def q_url_dedup_normalized(spark, sf_dir):
     RefinedWeb/C4 first dedup stage): strip fragments + tracking params,
     lowercase scheme/host, drop www./default ports/trailing slash, keep the
     minimum doc_id per normalized URL. Pure codegen string expressions; one
-    exchange on md5(norm_url)."""
+    hash-aggregated exchange on norm_url."""
     from ..text.urls import dedup_by_url
 
     docs = load_table(spark, sf_dir, "documents")

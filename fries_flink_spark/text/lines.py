@@ -72,14 +72,27 @@ def line_dedup_keep_first(
 ) -> DataFrame:
     """Global exact line dedup keeping the first occurrence — first meaning
     the lexicographically least (id, line_no), the stable deterministic
-    reading of "first seen". ONE hash shuffle on the line value; the min is
-    a struct aggregate with map-side partials (no window sort)."""
+    reading of "first seen". ONE hash shuffle on the line value.
+
+    The pair-min aggregates over a DECIMAL(38,0) packing of
+    ``id * 10^10 + line_no`` rather than ``min(struct(id, line_no))``: a
+    struct aggregation buffer is unsupported by HashAggregateExec, so the
+    struct form silently planned as SortAggregate — a per-partition sort of
+    every exploded line on the line string. The packed decimal is a
+    fixed-width buffer (hash aggregation, map-side partials) and its min is
+    the exact lexicographic pair-min for non-negative ids with
+    ``line_no < 10^10`` (line numbers are within-document offsets; any
+    int64 id fits: 9.2e18 * 10^10 < 10^38)."""
+    pack = (
+        F.col(id_col).cast("decimal(28,0)") * F.lit(10_000_000_000)
+        + F.col(no_col)
+    )
     return (
         lines.groupBy(line_col)
-        .agg(F.min(F.struct(F.col(id_col), F.col(no_col))).alias("__first"))
+        .agg(F.min(pack).alias("__first"))
         .select(
-            F.col(f"__first.{id_col}").alias(id_col),
-            F.col(f"__first.{no_col}").alias(no_col),
+            F.expr("CAST(__first DIV 10000000000 AS BIGINT)").alias(id_col),
+            F.expr("CAST(__first % 10000000000 AS BIGINT)").alias(no_col),
             line_col,
         )
     )

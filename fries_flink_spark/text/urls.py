@@ -89,16 +89,19 @@ def url_host(col: Column) -> Column:
 def dedup_by_url(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     """One keeper per normalized URL: (norm_url, keeper=min(id), n_dups).
 
-    The group key is the md5 of the normalized URL — constant 32 bytes into
-    the exchange regardless of URL length."""
+    Groups directly on the normalized URL: string GROUP KEYS hash-aggregate
+    fine — it is string AGGREGATION BUFFERS that HashAggregateExec rejects,
+    and the previous md5-keyed form carried one (``min(norm_url)`` to
+    recover the output column), silently planning as SortAggregate — a full
+    per-partition sort on the 32-char hex key. Keying on the URL itself
+    leaves only fixed-width buffers (min/count) and ships strictly fewer
+    bytes: the URL once as the key, no md5 alongside it."""
     norm = normalize_url(F.col(url_col)).alias("norm_url")
     return (
         df.select(norm, F.col(id_col))
-        .groupBy(F.md5("norm_url").alias("url_md5"))
+        .groupBy("norm_url")
         .agg(
-            F.min("norm_url").alias("norm_url"),
             F.min(id_col).alias("keeper"),
             (F.count(F.lit(1)) - 1).alias("n_dups"),
         )
-        .drop("url_md5")
     )
