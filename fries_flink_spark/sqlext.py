@@ -1386,6 +1386,19 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
             raise NotImplementedError(f"AFTER MATCH strategy {after!r}")
 
     df = spark.table(table)
+    if rows_mode == "one":
+        # Project the input to the columns the MR spec can reference (ONE ROW
+        # PER MATCH outputs only PARTITION BY keys + MEASURES): any column
+        # used by ORDER BY / MEASURES / DEFINE appears as an identifier token
+        # in the clause body, so keeping every column whose name tokenizes out
+        # of the body is a safe superset. match_pattern is opaque to Catalyst
+        # — without this, unreferenced payload columns (props, value, ...)
+        # are shuffled by key and shipped through Arrow on every MR query.
+        # ALL ROWS PER MATCH passes every input column through, so no pruning.
+        toks = {t.lower() for t in re.findall(r"\w+", body)}
+        needed = [c for c in df.columns if c.lower() in toks]
+        if len(needed) < len(df.columns):
+            df = df.select(*needed)
     types = dict(df.dtypes)
     stage_order = [st.name for st in pat.stages]
 
