@@ -241,18 +241,25 @@ def test_wall_clock_probe_live_and_inflates_under_load():
         probe.samples.clear()
         quiet = min(probe.probe() for _ in range(3))
         assert 0.0 < quiet < 2.0
+        # Burners signal readiness on stdout so the probe never races the
+        # sequential Popen spawns + interpreter startup (32 spawns can eat
+        # most of a short burn window): burn 8s from AFTER the last signal.
         burner = (
-            "import time\n"
+            "import sys, time\n"
+            "sys.stdout.write('R'); sys.stdout.flush()\n"
             "t0 = time.time()\n"
-            "while time.time() - t0 < 3.0:\n"
+            "while time.time() - t0 < 8.0:\n"
             "    sum(i * i for i in range(10000))\n"
         )
         procs = [
-            subprocess.Popen([sys.executable, "-c", burner])
+            subprocess.Popen(
+                [sys.executable, "-c", burner], stdout=subprocess.PIPE
+            )
             for _ in range(n_cores)
         ]
         try:
-            time.sleep(0.5)
+            for p in procs:
+                assert p.stdout is not None and p.stdout.read(1) == b"R"
             loaded = min(probe.probe() for _ in range(3))
         finally:
             for p in procs:
