@@ -95,21 +95,30 @@ def doc_logppl(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     instances. Integer micro-nat arithmetic is unchanged:
     ``Σ_instances c(w) == Σ_pairs c(w)·cnt`` exactly.
     """
+    # Aggregate/join on xxhash64 of the word, not the word string: the output
+    # carries no words, so the 8-byte fixed key replaces a variable-length
+    # UTF8 payload in BOTH corpus-sized exchanges (the (doc, word) pair agg
+    # and the vocabulary agg) and in the broadcast hash relation — the same
+    # hashed-key discipline as text_decontaminate/jaccard_pairs, with the
+    # same accepted residual: a 64-bit collision would merge two words'
+    # frequencies (odds ~|vocab|²/2⁶⁵; the string-keyed DuckDB oracle
+    # doubles as a collision check at every tested SF).
     pairs = (
         df.select(
             F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
         )
-        .groupBy(id_col, "word")
+        .select(F.col(id_col), F.xxhash64("word").alias("__wh"))
+        .groupBy(id_col, "__wh")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    vocab = pairs.groupBy("word").agg(F.sum("cnt").alias("freq"))
+    vocab = pairs.groupBy("__wh").agg(F.sum("cnt").alias("freq"))
     total = vocab.agg(F.sum("freq").cast("double").alias("__total"))
     cost = F.floor(
         (F.log(F.col("__total")) - F.log(F.col("freq").cast("double"))) * 1e6
         + F.lit(0.5)
     ).cast("bigint")
     return (
-        pairs.join(F.broadcast(vocab), "word")
+        pairs.join(F.broadcast(vocab), "__wh")
         .join(F.broadcast(total))
         .select(F.col(id_col), F.col("cnt"), (cost * F.col("cnt")).alias("__c"))
         .groupBy(id_col)
