@@ -50,6 +50,18 @@ def minhash_table(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> Data
     (doc, shingle) md5 — partial aggregation collapses that to one row per
     doc per map task before the exchange.
     """
+    parsed = _parsed_shingle_hashes(df, text_col, id_col, k)
+    return _sig_from_parsed(parsed, id_col)
+
+
+def _parsed_shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """One exploded row per shingle POSITION: (id, __h1, __h2) where
+    __h1/__h2 are the two 15-hex-char halves of md5(shingle) parsed to
+    int64 (chars 1..15 and 16..30; char 31+ is never referenced by the
+    signature windows). The shared front end of the signature aggregate
+    and the fused LSH+Jaccard pipeline."""
     from ..session import ensure_parallelism
 
     n = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
@@ -65,37 +77,44 @@ def minhash_table(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> Data
             F.md5(F.col("__t").substr(F.col("__i"), F.lit(k))).alias("__h"),
         )
     )
-    # Aggregate the NUMERIC value of each 8-hex-char window, not the string:
-    # min over a STRING buffer is unsupported by HashAggregateExec, so the
-    # string form silently planned as SortAggregate — a per-partition sort of
-    # the exploded (doc, shingle) table (~300x corpus rows). Fixed-width
-    # lowercase hex is order-isomorphic to its integer value ('0'-'9' <
-    # 'a'-'f' maps monotonically to 0-15), so min over the window's integer
-    # value equals the integer value of min over the window string exactly;
-    # the hex string is reconstructed bit-identical after the aggregate
-    # (lpad restores leading zeros that hex() drops).
-    #
-    # conv() itself is the expensive part (string parse per call), so the
-    # 32-hex md5 is parsed ONCE into two 15-hex-char longs (60 bits each,
-    # int64-safe) and each overlapping 8-char window is extracted with
-    # integer div/mod — 2 convs per exploded row instead of 8. Interleaved
-    # noop A/B on the minhash stage (min of 3, one session): 8-conv 0.85s /
-    # string-sort 0.68s / this form 0.78s at sf0.1, and 3.19 / 2.40 /
-    # 2.12s at the 10x dir — the only variant that is BOTH hash-aggregated
-    # (no sort spill of the exploded intermediate at scale) and faster than
-    # the sort form where data exceeds cache.
-    #
-    # Window j covers hex chars [1+3j, 8+3j] (1-indexed). chars 1..15 live
-    # in __h1 (char c has place 16^(15-c)), chars 16..30 in __h2 (char c
-    # has place 16^(30-c)); windows j=3,4 straddle the split and recombine
-    # hi*16^k + lo from the two halves. char 31+ is never referenced
-    # (8 + 3*7 = 29).
-    p16 = [16**i for i in range(16)]
-    parsed = hashed.select(
+    return hashed.select(
         F.col(id_col),
         F.conv(F.substring("__h", 1, 15), 16, 10).cast("long").alias("__h1"),
         F.conv(F.substring("__h", 16, 15), 16, 10).cast("long").alias("__h2"),
     )
+
+
+def _sig_from_parsed(parsed: DataFrame, id_col: str) -> DataFrame:
+    """Signature aggregate over (id, __h1, __h2) rows — min over every
+    8-hex-char window, hex rebuilt bit-identical after the aggregate.
+
+    Aggregate the NUMERIC value of each 8-hex-char window, not the string:
+    min over a STRING buffer is unsupported by HashAggregateExec, so the
+    string form silently planned as SortAggregate — a per-partition sort of
+    the exploded (doc, shingle) table (~300x corpus rows). Fixed-width
+    lowercase hex is order-isomorphic to its integer value ('0'-'9' <
+    'a'-'f' maps monotonically to 0-15), so min over the window's integer
+    value equals the integer value of min over the window string exactly;
+    the hex string is reconstructed bit-identical after the aggregate
+    (lpad restores leading zeros that hex() drops).
+
+    conv() itself is the expensive part (string parse per call), so the
+    32-hex md5 is parsed ONCE into two 15-hex-char longs (60 bits each,
+    int64-safe) and each overlapping 8-char window is extracted with
+    integer div/mod — 2 convs per exploded row instead of 8. Interleaved
+    noop A/B on the minhash stage (min of 3, one session): 8-conv 0.85s /
+    string-sort 0.68s / this form 0.78s at sf0.1, and 3.19 / 2.40 /
+    2.12s at the 10x dir — the only variant that is BOTH hash-aggregated
+    (no sort spill of the exploded intermediate at scale) and faster than
+    the sort form where data exceeds cache.
+
+    Window j covers hex chars [1+3j, 8+3j] (1-indexed). chars 1..15 live
+    in __h1 (char c has place 16^(15-c)), chars 16..30 in __h2 (char c
+    has place 16^(30-c)); windows j=3,4 straddle the split and recombine
+    hi*16^k + lo from the two halves. char 31+ is never referenced
+    (8 + 3*7 = 29).
+    """
+    p16 = [16**i for i in range(16)]
     windows = [
         F.expr(f"__h1 DIV {p16[7]}"),
         F.expr(f"__h1 DIV {p16[4]}") % p16[8],
@@ -319,6 +338,69 @@ def jaccard_pairs(
     # measured stats pick broadcast while it fits and fall back when not.
     inter = (
         candidates.join(a_sh.hint("shuffle_hash"), "a")
+        .join(b_sh.hint("shuffle_hash"), ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("__sa")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("__sb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("__i") / (F.col("__sa") + F.col("__sb") - F.col("__i"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_lsh(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fused LSH-candidates → n-gram-Jaccard-verify pipeline with ONE
+    shingle explode of the corpus (r11 verdict ask #2).
+
+    The two-stage pipeline composed from :func:`minhash_table` +
+    :func:`lsh_candidate_pairs` + :func:`jaccard_pairs` explodes and hashes
+    the corpus text twice (md5 for the signatures, xxhash64 for the
+    verifier) — and because the verifier's shingle table feeds three
+    consumers (both join sides and the size aggregate) without
+    materialization, the explode+hash subtree actually evaluates four
+    times. Here the exploded md5 halves are computed once
+    (:func:`_parsed_shingle_hashes`), distinct-ed per doc, and pinned with
+    ``localCheckpoint`` — batch-shaped state inside one query execution,
+    the same trade :func:`incremental_dedup` makes for its band table. The
+    signature aggregate runs over the distinct rows (min over distinct
+    shingles == min over all occurrences) and the verifier keys on
+    ``xxhash64(__h1, __h2)`` — 8-byte join keys derived from the md5 the
+    signature stage already paid for.
+
+    Equivalence: signatures are bit-identical by the min-over-distinct
+    argument; intersection/size counts replace "distinct shingle strings"
+    with "distinct md5-120-bit prefixes", the same accepted collision
+    residual class as the xxhash64 string keys they replace (odds
+    ~|grams|²/2¹²⁰ vs ~|grams|²/2⁶⁴ per join; the string-keyed DuckDB
+    oracle doubles as the collision check at every tested SF). Interleaved
+    noop A/B (min of 3-4, one session): 10.06 → 9.30 s at sf0.1 and
+    48.4 → 28.2 s at the 10x dir, exceptAll 0 both directions at both.
+    """
+    parsed = _parsed_shingle_hashes(df, text_col, id_col, k)
+    dsh = parsed.distinct().localCheckpoint(eager=True)
+    sig = _sig_from_parsed(dsh, id_col)
+    cands = lsh_candidate_pairs(sig, id_col)
+    sh = dsh.select(F.col(id_col), F.xxhash64("__h1", "__h2").alias("s"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a_sh = sh.select(F.col(id_col).alias("a"), "s")
+    b_sh = sh.select(F.col(id_col).alias("b"), "s")
+    # same join shape and SHUFFLE_HASH rationale as jaccard_pairs
+    inter = (
+        cands.join(a_sh.hint("shuffle_hash"), "a")
         .join(b_sh.hint("shuffle_hash"), ["b", "s"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("__i"))

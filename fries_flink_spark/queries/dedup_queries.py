@@ -14,9 +14,9 @@ from ..catalog import load_table
 from ..dedup.minhash import (
     N_PERMS,
     exact_dedup,
-    jaccard_pairs,
     lsh_candidate_pairs,
     minhash_table,
+    ngram_jaccard_lsh,
     simhash_table,
 )
 from ..portable import round_portable, round_portable_sql
@@ -137,12 +137,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     banding (shuffle on band keys), so the expensive shingle-set intersection
     runs only on pairs that share a band, never on the O(n²) cross product:
     the all-pairs formulation stops being runnable around 10⁴ docs, this one
-    scales with the (bounded) candidate count."""
+    scales with the (bounded) candidate count. The fused form explodes and
+    md5-hashes the corpus ONCE and derives both the signatures and the
+    verifier's join keys from that pass (dedup/minhash.ngram_jaccard_lsh)."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = lsh_candidate_pairs(minhash_table(docs, "text", "doc_id"), "doc_id")
-    pairs = jaccard_pairs(
-        docs, "text", "doc_id", k=8, threshold=0.2, candidates=cands
-    )
+    pairs = ngram_jaccard_lsh(docs, "text", "doc_id", k=8, threshold=0.2)
     return pairs.select(
         "a", "b", round_portable(F.col("jaccard"), 6).alias("jaccard")
     ).orderBy("a", "b")
