@@ -1399,6 +1399,25 @@ def _rewrite_match_recognize(spark: SparkSession, q: str) -> str:
         needed = [c for c in df.columns if c.lower() in toks]
         if len(needed) < len(df.columns):
             df = df.select(*needed)
+    else:
+        # ALL ROWS PER MATCH passes every INPUT column through by contract —
+        # but the MR view only exists to serve THIS statement, and the
+        # enclosing text is in hand at rewrite time. Any column the outer
+        # statement (or the MR clause body) references appears as an
+        # identifier token there, so columns whose names tokenize out of
+        # neither can be pruned from the opaque per-key Python boundary: the
+        # pass-through payload (wide props/value columns) stops being
+        # shuffled by key and Arrow-shipped both ways just to be dropped by
+        # the outer Project (guide §4.1). A bare '*' anywhere outside the
+        # clause body could reference every column, so pruning is skipped
+        # then (COUNT(U.*) and friends live inside the body, which is
+        # excluded from that check).
+        outer = q[: m.start()] + " " + q[consumed:]
+        if "*" not in outer:
+            toks = {t.lower() for t in re.findall(r"\w+", body + " " + outer)}
+            needed = [c for c in df.columns if c.lower() in toks]
+            if len(needed) < len(df.columns):
+                df = df.select(*needed)
     types = dict(df.dtypes)
     stage_order = [st.name for st in pat.stages]
 
