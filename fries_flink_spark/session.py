@@ -44,6 +44,18 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python-boundary batch sizing (guide §4.2): the 10k-row
+    # maxRecordsPerBatch cap alone would let a corpus with MB-scale
+    # documents build multi-GB Arrow batches at the multimodal / media /
+    # MATCH_RECOGNIZE boundaries and OOM the Python workers at 100 TB
+    # scale. Spark 4's bytes-based cap bounds worker memory directly and
+    # wins whenever it is the tighter limit; pinned EXPLICITLY to the
+    # engine default (64 MiB) so the production contract is documented and
+    # stable across Spark upgrades rather than inherited silently. Rows
+    # narrower than ~6.4 KB still batch by the 10k-row cap, so bench-SF
+    # behavior is unchanged (verified: mm pipelines at the 10x dir within
+    # noise before/after pinning).
+    "spark.sql.execution.arrow.maxBytesPerBatch": str(64 * 1024 * 1024),
 }
 
 
