@@ -25,13 +25,16 @@ def main():
     from fries_flink_spark.session import get_spark
 
     registry = load_all()
+    missing = [n for n in names if n not in registry]
+    if missing:
+        # fail fast on a typo'd name instead of mixing a bare string into
+        # the timings map (ADVICE r11): callers compute medians over values
+        print(f"unknown queries: {missing}", file=sys.stderr)
+        sys.exit(2)
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
     for name in names:
-        if name not in registry:
-            out[name] = "MISSING"
-            continue
         fn = registry[name].fn
         reps = []
         for i in range(REPS + 1):  # rep 0 is warmup (golden builds, broadcasts)
